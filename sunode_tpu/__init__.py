@@ -1,0 +1,29 @@
+"""sunode_tpu — TPU-native differentiable ODE solving (JAX/XLA/Pallas).
+
+A from-scratch rebuild of the capabilities of pymc-devs/sunode for TPU:
+symbolically-defined (or direct-JAX) ODE problems, a variable-order adaptive
+BDF/Adams integrator running inside ``lax.while_loop``, forward sensitivities,
+checkpointed adjoint gradients via ``jax.custom_vjp``, and vmapped/sharded
+batches of solves across a TPU mesh.
+
+Numerical work defaults to float64 (the reference's ``data_dtype``,
+/root/reference/sunode/basic.py:40-43); we enable jax x64 mode on import
+unless ``SUNODE_TPU_NO_X64`` is set.
+"""
+
+import os as _os
+
+if not _os.environ.get("SUNODE_TPU_NO_X64"):
+    import jax as _jax
+
+    _jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from sunode_tpu.paramspec import ParamSpec, Record  # noqa: E402
+
+__all__ = [
+    "ParamSpec",
+    "Record",
+    "__version__",
+]
