@@ -1,0 +1,322 @@
+"""Lower sympy expression arrays to JAX functions with CSE preserved.
+
+TPU-native replacement for the reference's sympy -> numba-AST compiler
+(/root/reference/sunode/symode/lambdify.py:203 ``lambdify_consts``): where the
+reference emits a Python module via raw ``ast`` construction and compiles it
+with ``@numba.njit`` into a C-callable, we emit Python *source* whose body is a
+sequence of let-bindings (one per ``sympy.cse`` replacement — the
+"CSE preserved" contract of BASELINE.json) evaluating to ``jnp`` scalars, and
+``exec`` it into a module namespace.  Under ``jax.jit`` the whole body traces
+to a single fused XLA computation, so there is no Python in the hot loop —
+the same property the reference gets from numba, achieved the XLA way.
+
+Custom sympy functions carried over from the reference (lambdify.py:275-352):
+``logaddexp``, ``expit``, ``dexpit``, ``CardinalBSpline``,
+``interpolate_spline``, plus the ``logsumexp_2terms_opt`` rewrite.
+"""
+
+from __future__ import annotations
+
+import itertools
+import linecache
+from functools import partial
+from typing import Any, Callable, Mapping, Sequence
+
+import numpy as np
+import sympy as sy
+import sympy.codegen.rewriting
+from sympy.printing.numpy import NumPyPrinter
+
+__all__ = [
+    "lambdify_jax",
+    "logaddexp",
+    "expit",
+    "dexpit",
+    "CardinalBSpline",
+    "interpolate_spline",
+    "logsumexp_2terms_opt",
+    "DEFAULT_OPTIMS",
+]
+
+
+# ---------------------------------------------------------------------------
+# Custom sympy functions (with correct derivatives) that lower to stable JAX
+# primitives.  Math is standard; see reference lambdify.py:275-352 for the
+# feature list these mirror.
+# ---------------------------------------------------------------------------
+class logaddexp(sy.Function):
+    """log(exp(a) + exp(b)) computed stably; lowers to jnp.logaddexp."""
+
+    nargs = (2,)
+
+    def fdiff(self, argindex=1):
+        if argindex in (1, 2):
+            a, b = self.args
+            other = b if argindex == 1 else a
+            # d/da log(e^a + e^b) = sigmoid(a - b)
+            return expit(self.args[argindex - 1] - other)
+        raise sy.function.ArgumentIndexError(self, argindex)
+
+    def _eval_is_real(self):
+        return self.args[0].is_real and self.args[1].is_real
+
+
+class expit(sy.Function):
+    """Logistic sigmoid 1/(1+exp(-x)); lowers to jax.scipy.special.expit."""
+
+    nargs = (1,)
+
+    def fdiff(self, argindex=1):
+        if argindex == 1:
+            return dexpit(self.args[0])
+        raise sy.function.ArgumentIndexError(self, argindex)
+
+    def _eval_is_real(self):
+        return self.args[0].is_real
+
+
+class dexpit(sy.Function):
+    """Derivative of expit: expit(x) * (1 - expit(x))."""
+
+    nargs = (1,)
+
+    def fdiff(self, argindex=1):
+        if argindex == 1:
+            x = self.args[0]
+            return dexpit(x) * (1 - 2 * expit(x))
+        raise sy.function.ArgumentIndexError(self, argindex)
+
+    def _eval_is_real(self):
+        return self.args[0].is_real
+
+
+class CardinalBSpline(sy.Function):
+    """Cardinal B-spline basis of given degree evaluated at x.
+
+    ``CardinalBSpline(degree, x)`` == bspline basis on integer knots
+    ``0..degree+1``.  At lowering time it is expanded to a horner-form
+    Piecewise (same strategy as the reference, lambdify.py:328-341).
+    """
+
+    nargs = (2,)
+
+    def fdiff(self, argindex=1):
+        if argindex == 2:
+            degree, x = self.args
+            d = int(degree)
+            if d == 0:
+                return sy.Integer(0)
+            # Standard B-spline derivative recurrence on cardinal knots:
+            # B'_d(x) = B_{d-1}(x) - B_{d-1}(x - 1)
+            return CardinalBSpline(d - 1, x) - CardinalBSpline(d - 1, x - 1)
+        raise sy.function.ArgumentIndexError(self, argindex)
+
+    def as_piecewise(self):
+        degree, x = self.args
+        d = int(degree)
+        knots = tuple(sy.Integer(i) for i in range(d + 2))
+        basis = sy.functions.special.bsplines.bspline_basis(d, knots, 0, x)
+        pieces = [(sy.horner(e) if not e.is_Atom else e, c) for e, c in basis.args]
+        return sy.Piecewise(*pieces)
+
+
+def interpolate_spline(x, vals, lower, upper, degree, as_pure: bool = False):
+    """Spline interpolation of `vals` on [lower, upper] with cardinal B-splines.
+
+    Mirrors the reference helper (lambdify.py:343-352)."""
+    n_vals = len(vals)
+    n_knots = degree + n_vals + 1
+    basis = partial(CardinalBSpline, degree)
+    x = (x - lower) / (upper - lower)
+    x = degree + x * (n_knots - 2 * degree - 1)
+    basis_vecs = [basis(x - i) for i in range(n_vals)]
+    if as_pure:
+        basis_vecs = [b.as_piecewise() for b in basis_vecs]
+    return sum(val * b for val, b in zip(vals, basis_vecs))
+
+
+# Rewrite: log(exp(a) + exp(b)) -> logaddexp(a, b)   (reference lambdify.py:355-361)
+logsumexp_2terms_opt = sympy.codegen.rewriting.ReplaceOptim(
+    lambda l: (
+        isinstance(l, sy.log)
+        and l.args[0].is_Add
+        and len(l.args[0].args) == 2
+        and all(isinstance(t, sy.exp) for t in l.args[0].args)
+    ),
+    lambda l: logaddexp(l.args[0].args[0].args[0], l.args[0].args[1].args[0]),
+)
+
+DEFAULT_OPTIMS = (sympy.codegen.rewriting.log1p_opt, logsumexp_2terms_opt)
+
+
+# ---------------------------------------------------------------------------
+# Printer
+# ---------------------------------------------------------------------------
+class _JaxExprPrinter(NumPyPrinter):
+    """Print sympy scalars as jnp expressions, mapping problem symbols through
+    a varmap of symbol-name -> access expression (e.g. '_y[3]', '_p[0]', '_t')."""
+
+    _module = "jnp"
+
+    def __init__(self, varmap: Mapping[str, str]):
+        super().__init__()
+        self._varmap = dict(varmap)
+
+    def _print_Symbol(self, expr):
+        name = expr.name
+        if name in self._varmap:
+            return self._varmap[name]
+        return name  # CSE temporaries and loop-local names
+
+    # numpy printer emits "numpy.foo"; rewrite module prefix to jnp
+    def _module_format(self, fqn, register=True):
+        out = super()._module_format(fqn, register)
+        for prefix in ("numpy.", "np."):
+            if out.startswith(prefix):
+                return "jnp." + out[len(prefix):]
+        return out
+
+    def _print_And(self, expr):
+        parts = [self._print(a) for a in expr.args]
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"jnp.logical_and({out}, {p})"
+        return out
+
+    def _print_Or(self, expr):
+        parts = [self._print(a) for a in expr.args]
+        out = parts[0]
+        for p in parts[1:]:
+            out = f"jnp.logical_or({out}, {p})"
+        return out
+
+    def _print_Not(self, expr):
+        return f"jnp.logical_not({self._print(expr.args[0])})"
+
+    def _print_logaddexp(self, expr):
+        return (
+            f"jnp.logaddexp({self._print(expr.args[0])}, {self._print(expr.args[1])})"
+        )
+
+    def _print_expit(self, expr):
+        return f"_expit({self._print(expr.args[0])})"
+
+    def _print_dexpit(self, expr):
+        return f"_dexpit({self._print(expr.args[0])})"
+
+    def _print_CardinalBSpline(self, expr):
+        return self._print(expr.as_piecewise())
+
+    def _print_Piecewise(self, expr):
+        # Chain of jnp.where; final condition may be True.
+        result = None
+        for e, c in reversed(expr.args):
+            body = self._print(e)
+            if c == sy.true or result is None:
+                result = body
+            else:
+                result = f"jnp.where({self._print(c)}, {body}, {result})"
+        return result
+
+
+_module_counter = itertools.count()
+
+
+def _expand_special(expr):
+    """Pre-expand constructs the printer can't handle directly."""
+    if expr.has(sy.Derivative):
+        expr = expr.doit()
+    return expr
+
+
+def lambdify_jax(
+    argnames: Sequence[str],
+    exprs: Any,
+    varmap: Mapping[str, str],
+    *,
+    name: str = "compute",
+    optims: Sequence[Any] | None = None,
+    simplify: bool = False,
+    debug: bool = False,
+) -> Callable:
+    """Compile a sympy expression array into a JAX function.
+
+    Parameters
+    ----------
+    argnames:
+        Names of the function's positional arguments as they appear in the
+        varmap access expressions (e.g. ``["_t", "_y", "_p"]``).
+    exprs:
+        A numpy object array (any rank) of sympy expressions; the function
+        returns a jnp array of the same shape.
+    varmap:
+        Maps sympy symbol names to Python access expressions over argnames.
+    optims:
+        sympy.codegen.rewriting optimizations to apply element-wise before CSE
+        (default: log1p + 2-term logsumexp, as in the reference).
+    simplify:
+        Run ``sympy.simplify`` per element first (reference SympyProblem's
+        ``simplify_rhs`` analog).
+
+    Returns
+    -------
+    A pure function ``f(*args) -> jnp.ndarray`` of the expression array shape,
+    suitable for jit/vmap/grad.  The generated source is attached as
+    ``f.__source__``.
+    """
+    exprs = np.asarray(exprs, dtype=object)
+    shape = exprs.shape
+    flat = [sy.sympify(e) for e in exprs.reshape(-1)]
+
+    if simplify:
+        flat = [sy.simplify(e) for e in flat]
+    if optims is None:
+        optims = DEFAULT_OPTIMS
+    if optims:
+        flat = [sympy.codegen.rewriting.optimize(e, optims) for e in flat]
+    flat = [_expand_special(e) for e in flat]
+
+    cse_symbols = sy.numbered_symbols("_x")
+    replacements, reduced = sy.cse(flat, symbols=cse_symbols, order="none")
+
+    printer = _JaxExprPrinter(varmap)
+
+    lines = []
+    lines.append("import jax")
+    lines.append("import jax.numpy as jnp")
+    lines.append("from jax.scipy.special import expit as _expit")
+    lines.append("def _dexpit(x):")
+    lines.append("    _s = _expit(x)")
+    lines.append("    return _s * (1 - _s)")
+    lines.append(f"def {name}({', '.join(argnames)}):")
+    for sym, sub in replacements:
+        lines.append(f"    {sym.name} = {printer.doprint(sub)}")
+    elems = ", ".join(printer.doprint(e) for e in reduced)
+    lines.append(f"    _out = jnp.array([{elems}], dtype=_dtype)")
+    if shape == ():
+        lines.append("    return _out[0]")
+    else:
+        lines.append(f"    return _out.reshape({shape!r})")
+    source = "\n".join(lines) + "\n"
+
+    modname = f"<sunode_tpu.lambdify.{name}.{next(_module_counter)}>"
+    namespace: dict[str, Any] = {"_dtype": None}
+    # Default computation dtype follows jax x64 config at call time; bind f64
+    # here (cheap no-op cast under x64, downcast guard otherwise).
+    import jax.numpy as jnp
+
+    namespace["_dtype"] = jnp.result_type(float)
+    code = compile(source, modname, "exec")
+    # register with linecache so tracebacks show generated source
+    linecache.cache[modname] = (
+        len(source),
+        None,
+        source.splitlines(keepends=True),
+        modname,
+    )
+    exec(code, namespace)
+    fn = namespace[name]
+    fn.__source__ = source
+    if debug:
+        print(source)
+    return fn
