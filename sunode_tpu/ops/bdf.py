@@ -5,34 +5,39 @@ This is the TPU-native replacement for the CVODES C integrator itself
 variable-order (1-5), variable-step BDF method with
 
   * backward-difference history array ``D`` (the classic fixed-leading-
-    coefficient formulation of Shampine & Reichelt's ode15s / CVODES lineage),
+    coefficient formulation of the ode15s / CVODES lineage),
   * WRMS-norm error control with scalar/vector atol,
   * modified Newton iteration reusing a cached Jacobian and a cached
     factorization of ``M = I - c J`` until they go stale (CVODES's stale-J
-    strategy, cvode MSBP/DGMAX analog),
-  * step/order selection from estimated truncation errors at orders
-    q-1, q, q+1 with CVODES-style hysteresis (no change unless the step
-    factor exceeds 1.5),
+    strategy),
+  * step/order selection from estimated truncation errors at orders q-1, q,
+    q+1 with CVODES-style hysteresis (no change unless the factor > 1.5),
   * dense output by Newton backward-difference interpolation (replaces
-    ``CVodeGetDky``), emitted at the requested ``tvals`` as the integration
-    passes them (CV_NORMAL semantics),
+    ``CVodeGetDky``), emitted at the requested ``tvals`` (CV_NORMAL
+    semantics),
+  * an optional **forward-sensitivity block** propagating S = dy/dp alongside
+    y with the same step/order, solved with the cached Newton matrix
+    (CVodeSensInit simultaneous/staggered semantics, CVodeSetSensErrCon),
+  * an optional **quadrature block** integrating pure quadratures
+    (CVodeQuadInit semantics; explicit corrector — no solve needed since
+    quadratures don't couple back),
   * optional recording of every accepted step (t, y, f) for the
-    Hermite-interpolated checkpointed adjoint (CV_HERMITE analog,
-    reference solver.py:579-588),
+    Hermite-interpolated checkpointed adjoint (CV_HERMITE analog),
   * optional inequality constraints on the state (CVodeSetConstraints).
 
 Everything is a single ``lax.while_loop`` whose body attempts ONE step:
 data-dependent control flow (rejection, order change, Newton failure) is
 encoded in the carry, so the whole solve jits once and ``vmap`` turns it into
-a lockstep batched integrator (divergent chains mask, they don't branch).
+a lockstep batched integrator.
 
 Failures follow the reference's recoverable-error contract: non-finite RHS or
 a failed error test shrink the step (symode/problem.py:266-269); persistent
-failure sets a status code, and the caller NaN-fills outputs
+failure sets a status code and the caller NaN-fills outputs
 (solver.py:510-519 + as_pytensor.py:244-247 semantics).
 
 Float64 throughout by default; the Newton solve uses the f64-safe pure-jnp
-LU / closed forms from ``sunode_tpu.ops.linalg``.
+LU / closed forms from ``sunode_tpu.ops.linalg`` (XLA's own LuDecomposition
+is f32-only on TPU).
 """
 
 from __future__ import annotations
@@ -51,6 +56,7 @@ __all__ = ["BDFOptions", "bdf_solve", "BDFResult", "STATUS"]
 MAX_ORDER = 5
 KD = MAX_ORDER + 3  # rows of the difference array: D[0..q+2] needed
 NEWTON_MAXITER = 4
+SENS_MAXITER = 3
 MIN_FACTOR = 0.2
 MAX_FACTOR = 10.0
 # CVODES-style hysteresis: don't change h unless the proposed factor is
@@ -79,6 +85,13 @@ class BDFOptions(NamedTuple):
     constraints: Optional[Any] = None  # per-state: 0 none, 1 >=0, -1 <=0, 2 >0, -2 <0
     save_steps: int = 0  # record accepted steps (for the adjoint checkpointing)
     newton_tol_factor: float = 1.0
+    # sensitivity block (CVodeSetSensErrCon / CVodeSetSensParams pbar)
+    sens_err_con: bool = True
+    sens_pbar: Optional[Any] = None  # (k,) scaling factors; None -> 1
+    # quadrature block (CVodeSetQuadErrCon)
+    quad_err_con: bool = False
+    quad_atol: Optional[Any] = None  # defaults to atol-style scalar
+    quad_rtol: Optional[float] = None
 
 
 class BDFResult(NamedTuple):
@@ -86,10 +99,12 @@ class BDFResult(NamedTuple):
     status: jnp.ndarray  # int32 status code
     stats: dict  # counters and final state
     saved: Optional[dict]  # recorded steps if save_steps > 0
+    sens: Optional[jnp.ndarray] = None  # (n_t, k, n)
+    quad: Optional[jnp.ndarray] = None  # (n_t, m)
 
 
 def _wrms(x, w):
-    """CVODES weighted root-mean-square norm with weights 1/scale."""
+    """CVODES weighted root-mean-square norm with weights w = 1/scale."""
     return jnp.sqrt(jnp.mean((x * w) ** 2))
 
 
@@ -127,41 +142,39 @@ def _build_R(q, factor, dtype):
 
 
 def _rescale_D(D, q, factor):
-    """Rescale the difference array for a step-size change h -> factor*h.
+    """Rescale a difference array (KD, ...) for a step change h -> factor*h.
 
-    Classic Shampine/Reichelt transformation: D[:q+1] <- (R(factor) U)^T D[:q+1]
+    Shampine/Reichelt transformation: D[:q+1] <- (R(factor) U)^T D[:q+1]
     with U = R(1); verified against directly-recomputed differences in tests.
+    Works for any trailing dims (state, sens, quad blocks).
     """
     dtype = D.dtype
     R = _build_R(q, jnp.asarray(factor, dtype), dtype)
     U = _build_R(q, jnp.asarray(1.0, dtype), dtype)
     RU = R @ U
     K = MAX_ORDER + 1
-    D_head = RU.T @ D[:K]
+    D_head = jnp.einsum("ji,j...->i...", RU, D[:K])
     return D.at[:K].set(D_head)
 
 
 def _predict(D, q, gamma, alpha):
-    """y_pred = sum_{i<=q} D[i];  psi = (1/alpha_q) sum_{1<=i<=q} gamma_i D[i]."""
+    """pred = sum_{i<=q} D[i];  psi = (1/alpha_q) sum_{1<=i<=q} gamma_i D[i]."""
     K = MAX_ORDER + 1
     ar = jnp.arange(K)
     wy = (ar <= q).astype(D.dtype)
-    y_pred = jnp.einsum("i,in->n", wy, D[:K])
+    pred = jnp.einsum("i,i...->...", wy, D[:K])
     wp = jnp.where((ar >= 1) & (ar <= q), gamma[:K], 0.0)
-    psi = jnp.einsum("i,in->n", wp, D[:K]) / alpha[q]
-    return y_pred, psi
+    psi = jnp.einsum("i,i...->...", wp, D[:K]) / alpha[q]
+    return pred, psi
 
 
 def _update_D(D, q, d):
     """After an accepted step with correction d = y_new - y_pred:
-    D[q+2] = d - D[q+1]; D[q+1] = d; D[i] += D[i+1] for i = q..0."""
-    K = MAX_ORDER + 1
-    ar = jnp.arange(KD)
-    # dynamic-index writes at q+1, q+2
+    D[q+2] = d - D[q+1]; D[q+1] = d; D[i] += D[i+1] for i = q..0.
+    Works for any trailing dims."""
     Dq1 = D[q + 1]
     D = lax.dynamic_update_index_in_dim(D, d - Dq1, q + 2, 0)
     D = lax.dynamic_update_index_in_dim(D, d, q + 1, 0)
-    # masked downward accumulation (static unroll, MAX_ORDER+1 iterations)
     for i in range(MAX_ORDER, -1, -1):
         D = D.at[i].set(jnp.where(i <= q, D[i] + D[i + 1], D[i]))
     return D
@@ -171,7 +184,7 @@ def _interpolate(D, q, t_n, h, t_eval):
     """Newton backward-difference evaluation of the interpolant at t_eval.
 
     P(t_n + s h) = sum_{i=0..q} D[i] prod_{m=0..i-1} (s+m)/(m+1).
-    Replaces CVodeGetDky dense output."""
+    Replaces CVodeGetDky dense output.  Works for any trailing dims."""
     s = (t_eval - t_n) / h
     out = D[0]
     w = jnp.asarray(1.0, D.dtype)
@@ -208,10 +221,18 @@ def bdf_solve(
     params: jnp.ndarray,
     tvals: jnp.ndarray,
     options: BDFOptions = BDFOptions(),
+    *,
+    sens_rhs: Optional[Callable] = None,
+    S0: Optional[jnp.ndarray] = None,
+    quad_rhs: Optional[Callable] = None,
+    quad0: Optional[jnp.ndarray] = None,
 ) -> BDFResult:
     """Integrate dy/dt = rhs(t, y, p) from t0, emitting y(tvals).
 
     rhs: (t, y, p) -> (n,);  jac: (t, y, p) -> (n, n) = df/dy.
+    sens_rhs: (t, y, S, p) -> (k, n) with S of shape (k, n); S0 required.
+    quad_rhs: (t, y, p) -> (m,); quad0 required.  Quadratures are integrated
+    explicitly (they don't couple back into y).
     tvals must be increasing with tvals[0] >= t0.  Fully jit/vmap-compatible.
     """
     dtype = jnp.result_type(y0.dtype, jnp.float32)
@@ -222,10 +243,39 @@ def bdf_solve(
     n_t = tvals.shape[0]
     t_end = tvals[-1]
 
+    with_sens = sens_rhs is not None
+    with_quad = quad_rhs is not None
+    if with_sens:
+        S0 = jnp.asarray(S0, dtype)
+        k_sens = S0.shape[0]
+    if with_quad:
+        quad0 = jnp.asarray(quad0, dtype)
+        m_quad = quad0.shape[0]
+
     rtol = jnp.asarray(options.rtol, dtype)
     atol = jnp.broadcast_to(jnp.asarray(options.atol, dtype), (n,))
     gamma, alpha, error_const = _order_constants(options.use_ndf, dtype)
     max_order = min(options.max_order, MAX_ORDER)
+
+    if with_sens:
+        pbar = (
+            jnp.broadcast_to(jnp.asarray(options.sens_pbar, dtype), (k_sens,))
+            if options.sens_pbar is not None
+            else jnp.ones((k_sens,), dtype)
+        )
+        # CVodeSensEEtolerances: atol_S[k] = atol / pbar_k
+        atol_S = atol[None, :] / pbar[:, None]  # (k, n)
+    if with_quad:
+        quad_rtol = jnp.asarray(
+            options.quad_rtol if options.quad_rtol is not None else options.rtol, dtype
+        )
+        quad_atol = jnp.broadcast_to(
+            jnp.asarray(
+                options.quad_atol if options.quad_atol is not None else options.atol,
+                dtype,
+            ),
+            (m_quad,),
+        )
 
     if options.constraints is not None:
         constraints = jnp.broadcast_to(jnp.asarray(options.constraints, dtype), (n,))
@@ -250,25 +300,29 @@ def bdf_solve(
     D0 = jnp.zeros((KD, n), dtype)
     D0 = D0.at[0].set(y0).at[1].set(h0 * f0)
 
+    if with_sens:
+        fS0 = sens_rhs(t0, y0, S0, params)
+        DS0 = jnp.zeros((KD, k_sens, n), dtype)
+        DS0 = DS0.at[0].set(S0).at[1].set(h0 * fS0)
+    if with_quad:
+        fQ0 = quad_rhs(t0, y0, params)
+        DQ0 = jnp.zeros((KD, m_quad), dtype)
+        DQ0 = DQ0.at[0].set(quad0).at[1].set(h0 * fQ0)
+
     save_steps = int(options.save_steps)
     if save_steps > 0:
         saved0 = {
-            "t": jnp.full((save_steps,), jnp.nan, dtype),
-            "y": jnp.zeros((save_steps, n), dtype),
-            "f": jnp.zeros((save_steps, n), dtype),
-            "n_saved": jnp.asarray(0, jnp.int32),
+            # +inf padding so searchsorted in the adjoint works directly
+            "t": jnp.full((save_steps,), jnp.inf, dtype).at[0].set(t0),
+            "y": jnp.zeros((save_steps, n), dtype).at[0].set(y0),
+            "f": jnp.zeros((save_steps, n), dtype).at[0].set(f0),
+            "n_saved": jnp.asarray(1, jnp.int32),
         }
-        # record the initial condition as node 0
-        saved0["t"] = saved0["t"].at[0].set(t0)
-        saved0["y"] = saved0["y"].at[0].set(y0)
-        saved0["f"] = saved0["f"].at[0].set(f0)
-        saved0["n_saved"] = jnp.asarray(1, jnp.int32)
     else:
         saved0 = None
 
     # emit any tvals coinciding with t0 (or pathologically before it)
     ys0 = jnp.full((n_t, n), jnp.nan, dtype)
-    i_out0 = 0
     emit_mask = tvals <= t0
     ys0 = jnp.where(emit_mask[:, None], y0[None, :], ys0)
     i_out0 = jnp.sum(emit_mask).astype(jnp.int32)
@@ -304,13 +358,25 @@ def bdf_solve(
         n_conv_fails=jnp.asarray(0, jnp.int32),
         saved=saved0,
     )
+    if with_sens:
+        carry0["DS"] = DS0
+        carry0["sens_out"] = jnp.full((n_t, k_sens, n), jnp.nan, dtype)
+        carry0["sens_out"] = jnp.where(
+            emit_mask[:, None, None], S0[None], carry0["sens_out"]
+        )
+        carry0["nfevS"] = jnp.asarray(1, jnp.int32)
+    if with_quad:
+        carry0["DQ"] = DQ0
+        carry0["quad_out"] = jnp.full((n_t, m_quad), jnp.nan, dtype)
+        carry0["quad_out"] = jnp.where(
+            emit_mask[:, None], quad0[None], carry0["quad_out"]
+        )
 
     def cond(c):
         return (c["status"] == -1) & (c["i_out"] < n_t)
 
     def newton_iterate(t_new, y_pred, psi, c_coef, factors, scale_w):
-        """Modified-Newton solve of d = c f(y_pred + d) - psi.
-        Returns (converged, diverged_or_bad, y, d, n_iters, nfev)."""
+        """Modified-Newton solve of d = c f(y_pred + d) - psi."""
 
         def nbody(st):
             k, y, d, dy_norm_old, conv, div, bad, nfev = st
@@ -320,7 +386,7 @@ def bdf_solve(
             delta = solve_factored(factors, res)
             bad_d = ~jnp.all(jnp.isfinite(delta))
             dy_norm = _wrms(delta, scale_w)
-            rate = dy_norm / dy_norm_old  # inf-safe: old starts at inf -> rate 0
+            rate = dy_norm / dy_norm_old
             diverged = (k > 0) & (
                 (rate >= 2.0)
                 | (
@@ -365,19 +431,30 @@ def bdf_solve(
     def body(c):
         t, h, q, D = c["t"], c["h"], c["q"], c["D"]
 
-        # clamp h to land exactly on t_end
         h_min_loc = 10 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t), jnp.abs(t_end))
         underflow = h < jnp.maximum(h_min_loc, options.min_step)
+        # clamp h to land exactly on t_end
         h_eff = jnp.minimum(h, t_end - t)
-        rescale_clamp = h_eff < h  # D must be rescaled if we clamp
-        clamp_factor = jnp.where(rescale_clamp, h_eff / h, 1.0)
+        rescale_clamp = h_eff < h
+        clamp_factor = jnp.where(rescale_clamp, h_eff / jnp.maximum(h, 1e-300), 1.0)
         D = jnp.where(rescale_clamp, _rescale_D(D, q, clamp_factor), D)
+        if with_sens:
+            DS = jnp.where(
+                rescale_clamp, _rescale_D(c["DS"], q, clamp_factor), c["DS"]
+            )
+        if with_quad:
+            DQ = jnp.where(
+                rescale_clamp, _rescale_D(c["DQ"], q, clamp_factor), c["DQ"]
+            )
         h_use = h_eff
         t_new = t + h_use
 
         # (re)build + factor Newton matrix if stale
         c_coef = h_use / alpha[q]
-        c_changed = jnp.abs(c_coef / jnp.where(c["c_factored"] == 0, 1.0, c["c_factored"]) - 1.0) > 1e-12
+        c_changed = (
+            jnp.abs(c_coef / jnp.where(c["c_factored"] == 0, 1.0, c["c_factored"]) - 1.0)
+            > 1e-12
+        )
         need_factor = c["need_factor"] | c_changed | rescale_clamp
 
         def do_factor(_):
@@ -396,11 +473,60 @@ def bdf_solve(
         scale_w = 1.0 / scale
         pred_ok = jnp.all(jnp.isfinite(y_pred))
 
-        conv, failed, y_new, d_corr, n_iters, nfev_n = newton_iterate(
+        conv, nfailed, y_new, d_corr, n_iters, nfev_n = newton_iterate(
             t_new, y_pred, psi, c_coef, factors, scale_w
         )
         conv = conv & pred_ok
-        failed = failed | ~pred_ok
+
+        # ----- sensitivity corrector (linear; iterate with cached M) -------
+        if with_sens:
+            S_pred, psi_S = _predict(DS, q, gamma, alpha)
+            scale_S = atol_S + rtol * jnp.abs(S_pred)  # (k, n)
+            wS = 1.0 / scale_S
+            solve_rows = jax.vmap(solve_factored, in_axes=(None, 0))
+
+            def sbody(st):
+                it, S, dS, norm_old, s_conv, s_bad, nfs = st
+                FS = sens_rhs(t_new, y_new, S, params)
+                resS = c_coef * FS - psi_S - dS
+                deltaS = solve_rows(factors, resS)
+                s_bad = ~jnp.all(jnp.isfinite(deltaS))
+                norm = _wrms(deltaS, wS)
+                rate = norm / norm_old
+                S = S + deltaS
+                dS = dS + deltaS
+                s_conv = (norm == 0.0) | (
+                    (it > 0) & (rate < 1.0) & (rate / (1 - rate) * norm < newton_tol)
+                ) | (norm < 0.1 * newton_tol)
+                return it + 1, S, dS, norm, s_conv & ~s_bad, s_bad, nfs + 1
+
+            def scond(st):
+                it, S, dS, norm_old, s_conv, s_bad, nfs = st
+                return (it < SENS_MAXITER) & ~(s_conv | s_bad)
+
+            sinit = (
+                jnp.asarray(0, jnp.int32),
+                S_pred,
+                jnp.zeros_like(S_pred),
+                jnp.asarray(jnp.inf, dtype),
+                jnp.asarray(False),
+                jnp.asarray(False),
+                jnp.asarray(0, jnp.int32),
+            )
+            _, S_new, dS_corr, _, s_conv, s_bad, nfevS_n = lax.while_loop(
+                scond, sbody, sinit
+            )
+            conv = conv & s_conv
+        # quadrature corrector is explicit: d_q = c * qdot(t_n, y_n) - psi_q
+        if with_quad:
+            Q_pred, psi_Q = _predict(DQ, q, gamma, alpha)
+            fQ = quad_rhs(t_new, y_new, params)
+            dQ_corr = c_coef * fQ - psi_Q
+            Q_new = Q_pred + dQ_corr
+            quad_bad = ~jnp.all(jnp.isfinite(Q_new))
+            conv = conv & ~quad_bad
+
+        failed = ~conv
 
         # constraint check (CVodeSetConstraints semantics)
         if constraints is not None:
@@ -414,8 +540,7 @@ def bdf_solve(
         else:
             constraint_fail = jnp.asarray(False)
 
-        newton_failed = ~conv
-        # --- Newton failure handling -----------------------------------
+        newton_failed = failed
         # If J is stale: refresh J and retry at same h.  Else halve h.
         refresh_J = newton_failed & ~c["J_current"]
         halve = newton_failed & c["J_current"]
@@ -428,44 +553,75 @@ def bdf_solve(
         )
         njev = c["njev"] + jnp.where(refresh_J, 1, 0)
 
-        # --- error test (only when Newton converged) -------------------
-        err = error_const[q] * d_corr
-        err_norm = _wrms(err, scale_w)
-        err_ok = err_norm <= 1.0
+        # ----- error test ---------------------------------------------------
+        err_norm = _wrms(error_const[q] * d_corr, scale_w)
+        err_sq_sum = err_norm**2
+        n_blocks = 1
+        if with_sens and options.sens_err_con:
+            errS_norm2 = jnp.mean(
+                jnp.mean((error_const[q] * dS_corr * wS) ** 2, axis=-1), axis=-1
+            )
+            err_sq_sum = err_sq_sum + errS_norm2 * k_sens
+            n_blocks += k_sens
+        if with_quad and options.quad_err_con:
+            scale_Q = quad_atol + quad_rtol * jnp.abs(Q_pred)
+            wQ = 1.0 / scale_Q
+            errQ_norm = _wrms(error_const[q] * dQ_corr, wQ)
+            err_sq_sum = err_sq_sum + errQ_norm**2
+            n_blocks += 1
+        err_norm_tot = jnp.sqrt(err_sq_sum / n_blocks)
+        err_ok = err_norm_tot <= 1.0
         accept = conv & err_ok & ~constraint_fail
 
         err_reject = conv & (~err_ok | constraint_fail)
-        # step factor after error-test rejection
         factor_rej = jnp.clip(
-            0.9 * err_norm ** (-1.0 / (q + 1.0)), MIN_FACTOR, 0.9
+            0.9 * jnp.clip(err_norm_tot, 1e-30, 1e30) ** (-1.0 / (q + 1.0)),
+            MIN_FACTOR,
+            0.9,
         )
         factor_rej = jnp.where(constraint_fail & err_ok, 0.25, factor_rej)
 
-        # ---------------------------------------------------------------
-        # Accepted-step bookkeeping
-        # ---------------------------------------------------------------
+        # -------------------------------------------------------------------
         def on_accept(c):
             D_new = _update_D(D, q, d_corr)
+            if with_sens:
+                DS_new = _update_D(DS, q, dS_corr)
+            if with_quad:
+                DQ_new = _update_D(DQ, q, dQ_corr)
             n_equal = c["n_equal"] + 1
             t_acc = t_new
 
             # emit outputs for all tvals in (t_old, t_new]
             def emit_cond(st):
-                i_out, ys = st
-                return (i_out < n_t) & (tvals[jnp.minimum(i_out, n_t - 1)] <= t_acc + 1e-14 * jnp.abs(t_acc))
+                i_out = st[0]
+                return (i_out < n_t) & (
+                    tvals[jnp.minimum(i_out, n_t - 1)]
+                    <= t_acc + 1e-14 * jnp.abs(t_acc)
+                )
 
             def emit_body(st):
-                i_out, ys = st
+                i_out, ys, sens_out, quad_out = st
                 te = tvals[jnp.minimum(i_out, n_t - 1)]
                 yi = _interpolate(D_new, q, t_acc, h_use, te)
                 ys = ys.at[i_out].set(yi)
-                return i_out + 1, ys
+                if with_sens:
+                    si = _interpolate(DS_new, q, t_acc, h_use, te)
+                    sens_out = sens_out.at[i_out].set(si)
+                if with_quad:
+                    qi = _interpolate(DQ_new, q, t_acc, h_use, te)
+                    quad_out = quad_out.at[i_out].set(qi)
+                return i_out + 1, ys, sens_out, quad_out
 
-            i_out, ys = lax.while_loop(
-                emit_cond, emit_body, (c["i_out"], c["ys"])
+            emit_init = (
+                c["i_out"],
+                c["ys"],
+                c["sens_out"] if with_sens else jnp.zeros((), dtype),
+                c["quad_out"] if with_quad else jnp.zeros((), dtype),
+            )
+            i_out, ys, sens_out, quad_out = lax.while_loop(
+                emit_cond, emit_body, emit_init
             )
 
-            # record accepted step for adjoint checkpointing
             if save_steps > 0:
                 sv = c["saved"]
                 f_acc = rhs(t_acc, y_new, params)
@@ -480,22 +636,47 @@ def bdf_solve(
             else:
                 sv = c["saved"]
 
-            # ----- order & step adaptation (only after q+1 equal steps)
+            # ----- order & step adaptation (after q+1 equal steps) ---------
             can_adapt = n_equal >= q + 1
 
-            # error at order q-1 uses D[q] (the new one), q+1 uses D[q+2]
-            Dq = D_new[q]
-            Dq2 = D_new[q + 2]
+            def block_err_norm(Drow_y, Drow_S, Drow_Q, const):
+                e2 = _wrms(const * Drow_y, scale_w) ** 2
+                nb = 1
+                if with_sens and options.sens_err_con:
+                    e2 = e2 + jnp.mean(
+                        jnp.mean((const * Drow_S * wS) ** 2, axis=-1), axis=-1
+                    ) * k_sens
+                    nb += k_sens
+                if with_quad and options.quad_err_con:
+                    scale_Q = quad_atol + quad_rtol * jnp.abs(Q_pred)
+                    e2 = e2 + _wrms(const * Drow_Q, 1.0 / scale_Q) ** 2
+                    nb += 1
+                return jnp.sqrt(e2 / nb)
+
+            zS = DS_new if with_sens else None
+            zQ = DQ_new if with_quad else None
             err_m = jnp.where(
-                q > 1, _wrms(error_const[jnp.maximum(q - 1, 0)] * Dq, scale_w), jnp.inf
+                q > 1,
+                block_err_norm(
+                    D_new[q],
+                    zS[q] if with_sens else None,
+                    zQ[q] if with_quad else None,
+                    error_const[jnp.maximum(q - 1, 0)],
+                ),
+                jnp.inf,
             )
             err_p = jnp.where(
                 q < max_order,
-                _wrms(error_const[jnp.minimum(q + 1, MAX_ORDER)] * Dq2, scale_w),
+                block_err_norm(
+                    D_new[q + 2],
+                    zS[q + 2] if with_sens else None,
+                    zQ[q + 2] if with_quad else None,
+                    error_const[jnp.minimum(q + 1, MAX_ORDER)],
+                ),
                 jnp.inf,
             )
-            # step factors for each candidate order qq with LTE ~ h^(qq+1):
-            # factor = safety * err^(-1/(qq+1)).
+
+            # step factor for candidate order qq (LTE ~ h^(qq+1)):
             # NOTE: keep inf out of ** — TPU f64 emulation yields nan for
             # inf**negative (CPU gives 0), so clamp before exponentiating.
             def fac(e, qq):
@@ -505,7 +686,7 @@ def bdf_solve(
                 return jnp.where(unavailable, 0.0, f)
 
             f_m = fac(err_m, q - 1)
-            f_0 = fac(err_norm, q)
+            f_0 = fac(err_norm_tot, q)
             f_p = fac(err_p, q + 1)
             facs = jnp.stack([f_m, f_0, f_p])
             best = jnp.argmax(facs)
@@ -515,18 +696,14 @@ def bdf_solve(
             do_change = can_adapt & (
                 (factor_best >= THRESH) | (factor_best < 1.0) | (dq != 0)
             )
-            # hysteresis: if step factor is small and order unchanged, skip
-            do_change = do_change & ((dq != 0) | (factor_best >= THRESH) | (factor_best < 1.0))
 
             q_new = jnp.where(do_change, jnp.clip(q + dq, 1, max_order), q)
             factor_eff = jnp.where(do_change, factor_best, 1.0)
-            # cap so h doesn't exceed max_step
-            factor_eff = jnp.minimum(factor_eff, options.max_step / jnp.maximum(h_use, 1e-300))
-            D_adapted = jnp.where(
-                do_change & (factor_eff != 1.0),
-                _rescale_D(D_new, q_new, factor_eff),
-                D_new,
+            factor_eff = jnp.minimum(
+                factor_eff, options.max_step / jnp.maximum(h_use, 1e-300)
             )
+            resc = do_change & (factor_eff != 1.0)
+            D_adapted = jnp.where(resc, _rescale_D(D_new, q_new, factor_eff), D_new)
             h_new = jnp.where(do_change, h_use * factor_eff, h_use)
             n_equal_new = jnp.where(do_change, 0, n_equal)
 
@@ -542,7 +719,7 @@ def bdf_solve(
                 J_current=jnp.asarray(False),
                 factors=factors,
                 c_factored=c_factored,
-                need_factor=do_change & (factor_eff != 1.0),
+                need_factor=resc,
                 i_out=i_out,
                 ys=ys,
                 consec_err_fails=jnp.asarray(0, jnp.int32),
@@ -554,29 +731,32 @@ def bdf_solve(
                 nniters=c["nniters"] + n_iters,
                 saved=sv,
             )
+            if with_sens:
+                out["DS"] = jnp.where(
+                    resc, _rescale_D(DS_new, q_new, factor_eff), DS_new
+                )
+                out["sens_out"] = sens_out
+                out["nfevS"] = c["nfevS"] + nfevS_n
+            if with_quad:
+                out["DQ"] = jnp.where(
+                    resc, _rescale_D(DQ_new, q_new, factor_eff), DQ_new
+                )
+                out["quad_out"] = quad_out
             return out
 
-        # ---------------------------------------------------------------
-        # Rejection bookkeeping (error-test fail, Newton fail)
-        # ---------------------------------------------------------------
+        # -------------------------------------------------------------------
         def on_reject(c):
-            # newton failure with fresh J available: retry same h after
-            # refactoring with the new J.
             factor = jnp.where(
-                refresh_J,
-                1.0,
-                jnp.where(halve, 0.5, factor_rej),
+                refresh_J, 1.0, jnp.where(halve, 0.5, factor_rej)
             )
-            D_resc = jnp.where(
-                factor != 1.0, _rescale_D(D, q, factor), D
-            )
+            resc = factor != 1.0
             cef = c["consec_err_fails"] + jnp.where(err_reject, 1, 0)
             ccf = c["consec_conv_fails"] + jnp.where(newton_failed & ~refresh_J, 1, 0)
             too_many = (cef >= MAX_CONSECUTIVE_FAILS) | (ccf >= MAX_CONSECUTIVE_FAILS)
             out = dict(c)
             out.update(
                 h=h_use * factor,
-                D=D_resc,
+                D=jnp.where(resc, _rescale_D(D, q, factor), D),
                 n_equal=jnp.asarray(0, jnp.int32),
                 J=J_new,
                 J_current=c["J_current"] | refresh_J,
@@ -593,32 +773,33 @@ def bdf_solve(
                 nfactor=nfactor,
                 nniters=c["nniters"] + n_iters,
                 n_err_fails=c["n_err_fails"] + jnp.where(err_reject, 1, 0),
-                n_conv_fails=c["n_conv_fails"] + jnp.where(newton_failed & ~refresh_J, 1, 0),
+                n_conv_fails=c["n_conv_fails"]
+                + jnp.where(newton_failed & ~refresh_J, 1, 0),
             )
+            if with_sens:
+                out["DS"] = jnp.where(resc, _rescale_D(DS, q, factor), DS)
+                out["nfevS"] = c["nfevS"] + nfevS_n
+            if with_quad:
+                out["DQ"] = jnp.where(resc, _rescale_D(DQ, q, factor), DQ)
             return out
 
         new_c = lax.cond(accept, on_accept, on_reject, c)
 
-        # global failure checks
         status = new_c["status"]
         status = jnp.where(
             (status == -1) & (new_c["nsteps"] >= options.max_steps),
             STATUS["MAX_STEPS"],
             status,
         )
-        status = jnp.where(
-            (status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status
-        )
+        status = jnp.where((status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status)
         new_c["status"] = status.astype(jnp.int32)
         return new_c
 
     final = lax.while_loop(cond, body, carry0)
 
-    status = jnp.where(final["status"] == -1, STATUS["SUCCESS"], final["status"]).astype(
-        jnp.int32
-    )
-    # NaN-poison unfilled outputs on failure (reference as_pytensor.py:244-247)
-    ys = final["ys"]
+    status = jnp.where(
+        final["status"] == -1, STATUS["SUCCESS"], final["status"]
+    ).astype(jnp.int32)
 
     stats = dict(
         n_steps=final["nsteps"],
@@ -632,4 +813,13 @@ def bdf_solve(
         final_step_size=final["h"],
         final_time=final["t"],
     )
-    return BDFResult(ys=ys, status=status, stats=stats, saved=final["saved"])
+    if with_sens:
+        stats["n_sens_rhs_evals"] = final["nfevS"]
+    return BDFResult(
+        ys=final["ys"],
+        status=status,
+        stats=stats,
+        saved=final["saved"],
+        sens=final["sens_out"] if with_sens else None,
+        quad=final["quad_out"] if with_quad else None,
+    )
