@@ -1,0 +1,197 @@
+"""Checkpointed adjoint gradients (CVODES CVODEA analog) as pure JAX.
+
+Reference semantics being rebuilt (/root/reference/sunode/solver.py:530-784
+``AdjointSolver`` + include/cvodes/16_cvodes.h:365-471 adjoint API):
+
+  forward:  ``CVodeF`` records the solution while integrating
+            -> here: ``bdf_solve(..., options.save_steps>0)`` records every
+            accepted step's (t, y, f) — the CV_HERMITE checkpoint scheme.
+  backward: ``CVodeB`` integrates lambda' = -J^T lambda with the quadrature
+            q' = lambda^T df/dp, interval-wise between observation times,
+            injecting lambda <- lambda + g_i at each observation
+            (solver.py:750-784) -> here: a ``lax.scan`` over reversed
+            observation intervals, each running the same BDF core on the
+            time-reversed adjoint system, with y(t) reconstructed by cubic
+            Hermite interpolation of the recorded forward trajectory.
+
+Conventions (for L = sum_i g_i^T y(t_i)):
+  dL/dy0       = lambda(t0)
+  dL/dp_subset = quad(t0)
+  dL/dt_i      = g_i^T f(t_i, y(t_i))
+  dL/dt0       = -lambda(t0)^T f(t0, y0)
+
+The reference returns (-lambda, quad) from its backward Op and negates in
+``SolveODEAdjoint.grad`` (as_pytensor.py:294-308); we keep the positive
+convention internally and expose gradients directly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sunode_tpu.ops.bdf import BDFOptions, BDFResult, bdf_solve
+
+__all__ = [
+    "make_hermite_eval",
+    "adjoint_backward",
+    "AdjointResult",
+]
+
+
+def make_hermite_eval(saved: dict) -> Callable:
+    """Cubic Hermite evaluator over a recorded forward trajectory.
+
+    ``saved`` is the ``BDFResult.saved`` dict: t (N,) padded with +inf,
+    y (N, n), f (N, n), n_saved.  This is CVODES's CV_HERMITE interpolation
+    (include/cvodes/16_cvodes.h:40-41); the reference defaults to polynomial
+    interpolation but supports both (solver.py:531-585).
+    """
+    ts, ys, fs, n_saved = saved["t"], saved["y"], saved["f"], saved["n_saved"]
+
+    def y_at(t):
+        # bracketing interval [i, i+1]; ts padded with +inf so searchsorted
+        # never picks padding as the left node
+        idx = jnp.searchsorted(ts, t, side="right") - 1
+        i = jnp.clip(idx, 0, n_saved - 2)
+        t0 = ts[i]
+        t1 = ts[i + 1]
+        h = t1 - t0
+        tau = jnp.clip((t - t0) / h, 0.0, 1.0)
+        y0, y1 = ys[i], ys[i + 1]
+        f0, f1 = fs[i], fs[i + 1]
+        h00 = (1 + 2 * tau) * (1 - tau) ** 2
+        h10 = tau * (1 - tau) ** 2
+        h01 = tau**2 * (3 - 2 * tau)
+        h11 = tau**2 * (tau - 1)
+        return h00 * y0 + h10 * h * f0 + h01 * y1 + h11 * h * f1
+
+    return y_at
+
+
+class AdjointResult(NamedTuple):
+    lamda: jnp.ndarray  # (n,)  = dL/dy0
+    quad: jnp.ndarray  # (k,)  = dL/dp_subset
+    status: jnp.ndarray  # 0 on success
+    stats: dict
+
+
+def adjoint_backward(
+    adjoint_rhs: Callable,  # (t, y, lam, p) -> -J^T lam
+    adjoint_jac: Callable,  # (t, y, lam, p) -> -J^T
+    quad_rhs: Callable,  # (t, y, lam, p) -> lam^T df/dp_subset
+    saved: dict,
+    t0,
+    tvals: jnp.ndarray,
+    grads: jnp.ndarray,  # (n_t, n) observation cotangents g_i
+    params: jnp.ndarray,
+    n_deriv: int,
+    options: BDFOptions = BDFOptions(rtol=1e-10, atol=1e-10),
+    lamda_end: Optional[jnp.ndarray] = None,
+) -> AdjointResult:
+    """Backward adjoint solve over observation intervals.
+
+    Mirrors reference ``AdjointSolver.solve_backward`` (solver.py:723-784):
+    walk the observation times in reverse; at each, inject the observation
+    cotangent into lambda, then integrate the adjoint system down to the next
+    one (and finally to t0).
+    """
+    dtype = saved["y"].dtype
+    n = saved["y"].shape[-1]
+    n_t = tvals.shape[0]
+    tvals = jnp.asarray(tvals, dtype)
+    grads = jnp.asarray(grads, dtype)
+    t0 = jnp.asarray(t0, dtype)
+
+    y_at = make_hermite_eval(saved)
+
+    # Time-reversed adjoint system: tau = -t
+    def rhs_b(tau, lam, p):
+        t = -tau
+        y = y_at(t)
+        return -adjoint_rhs(t, y, lam, p)  # dlam/dtau = +J^T lam
+
+    def jac_b(tau, lam, p):
+        t = -tau
+        y = y_at(t)
+        return -adjoint_jac(t, y, lam, p)  # d(rhs_b)/dlam = +J^T
+
+    def quad_b(tau, lam, p):
+        t = -tau
+        y = y_at(t)
+        return quad_rhs(t, y, lam, p)  # dq/dtau = +lam^T df/dp
+
+    quad_opts = options._replace(quad_err_con=True, save_steps=0)
+
+    if lamda_end is None:
+        lamda_end = jnp.zeros((n,), dtype)
+    quad0 = jnp.zeros((n_deriv,), dtype)
+
+    # interval endpoints in reverse: from tvals[n_t-1] down through tvals[0],
+    # then to t0.  Interval i (scan step i): [upper=rev_t[i], lower=rev_lower[i]]
+    rev_t = tvals[::-1]
+    rev_g = grads[::-1]
+    rev_lower = jnp.concatenate([tvals[::-1][1:], jnp.asarray([t0], dtype)])
+
+    def interval(carry, inp):
+        lam, q, status, nsteps = carry
+        t_hi, t_lo, g = inp
+        lam = lam + g  # inject observation cotangent (solver.py:775-776)
+
+        tiny = 1e-14 * (1.0 + jnp.abs(t_hi))
+        nontrivial = (t_hi - t_lo) > tiny
+
+        def do_solve(args):
+            lam, q = args
+            res = bdf_solve(
+                rhs_b,
+                jac_b,
+                -t_hi,
+                lam,
+                params,
+                jnp.asarray([-t_lo], dtype),
+                quad_opts,
+                quad_rhs=quad_b,
+                quad0=q,
+            )
+            ok = res.status == 0
+            lam_new = jnp.where(ok, res.ys[0], jnp.nan)
+            q_new = jnp.where(ok, res.quad[0], jnp.nan)
+            return lam_new, q_new, res.status, res.stats["n_steps"]
+
+        def skip(args):
+            lam, q = args
+            return lam, q, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)
+
+        lam, q, st, ns = lax.cond(nontrivial, do_solve, skip, (lam, q))
+        status = jnp.maximum(status, st)
+        return (lam, q, status, nsteps + ns), None
+
+    carry0 = (
+        lamda_end,
+        quad0,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    (lam, q, status, nsteps), _ = lax.scan(
+        interval, carry0, (rev_t, rev_lower, rev_g)
+    )
+
+    # checkpoint-buffer overflow -> the recorded trajectory is incomplete and
+    # the Hermite reconstruction silently wrong; poison instead.
+    overflow = saved["n_saved"] >= saved["t"].shape[0]
+    lam = jnp.where(overflow, jnp.nan, lam)
+    q = jnp.where(overflow, jnp.nan, q)
+    status = jnp.where(overflow, 99, status)
+
+    return AdjointResult(
+        lamda=lam,
+        quad=q,
+        status=status.astype(jnp.int32),
+        stats=dict(n_backward_steps=nsteps),
+    )
