@@ -374,6 +374,64 @@ class ParamSpec:
         out = ParamSpec(spec, (), coords=self.coords, dtype=self.dtype)
         return out
 
+    # ------------------------------------------------------------------
+    # numpy structured-dtype parity (reference state_dtype / params_dtype:
+    # users write y0 = np.zeros((), dtype=problem.state_dtype) — README.md:103)
+    # ------------------------------------------------------------------
+    def as_numpy_dtype(self) -> np.dtype:
+        """Nested numpy structured dtype equivalent of this spec."""
+
+        def build(node: Mapping[str, Any], prefix: Path) -> np.dtype:
+            fields = []
+            for key, value in node.items():
+                path = prefix + (key,)
+                if isinstance(value, Mapping):
+                    fields.append((key, build(value, path)))
+                else:
+                    fields.append((key, self.dtype, self.shapes[path]))
+            return np.dtype(fields)
+
+        nested = nest_path_dict({p: None for p in self.paths})
+
+        def restore(node, prefix: Path):
+            return {
+                k: (restore(v, prefix + (k,)) if isinstance(v, dict) else None)
+                for k, v in node.items()
+            }
+
+        return build(restore(nested, ()), ())
+
+    def flatten_structured(self, arr: np.ndarray) -> np.ndarray:
+        """Flatten a numpy structured array (of `as_numpy_dtype`) to the flat
+        vector layout.  Leading batch dims are preserved."""
+        arr = np.asarray(arr)
+        parts = []
+        for path in self.paths:
+            leaf = arr
+            for key in path:
+                leaf = leaf[key]
+            leaf = np.asarray(leaf, dtype=self.dtype)
+            batch = arr.shape
+            parts.append(leaf.reshape(batch + (-1,)))
+        if not parts:
+            return np.zeros(arr.shape + (0,), dtype=self.dtype)
+        return np.concatenate(parts, axis=-1)
+
+    def coerce_flat(self, value: Any, xp: Any = np) -> Any:
+        """Accept nested dict / structured array / flat vector and return the
+        flat vector."""
+        if isinstance(value, Mapping):
+            return self.flatten_dict(value, xp=xp)
+        arr = np.asarray(value) if not hasattr(value, "dtype") else value
+        if getattr(arr, "dtype", None) is not None and getattr(arr.dtype, "fields", None):
+            return self.flatten_structured(np.asarray(arr))
+        arr = xp.asarray(value, dtype=self.dtype)
+        if arr.shape[-1:] != (self.n_items,):
+            raise ValueError(
+                f"Expected flat vector of length {self.n_items}, got shape {arr.shape}"
+            )
+        return arr
+
     def __repr__(self) -> str:
         return (
             f"ParamSpec(n_items={self.n_items}, subset={self.subset_n_items}, "

@@ -80,6 +80,16 @@ class Problem:
     def n_all_params(self) -> int:
         return self.params.n_items
 
+    # numpy structured-dtype parity (reference problem.state_dtype /
+    # params_dtype — README.md:100-110 builds y0 with these)
+    @property
+    def state_dtype(self) -> np.dtype:
+        return self.states.as_numpy_dtype()
+
+    @property
+    def params_dtype(self) -> np.dtype:
+        return self.params.as_numpy_dtype()
+
     # Reference-parity dtype-ish accessors: users build y0 / params as nested
     # dicts instead of structured arrays; these helpers flatten them.
     def flatten_state(self, nested: Mapping[str, Any], xp: Any = jnp):

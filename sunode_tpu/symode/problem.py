@@ -154,6 +154,13 @@ class SympyProblem(problem_mod.Problem):
 
         self._fn_cache: dict[str, Callable] = {}
 
+    # pickling: generated jax functions don't pickle; they're pure caches and
+    # rebuild on demand (reference Solver pickling contract, solver.py:304-324)
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_fn_cache"] = {}
+        return state
+
     # ------------------------------------------------------------------
     def _make_dydt(self, state_rec, param_rec) -> np.ndarray:
         """Call the user RHS once and flatten the returned (nested) dict to a
