@@ -139,7 +139,7 @@ def adjoint_backward(
     rev_lower = jnp.concatenate([tvals[::-1][1:], jnp.asarray([t0], dtype)])
 
     def interval(carry, inp):
-        lam, q, status, nsteps = carry
+        lam, q, status, nsteps, h_prev = carry
         t_hi, t_lo, g = inp
         lam = lam + g  # inject observation cotangent (solver.py:775-776)
 
@@ -147,7 +147,7 @@ def adjoint_backward(
         nontrivial = (t_hi - t_lo) > tiny
 
         def do_solve(args):
-            lam, q = args
+            lam, q, h_prev = args
             res = bdf_solve(
                 rhs_b,
                 jac_b,
@@ -158,27 +158,34 @@ def adjoint_backward(
                 quad_opts,
                 quad_rhs=quad_b,
                 quad0=q,
+                # warm-start the step size from the previous interval (the
+                # adjoint dynamics don't change discontinuously even though
+                # lambda does) — saves the h ramp-up on every reinit
+                first_step=h_prev,
             )
             ok = res.status == 0
             lam_new = jnp.where(ok, res.ys[0], jnp.nan)
             q_new = jnp.where(ok, res.quad[0], jnp.nan)
-            return lam_new, q_new, res.status, res.stats["n_steps"]
+            return lam_new, q_new, res.status, res.stats["n_steps"], res.stats[
+                "final_step_size"
+            ]
 
         def skip(args):
-            lam, q = args
-            return lam, q, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)
+            lam, q, h_prev = args
+            return lam, q, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32), h_prev
 
-        lam, q, st, ns = lax.cond(nontrivial, do_solve, skip, (lam, q))
+        lam, q, st, ns, h_prev = lax.cond(nontrivial, do_solve, skip, (lam, q, h_prev))
         status = jnp.maximum(status, st)
-        return (lam, q, status, nsteps + ns), None
+        return (lam, q, status, nsteps + ns, h_prev), None
 
     carry0 = (
         lamda_end,
         quad0,
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
+        jnp.asarray(-1.0, dtype),  # sentinel: automatic h0 on first interval
     )
-    (lam, q, status, nsteps), _ = lax.scan(
+    (lam, q, status, nsteps, _), _ = lax.scan(
         interval, carry0, (rev_t, rev_lower, rev_g)
     )
 

@@ -30,6 +30,17 @@ data-dependent control flow (rejection, order change, Newton failure) is
 encoded in the carry, so the whole solve jits once and ``vmap`` turns it into
 a lockstep batched integrator.
 
+TPU performance notes (measured on v5e):
+  - the expensive per-iteration ops are the 6x6 f64 difference-rescaling
+    contractions; the loop is structured so each difference array is rescaled
+    exactly ONCE per attempt (lazily, at the start of the next attempt)
+    instead of once per cause (clamp/adapt/reject);
+  - accept/reject bookkeeping is fully masked (``jnp.where``) rather than
+    ``lax.cond`` — under ``vmap`` both branches run anyway, and masking
+    avoids duplicated rescale/update work;
+  - ``inf`` must not reach ``**`` (TPU f64 emulation returns nan for
+    inf**negative where CPU gives 0).
+
 Failures follow the reference's recoverable-error contract: non-finite RHS or
 a failed error test shrink the step (symode/problem.py:266-269); persistent
 failure sets a status code and the caller NaN-fills outputs
@@ -141,6 +152,26 @@ def _build_R(q, factor, dtype):
     return jnp.where(inblock, R, eye)
 
 
+def _rescale_P(q, factor, dtype):
+    """Masked (R(factor), U=R(1)) pair for the difference rescaling.
+
+    Applied as two thin contractions on D rather than forming R@U — for the
+    small state sizes of vmapped-chain workloads two (6,n) contractions beat
+    a batched f64 6x6 matmul."""
+    R = _build_R(q, jnp.asarray(factor, dtype), dtype)
+    U = _build_R(q, jnp.asarray(1.0, dtype), dtype)
+    return R, U
+
+
+def _apply_P(RU, D):
+    # head <- (R U)^T head == U^T (R^T head)
+    R, U = RU
+    K = MAX_ORDER + 1
+    t1 = jnp.einsum("ji,j...->i...", R, D[:K])
+    D_head = jnp.einsum("ji,j...->i...", U, t1)
+    return D.at[:K].set(D_head)
+
+
 def _rescale_D(D, q, factor):
     """Rescale a difference array (KD, ...) for a step change h -> factor*h.
 
@@ -148,13 +179,7 @@ def _rescale_D(D, q, factor):
     with U = R(1); verified against directly-recomputed differences in tests.
     Works for any trailing dims (state, sens, quad blocks).
     """
-    dtype = D.dtype
-    R = _build_R(q, jnp.asarray(factor, dtype), dtype)
-    U = _build_R(q, jnp.asarray(1.0, dtype), dtype)
-    RU = R @ U
-    K = MAX_ORDER + 1
-    D_head = jnp.einsum("ji,j...->i...", RU, D[:K])
-    return D.at[:K].set(D_head)
+    return _apply_P(_rescale_P(q, factor, D.dtype), D)
 
 
 def _predict(D, q, gamma, alpha):
@@ -171,13 +196,30 @@ def _predict(D, q, gamma, alpha):
 def _update_D(D, q, d):
     """After an accepted step with correction d = y_new - y_pred:
     D[q+2] = d - D[q+1]; D[q+1] = d; D[i] += D[i+1] for i = q..0.
+
+    Equivalent closed form (one masked contraction — dynamic-index scatters
+    at a traced q are pathologically slow on TPU under vmap):
+      i <= q   : D_new[i] = sum_{j=i..q} D[j] + d
+      i == q+1 : D_new[i] = d
+      i == q+2 : D_new[i] = d - D[q+1]
+      i >  q+2 : unchanged
     Works for any trailing dims."""
-    Dq1 = D[q + 1]
-    D = lax.dynamic_update_index_in_dim(D, d - Dq1, q + 2, 0)
-    D = lax.dynamic_update_index_in_dim(D, d, q + 1, 0)
-    for i in range(MAX_ORDER, -1, -1):
-        D = D.at[i].set(jnp.where(i <= q, D[i] + D[i + 1], D[i]))
-    return D
+    dtype = D.dtype
+    i = jnp.arange(KD)[:, None]
+    j = jnp.arange(KD)[None, :]
+    low = i <= q
+    # coefficient of D[j] in D_new[i]
+    W = jnp.where(
+        low & (j >= i) & (j <= q),
+        1.0,
+        jnp.where((i == q + 2) & (j == q + 1), -1.0, ((i == j) & (i > q + 2)).astype(dtype)),
+    ).astype(dtype)
+    # coefficient of d in D_new[i]
+    wd = (low | (i[:, 0] == q + 1)[:, None] | (i[:, 0] == q + 2)[:, None])[
+        :, 0
+    ].astype(dtype)
+    out = jnp.einsum("ij,j...->i...", W, D) + wd.reshape((KD,) + (1,) * (D.ndim - 1)) * d[None]
+    return out
 
 
 def _interpolate(D, q, t_n, h, t_eval):
@@ -226,6 +268,7 @@ def bdf_solve(
     S0: Optional[jnp.ndarray] = None,
     quad_rhs: Optional[Callable] = None,
     quad0: Optional[jnp.ndarray] = None,
+    first_step: Optional[Any] = None,  # traced override; <=0 -> automatic
 ) -> BDFResult:
     """Integrate dy/dt = rhs(t, y, p) from t0, emitting y(tvals).
 
@@ -289,12 +332,16 @@ def bdf_solve(
     f0 = rhs(t0, y0, params)
     bad_init = ~(jnp.all(jnp.isfinite(y0)) & jnp.all(jnp.isfinite(f0)))
 
-    if options.first_step is None:
-        h0 = _initial_step(
-            rhs, t0, y0, f0, params, t_end, rtol, atol, options.max_step, dtype
-        )
-    else:
+    h_auto = _initial_step(
+        rhs, t0, y0, f0, params, t_end, rtol, atol, options.max_step, dtype
+    )
+    if first_step is not None:
+        fs = jnp.asarray(first_step, dtype)
+        h0 = jnp.where(fs > 0, jnp.minimum(fs, t_end - t0), h_auto)
+    elif options.first_step is not None:
         h0 = jnp.asarray(options.first_step, dtype)
+    else:
+        h0 = h_auto
     h0 = jnp.maximum(h0, 1e-12)
 
     D0 = jnp.zeros((KD, n), dtype)
@@ -311,13 +358,12 @@ def bdf_solve(
 
     save_steps = int(options.save_steps)
     if save_steps > 0:
-        saved0 = {
-            # +inf padding so searchsorted in the adjoint works directly
-            "t": jnp.full((save_steps,), jnp.inf, dtype).at[0].set(t0),
-            "y": jnp.zeros((save_steps, n), dtype).at[0].set(y0),
-            "f": jnp.zeros((save_steps, n), dtype).at[0].set(f0),
-            "n_saved": jnp.asarray(1, jnp.int32),
-        }
+        # packed (t | y | f) rows: ONE scatter per accepted step instead of 3.
+        # +inf time padding so searchsorted in the adjoint works directly.
+        row0 = jnp.concatenate([t0[None], y0, f0])
+        buf0 = jnp.full((save_steps, 1 + 2 * n), jnp.inf, dtype)
+        buf0 = buf0.at[:, 1:].set(0.0).at[0].set(row0)
+        saved0 = {"tyf": buf0, "n_saved": jnp.asarray(1, jnp.int32)}
     else:
         saved0 = None
 
@@ -333,9 +379,13 @@ def bdf_solve(
     # starting from J=0 would silently run functional iteration instead.
     J0 = jac(t0, y0, params)
 
+    # h: desired next step size; h_D: spacing the difference arrays currently
+    # represent.  Rescaling to h happens lazily at the start of each attempt
+    # (exactly one rescale contraction per array per attempt).
     carry0 = dict(
         t=t0,
         h=h0,
+        h_D=h0,
         q=jnp.asarray(1, jnp.int32),
         D=D0,
         n_equal=jnp.asarray(0, jnp.int32),
@@ -350,7 +400,7 @@ def bdf_solve(
         consec_err_fails=jnp.asarray(0, jnp.int32),
         consec_conv_fails=jnp.asarray(0, jnp.int32),
         nsteps=jnp.asarray(0, jnp.int32),
-        nfev=jnp.asarray(1 + (options.first_step is None), jnp.int32),
+        nfev=jnp.asarray(2, jnp.int32),
         njev=jnp.asarray(1, jnp.int32),
         nfactor=jnp.asarray(0, jnp.int32),
         nniters=jnp.asarray(0, jnp.int32),
@@ -360,16 +410,16 @@ def bdf_solve(
     )
     if with_sens:
         carry0["DS"] = DS0
-        carry0["sens_out"] = jnp.full((n_t, k_sens, n), jnp.nan, dtype)
         carry0["sens_out"] = jnp.where(
-            emit_mask[:, None, None], S0[None], carry0["sens_out"]
+            emit_mask[:, None, None],
+            S0[None],
+            jnp.full((n_t, k_sens, n), jnp.nan, dtype),
         )
         carry0["nfevS"] = jnp.asarray(1, jnp.int32)
     if with_quad:
         carry0["DQ"] = DQ0
-        carry0["quad_out"] = jnp.full((n_t, m_quad), jnp.nan, dtype)
         carry0["quad_out"] = jnp.where(
-            emit_mask[:, None], quad0[None], carry0["quad_out"]
+            emit_mask[:, None], quad0[None], jnp.full((n_t, m_quad), jnp.nan, dtype)
         )
 
     def cond(c):
@@ -429,25 +479,22 @@ def bdf_solve(
         return conv, div | bad, y, d, k, nfev
 
     def body(c):
-        t, h, q, D = c["t"], c["h"], c["q"], c["D"]
+        t, q = c["t"], c["q"]
 
         h_min_loc = 10 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t), jnp.abs(t_end))
-        underflow = h < jnp.maximum(h_min_loc, options.min_step)
-        # clamp h to land exactly on t_end
-        h_eff = jnp.minimum(h, t_end - t)
-        rescale_clamp = h_eff < h
-        clamp_factor = jnp.where(rescale_clamp, h_eff / jnp.maximum(h, 1e-300), 1.0)
-        D = jnp.where(rescale_clamp, _rescale_D(D, q, clamp_factor), D)
-        if with_sens:
-            DS = jnp.where(
-                rescale_clamp, _rescale_D(c["DS"], q, clamp_factor), c["DS"]
-            )
-        if with_quad:
-            DQ = jnp.where(
-                rescale_clamp, _rescale_D(c["DQ"], q, clamp_factor), c["DQ"]
-            )
-        h_use = h_eff
+        underflow = c["h"] < jnp.maximum(h_min_loc, options.min_step)
+        # desired step, clamped to land exactly on t_end
+        h_use = jnp.minimum(c["h"], t_end - t)
         t_new = t + h_use
+
+        # ---- the single lazy rescale: bring D from spacing h_D to h_use ----
+        pre_factor = h_use / jnp.maximum(c["h_D"], 1e-300)
+        RU = _rescale_P(q, pre_factor, dtype)
+        D = _apply_P(RU, c["D"])
+        if with_sens:
+            DS = _apply_P(RU, c["DS"])
+        if with_quad:
+            DQ = _apply_P(RU, c["DQ"])
 
         # (re)build + factor Newton matrix if stale
         c_coef = h_use / alpha[q]
@@ -455,7 +502,7 @@ def bdf_solve(
             jnp.abs(c_coef / jnp.where(c["c_factored"] == 0, 1.0, c["c_factored"]) - 1.0)
             > 1e-12
         )
-        need_factor = c["need_factor"] | c_changed | rescale_clamp
+        need_factor = c["need_factor"] | c_changed
 
         def do_factor(_):
             M = jnp.eye(n, dtype=dtype) - c_coef * c["J"]
@@ -495,9 +542,11 @@ def bdf_solve(
                 rate = norm / norm_old
                 S = S + deltaS
                 dS = dS + deltaS
-                s_conv = (norm == 0.0) | (
-                    (it > 0) & (rate < 1.0) & (rate / (1 - rate) * norm < newton_tol)
-                ) | (norm < 0.1 * newton_tol)
+                s_conv = (
+                    (norm == 0.0)
+                    | ((it > 0) & (rate < 1.0) & (rate / (1 - rate) * norm < newton_tol))
+                    | (norm < 0.1 * newton_tol)
+                )
                 return it + 1, S, dS, norm, s_conv & ~s_bad, s_bad, nfs + 1
 
             def scond(st):
@@ -526,8 +575,6 @@ def bdf_solve(
             quad_bad = ~jnp.all(jnp.isfinite(Q_new))
             conv = conv & ~quad_bad
 
-        failed = ~conv
-
         # constraint check (CVodeSetConstraints semantics)
         if constraints is not None:
             viol = (
@@ -540,7 +587,7 @@ def bdf_solve(
         else:
             constraint_fail = jnp.asarray(False)
 
-        newton_failed = failed
+        newton_failed = ~conv
         # If J is stale: refresh J and retry at same h.  Else halve h.
         refresh_J = newton_failed & ~c["J_current"]
         halve = newton_failed & c["J_current"]
@@ -554,237 +601,216 @@ def bdf_solve(
         njev = c["njev"] + jnp.where(refresh_J, 1, 0)
 
         # ----- error test ---------------------------------------------------
-        err_norm = _wrms(error_const[q] * d_corr, scale_w)
-        err_sq_sum = err_norm**2
-        n_blocks = 1
-        if with_sens and options.sens_err_con:
-            errS_norm2 = jnp.mean(
-                jnp.mean((error_const[q] * dS_corr * wS) ** 2, axis=-1), axis=-1
-            )
-            err_sq_sum = err_sq_sum + errS_norm2 * k_sens
-            n_blocks += k_sens
+        def block_err_norm(Drow_y, Drow_S, Drow_Q, const, wQ_scale):
+            e2 = _wrms(const * Drow_y, scale_w) ** 2
+            nb = 1
+            if with_sens and options.sens_err_con:
+                e2 = (
+                    e2
+                    + jnp.mean(
+                        jnp.mean((const * Drow_S * wS) ** 2, axis=-1), axis=-1
+                    )
+                    * k_sens
+                )
+                nb += k_sens
+            if with_quad and options.quad_err_con:
+                e2 = e2 + _wrms(const * Drow_Q, wQ_scale) ** 2
+                nb += 1
+            return jnp.sqrt(e2 / nb)
+
         if with_quad and options.quad_err_con:
-            scale_Q = quad_atol + quad_rtol * jnp.abs(Q_pred)
-            wQ = 1.0 / scale_Q
-            errQ_norm = _wrms(error_const[q] * dQ_corr, wQ)
-            err_sq_sum = err_sq_sum + errQ_norm**2
-            n_blocks += 1
-        err_norm_tot = jnp.sqrt(err_sq_sum / n_blocks)
+            wQ = 1.0 / (quad_atol + quad_rtol * jnp.abs(Q_pred))
+        else:
+            wQ = None
+        err_norm_tot = block_err_norm(
+            d_corr,
+            dS_corr if with_sens else None,
+            dQ_corr if with_quad else None,
+            error_const[q],
+            wQ,
+        )
         err_ok = err_norm_tot <= 1.0
         accept = conv & err_ok & ~constraint_fail
-
         err_reject = conv & (~err_ok | constraint_fail)
+
+        # ------------------------------------------------------------------
+        # Masked accept-path updates (computed unconditionally; selected)
+        # ------------------------------------------------------------------
+        D_upd = _update_D(D, q, d_corr)
+        if with_sens:
+            DS_upd = _update_D(DS, q, dS_corr)
+        if with_quad:
+            DQ_upd = _update_D(DQ, q, dQ_corr)
+        n_equal = jnp.where(accept, c["n_equal"] + 1, 0)
+        t_next = jnp.where(accept, t_new, t)
+
+        # emit outputs for all tvals in (t_old, t_new]   (accept-gated)
+        def emit_cond(st):
+            i_out = st[0]
+            return (
+                accept
+                & (i_out < n_t)
+                & (
+                    tvals[jnp.minimum(i_out, n_t - 1)]
+                    <= t_new + 1e-14 * jnp.abs(t_new)
+                )
+            )
+
+        def emit_body(st):
+            i_out, ys, sens_out, quad_out = st
+            te = tvals[jnp.minimum(i_out, n_t - 1)]
+            yi = _interpolate(D_upd, q, t_new, h_use, te)
+            ys = ys.at[i_out].set(yi)
+            if with_sens:
+                si = _interpolate(DS_upd, q, t_new, h_use, te)
+                sens_out = sens_out.at[i_out].set(si)
+            if with_quad:
+                qi = _interpolate(DQ_upd, q, t_new, h_use, te)
+                quad_out = quad_out.at[i_out].set(qi)
+            return i_out + 1, ys, sens_out, quad_out
+
+        emit_init = (
+            c["i_out"],
+            c["ys"],
+            c["sens_out"] if with_sens else jnp.zeros((), dtype),
+            c["quad_out"] if with_quad else jnp.zeros((), dtype),
+        )
+        i_out, ys, sens_out, quad_out = lax.while_loop(emit_cond, emit_body, emit_init)
+
+        # record accepted step for adjoint checkpointing (one packed scatter)
+        if save_steps > 0:
+            sv = c["saved"]
+            f_acc = rhs(t_new, y_new, params)
+            ns = sv["n_saved"]
+            slot = jnp.minimum(ns, save_steps - 1)
+            row = jnp.concatenate([t_new[None], y_new, f_acc])
+            sv = dict(
+                tyf=sv["tyf"].at[slot].set(
+                    jnp.where(accept, row, sv["tyf"][slot])
+                ),
+                n_saved=jnp.where(
+                    accept, jnp.minimum(ns + 1, save_steps), ns
+                ).astype(jnp.int32),
+            )
+        else:
+            sv = c["saved"]
+
+        # ----- order & step adaptation (accept path, after q+1 equal steps)
+        can_adapt = n_equal >= q + 1
+        err_m = jnp.where(
+            q > 1,
+            block_err_norm(
+                D_upd[q],
+                DS_upd[q] if with_sens else None,
+                DQ_upd[q] if with_quad else None,
+                error_const[jnp.maximum(q - 1, 0)],
+                wQ,
+            ),
+            jnp.inf,
+        )
+        err_p = jnp.where(
+            q < max_order,
+            block_err_norm(
+                D_upd[q + 2],
+                DS_upd[q + 2] if with_sens else None,
+                DQ_upd[q + 2] if with_quad else None,
+                error_const[jnp.minimum(q + 1, MAX_ORDER)],
+                wQ,
+            ),
+            jnp.inf,
+        )
+
+        # step factor for candidate order qq (LTE ~ h^(qq+1)):
+        # NOTE: keep inf out of ** — TPU f64 emulation yields nan for
+        # inf**negative (CPU gives 0), so clamp before exponentiating.
+        def fac(e, qq):
+            unavailable = ~jnp.isfinite(e)
+            e_safe = jnp.clip(e, 1e-30, 1e30)
+            f = 0.9 * e_safe ** (-1.0 / (qq + 1.0))
+            return jnp.where(unavailable, 0.0, f)
+
+        f_m = fac(err_m, q - 1)
+        f_0 = fac(err_norm_tot, q)
+        f_p = fac(err_p, q + 1)
+        facs = jnp.stack([f_m, f_0, f_p])
+        best = jnp.argmax(facs)
+        dq = best.astype(jnp.int32) - 1
+        factor_best = jnp.clip(facs[best], MIN_FACTOR, MAX_FACTOR)
+
+        do_change = can_adapt & ((factor_best >= THRESH) | (factor_best < 1.0) | (dq != 0))
+        q_acc = jnp.where(do_change, jnp.clip(q + dq, 1, max_order), q)
+        factor_acc = jnp.where(do_change, factor_best, 1.0)
+        factor_acc = jnp.minimum(factor_acc, options.max_step / jnp.maximum(h_use, 1e-300))
+        n_equal = jnp.where(do_change & accept, 0, n_equal)
+
+        # ----- reject-path step factor -------------------------------------
         factor_rej = jnp.clip(
             0.9 * jnp.clip(err_norm_tot, 1e-30, 1e30) ** (-1.0 / (q + 1.0)),
             MIN_FACTOR,
             0.9,
         )
         factor_rej = jnp.where(constraint_fail & err_ok, 0.25, factor_rej)
+        factor_fail = jnp.where(refresh_J, 1.0, jnp.where(halve, 0.5, factor_rej))
 
-        # -------------------------------------------------------------------
-        def on_accept(c):
-            D_new = _update_D(D, q, d_corr)
-            if with_sens:
-                DS_new = _update_D(DS, q, dS_corr)
-            if with_quad:
-                DQ_new = _update_D(DQ, q, dQ_corr)
-            n_equal = c["n_equal"] + 1
-            t_acc = t_new
+        # ----- merge: next h target; D spacing stays h_use (lazy rescale) --
+        factor_next = jnp.where(accept, factor_acc, factor_fail)
+        h_next = h_use * factor_next
+        q_next = jnp.where(accept, q_acc, q)
 
-            # emit outputs for all tvals in (t_old, t_new]
-            def emit_cond(st):
-                i_out = st[0]
-                return (i_out < n_t) & (
-                    tvals[jnp.minimum(i_out, n_t - 1)]
-                    <= t_acc + 1e-14 * jnp.abs(t_acc)
-                )
+        D_next = jnp.where(accept, D_upd, D)
 
-            def emit_body(st):
-                i_out, ys, sens_out, quad_out = st
-                te = tvals[jnp.minimum(i_out, n_t - 1)]
-                yi = _interpolate(D_new, q, t_acc, h_use, te)
-                ys = ys.at[i_out].set(yi)
-                if with_sens:
-                    si = _interpolate(DS_new, q, t_acc, h_use, te)
-                    sens_out = sens_out.at[i_out].set(si)
-                if with_quad:
-                    qi = _interpolate(DQ_new, q, t_acc, h_use, te)
-                    quad_out = quad_out.at[i_out].set(qi)
-                return i_out + 1, ys, sens_out, quad_out
+        cef = jnp.where(accept, 0, c["consec_err_fails"] + jnp.where(err_reject, 1, 0))
+        ccf = jnp.where(
+            accept,
+            0,
+            c["consec_conv_fails"] + jnp.where(newton_failed & ~refresh_J, 1, 0),
+        )
+        too_many = (cef >= MAX_CONSECUTIVE_FAILS) | (ccf >= MAX_CONSECUTIVE_FAILS)
 
-            emit_init = (
-                c["i_out"],
-                c["ys"],
-                c["sens_out"] if with_sens else jnp.zeros((), dtype),
-                c["quad_out"] if with_quad else jnp.zeros((), dtype),
-            )
-            i_out, ys, sens_out, quad_out = lax.while_loop(
-                emit_cond, emit_body, emit_init
-            )
+        status = c["status"]
+        status = jnp.where(
+            (status == -1) & too_many & ~accept, STATUS["REPEATED_FAILURES"], status
+        )
 
-            if save_steps > 0:
-                sv = c["saved"]
-                f_acc = rhs(t_acc, y_new, params)
-                ns = sv["n_saved"]
-                slot = jnp.minimum(ns, save_steps - 1)
-                sv = dict(
-                    t=sv["t"].at[slot].set(t_acc),
-                    y=sv["y"].at[slot].set(y_new),
-                    f=sv["f"].at[slot].set(f_acc),
-                    n_saved=jnp.minimum(ns + 1, save_steps),
-                )
-            else:
-                sv = c["saved"]
+        new_c = dict(
+            t=t_next,
+            h=h_next,
+            h_D=h_use,
+            q=q_next,
+            D=D_next,
+            n_equal=n_equal.astype(jnp.int32),
+            J=J_new,
+            # J goes stale as soon as the state advances
+            J_current=jnp.where(accept, False, c["J_current"] | refresh_J),
+            factors=factors,
+            c_factored=c_factored,
+            need_factor=jnp.where(accept, False, refresh_J),
+            i_out=i_out,
+            ys=ys,
+            status=status.astype(jnp.int32),
+            consec_err_fails=cef.astype(jnp.int32),
+            consec_conv_fails=ccf.astype(jnp.int32),
+            nsteps=c["nsteps"] + jnp.where(accept, 1, 0),
+            nfev=c["nfev"]
+            + nfev_n
+            + (jnp.where(accept, 1, 0) if save_steps > 0 else 0),
+            njev=njev,
+            nfactor=nfactor,
+            nniters=c["nniters"] + n_iters,
+            n_err_fails=c["n_err_fails"] + jnp.where(err_reject, 1, 0),
+            n_conv_fails=c["n_conv_fails"]
+            + jnp.where(newton_failed & ~refresh_J, 1, 0),
+            saved=sv,
+        )
+        if with_sens:
+            new_c["DS"] = jnp.where(accept, DS_upd, DS)
+            new_c["sens_out"] = sens_out
+            new_c["nfevS"] = c["nfevS"] + nfevS_n
+        if with_quad:
+            new_c["DQ"] = jnp.where(accept, DQ_upd, DQ)
+            new_c["quad_out"] = quad_out
 
-            # ----- order & step adaptation (after q+1 equal steps) ---------
-            can_adapt = n_equal >= q + 1
-
-            def block_err_norm(Drow_y, Drow_S, Drow_Q, const):
-                e2 = _wrms(const * Drow_y, scale_w) ** 2
-                nb = 1
-                if with_sens and options.sens_err_con:
-                    e2 = e2 + jnp.mean(
-                        jnp.mean((const * Drow_S * wS) ** 2, axis=-1), axis=-1
-                    ) * k_sens
-                    nb += k_sens
-                if with_quad and options.quad_err_con:
-                    scale_Q = quad_atol + quad_rtol * jnp.abs(Q_pred)
-                    e2 = e2 + _wrms(const * Drow_Q, 1.0 / scale_Q) ** 2
-                    nb += 1
-                return jnp.sqrt(e2 / nb)
-
-            zS = DS_new if with_sens else None
-            zQ = DQ_new if with_quad else None
-            err_m = jnp.where(
-                q > 1,
-                block_err_norm(
-                    D_new[q],
-                    zS[q] if with_sens else None,
-                    zQ[q] if with_quad else None,
-                    error_const[jnp.maximum(q - 1, 0)],
-                ),
-                jnp.inf,
-            )
-            err_p = jnp.where(
-                q < max_order,
-                block_err_norm(
-                    D_new[q + 2],
-                    zS[q + 2] if with_sens else None,
-                    zQ[q + 2] if with_quad else None,
-                    error_const[jnp.minimum(q + 1, MAX_ORDER)],
-                ),
-                jnp.inf,
-            )
-
-            # step factor for candidate order qq (LTE ~ h^(qq+1)):
-            # NOTE: keep inf out of ** — TPU f64 emulation yields nan for
-            # inf**negative (CPU gives 0), so clamp before exponentiating.
-            def fac(e, qq):
-                unavailable = ~jnp.isfinite(e)
-                e_safe = jnp.clip(e, 1e-30, 1e30)
-                f = 0.9 * e_safe ** (-1.0 / (qq + 1.0))
-                return jnp.where(unavailable, 0.0, f)
-
-            f_m = fac(err_m, q - 1)
-            f_0 = fac(err_norm_tot, q)
-            f_p = fac(err_p, q + 1)
-            facs = jnp.stack([f_m, f_0, f_p])
-            best = jnp.argmax(facs)
-            dq = best.astype(jnp.int32) - 1
-            factor_best = jnp.clip(facs[best], MIN_FACTOR, MAX_FACTOR)
-
-            do_change = can_adapt & (
-                (factor_best >= THRESH) | (factor_best < 1.0) | (dq != 0)
-            )
-
-            q_new = jnp.where(do_change, jnp.clip(q + dq, 1, max_order), q)
-            factor_eff = jnp.where(do_change, factor_best, 1.0)
-            factor_eff = jnp.minimum(
-                factor_eff, options.max_step / jnp.maximum(h_use, 1e-300)
-            )
-            resc = do_change & (factor_eff != 1.0)
-            D_adapted = jnp.where(resc, _rescale_D(D_new, q_new, factor_eff), D_new)
-            h_new = jnp.where(do_change, h_use * factor_eff, h_use)
-            n_equal_new = jnp.where(do_change, 0, n_equal)
-
-            out = dict(c)
-            out.update(
-                t=t_acc,
-                h=h_new,
-                q=q_new,
-                D=D_adapted,
-                n_equal=n_equal_new,
-                J=J_new,
-                # J goes stale as soon as the state advances
-                J_current=jnp.asarray(False),
-                factors=factors,
-                c_factored=c_factored,
-                need_factor=resc,
-                i_out=i_out,
-                ys=ys,
-                consec_err_fails=jnp.asarray(0, jnp.int32),
-                consec_conv_fails=jnp.asarray(0, jnp.int32),
-                nsteps=c["nsteps"] + 1,
-                nfev=c["nfev"] + nfev_n + (1 if save_steps > 0 else 0),
-                njev=njev,
-                nfactor=nfactor,
-                nniters=c["nniters"] + n_iters,
-                saved=sv,
-            )
-            if with_sens:
-                out["DS"] = jnp.where(
-                    resc, _rescale_D(DS_new, q_new, factor_eff), DS_new
-                )
-                out["sens_out"] = sens_out
-                out["nfevS"] = c["nfevS"] + nfevS_n
-            if with_quad:
-                out["DQ"] = jnp.where(
-                    resc, _rescale_D(DQ_new, q_new, factor_eff), DQ_new
-                )
-                out["quad_out"] = quad_out
-            return out
-
-        # -------------------------------------------------------------------
-        def on_reject(c):
-            factor = jnp.where(
-                refresh_J, 1.0, jnp.where(halve, 0.5, factor_rej)
-            )
-            resc = factor != 1.0
-            cef = c["consec_err_fails"] + jnp.where(err_reject, 1, 0)
-            ccf = c["consec_conv_fails"] + jnp.where(newton_failed & ~refresh_J, 1, 0)
-            too_many = (cef >= MAX_CONSECUTIVE_FAILS) | (ccf >= MAX_CONSECUTIVE_FAILS)
-            out = dict(c)
-            out.update(
-                h=h_use * factor,
-                D=jnp.where(resc, _rescale_D(D, q, factor), D),
-                n_equal=jnp.asarray(0, jnp.int32),
-                J=J_new,
-                J_current=c["J_current"] | refresh_J,
-                factors=factors,
-                c_factored=c_factored,
-                need_factor=jnp.asarray(True),
-                status=jnp.where(
-                    too_many, STATUS["REPEATED_FAILURES"], c["status"]
-                ).astype(jnp.int32),
-                consec_err_fails=cef,
-                consec_conv_fails=ccf,
-                nfev=c["nfev"] + nfev_n,
-                njev=njev,
-                nfactor=nfactor,
-                nniters=c["nniters"] + n_iters,
-                n_err_fails=c["n_err_fails"] + jnp.where(err_reject, 1, 0),
-                n_conv_fails=c["n_conv_fails"]
-                + jnp.where(newton_failed & ~refresh_J, 1, 0),
-            )
-            if with_sens:
-                out["DS"] = jnp.where(resc, _rescale_D(DS, q, factor), DS)
-                out["nfevS"] = c["nfevS"] + nfevS_n
-            if with_quad:
-                out["DQ"] = jnp.where(resc, _rescale_D(DQ, q, factor), DQ)
-            return out
-
-        new_c = lax.cond(accept, on_accept, on_reject, c)
-
+        # global failure checks
         status = new_c["status"]
         status = jnp.where(
             (status == -1) & (new_c["nsteps"] >= options.max_steps),
@@ -815,11 +841,21 @@ def bdf_solve(
     )
     if with_sens:
         stats["n_sens_rhs_evals"] = final["nfevS"]
+    if save_steps > 0:
+        buf = final["saved"]["tyf"]
+        saved_out = {
+            "t": buf[:, 0],
+            "y": buf[:, 1 : n + 1],
+            "f": buf[:, n + 1 :],
+            "n_saved": final["saved"]["n_saved"],
+        }
+    else:
+        saved_out = None
     return BDFResult(
         ys=final["ys"],
         status=status,
         stats=stats,
-        saved=final["saved"],
+        saved=saved_out,
         sens=final["sens_out"] if with_sens else None,
         quad=final["quad_out"] if with_quad else None,
     )
