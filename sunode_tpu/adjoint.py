@@ -202,3 +202,169 @@ def adjoint_backward(
         status=status.astype(jnp.int32),
         stats=dict(n_backward_steps=nsteps),
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch-native backward pass (companion to ops/bdf_batched.py)
+# ---------------------------------------------------------------------------
+def _searchsorted_b(ts, t):
+    """Rightmost i with ts[i] <= t, per lane.  ts: (S, B) ascending with +inf
+    padding; t: (B,).  Static-depth binary search (log2(S) gathers)."""
+    S, B = ts.shape
+    lanes = jnp.arange(B)
+    lo = jnp.zeros((B,), jnp.int32)
+    hi = jnp.full((B,), S, jnp.int32)
+    for _ in range(max(1, int(np.ceil(np.log2(max(S, 2)))))):
+        mid = (lo + hi) // 2
+        vals = ts[mid, lanes]
+        go_right = vals <= t
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo - 1
+
+
+def make_hermite_eval_batched(saved: dict) -> Callable:
+    """Trailing-batch cubic Hermite evaluator.
+
+    ``saved``: t (S, B), y (S, n, B), f (S, n, B), n_saved (B,) — the layout
+    produced by ``bdf_solve_batched``.  Returns ``y_at(t_b) -> (n, B)``."""
+    ts, ys, fs, n_saved = saved["t"], saved["y"], saved["f"], saved["n_saved"]
+    S, n, B = ys.shape
+    lanes = jnp.arange(B)
+
+    def y_at(t):
+        idx = _searchsorted_b(ts, t)
+        i = jnp.clip(idx, 0, n_saved - 2)
+        t0 = ts[i, lanes]
+        t1 = ts[i + 1, lanes]
+        h = t1 - t0
+        tau = jnp.clip((t - t0) / h, 0.0, 1.0)  # (B,)
+        y0 = ys[i, :, lanes].T  # (n, B)
+        y1 = ys[i + 1, :, lanes].T
+        f0 = fs[i, :, lanes].T
+        f1 = fs[i + 1, :, lanes].T
+        h00 = (1 + 2 * tau) * (1 - tau) ** 2
+        h10 = tau * (1 - tau) ** 2
+        h01 = tau**2 * (3 - 2 * tau)
+        h11 = tau**2 * (tau - 1)
+        return (
+            h00[None] * y0 + (h10 * h)[None] * f0 + h01[None] * y1 + (h11 * h)[None] * f1
+        )
+
+    return y_at
+
+
+def adjoint_backward_batched(
+    adjoint_rhs: Callable,  # single-instance (t, y, lam, p) -> -J^T lam
+    adjoint_jac: Callable,  # (t, y, lam, p) -> -J^T
+    quad_rhs: Callable,  # (t, y, lam, p) -> lam^T df/dp_subset
+    saved: dict,  # trailing-batch layout from bdf_solve_batched
+    t0,
+    tvals: jnp.ndarray,  # (n_t,) shared
+    grads: jnp.ndarray,  # (B, n_t, n)
+    params: jnp.ndarray,  # (B, n_p)
+    n_deriv: int,
+    options: BDFOptions = BDFOptions(rtol=1e-10, atol=1e-10),
+) -> AdjointResult:
+    """Batch-native interval-wise backward solve (see ``adjoint_backward``)."""
+    from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+
+    dtype = saved["y"].dtype
+    S, n, B = saved["y"].shape
+    n_t = tvals.shape[0]
+    tvals = jnp.asarray(tvals, dtype)
+    grads = jnp.asarray(grads, dtype)
+    t0 = jnp.asarray(t0, dtype)
+    params_t = jnp.asarray(params, dtype)  # (B, n_p) leading; core transposes
+
+    y_at = make_hermite_eval_batched(saved)
+    aj_rhs_b = jax.vmap(adjoint_rhs, in_axes=(0, 1, 1, 1), out_axes=1)
+    aj_jac_b = jax.vmap(adjoint_jac, in_axes=(0, 1, 1, 1), out_axes=2)
+    q_rhs_b = jax.vmap(quad_rhs, in_axes=(0, 1, 1, 1), out_axes=1)
+
+    def rhs_b(tau, lam, p):
+        t = -tau
+        y = y_at(t)
+        return -aj_rhs_b(t, y, lam, p)
+
+    def jac_b(tau, lam, p):
+        t = -tau
+        y = y_at(t)
+        return -aj_jac_b(t, y, lam, p)
+
+    def quad_b(tau, lam, p):
+        t = -tau
+        y = y_at(t)
+        return q_rhs_b(t, y, lam, p)
+
+    quad_opts = options._replace(quad_err_con=True, save_steps=0)
+
+    lam0 = jnp.zeros((B, n), dtype)
+    q0 = jnp.zeros((B, n_deriv), dtype)
+
+    rev_t = tvals[::-1]
+    rev_g = jnp.flip(grads, axis=1)  # (B, n_t, n) reversed over time
+    rev_lower = jnp.concatenate([tvals[::-1][1:], t0[None]])
+
+    def interval(carry, inp):
+        lam, q, status, nsteps, h_prev = carry
+        t_hi, t_lo, g = inp  # g: (B, n)
+        lam = lam + g
+
+        tiny = 1e-14 * (1.0 + jnp.abs(t_hi))
+        nontrivial = (t_hi - t_lo) > tiny  # shared scalar
+
+        def do_solve(args):
+            lam, q, h_prev = args
+            res = bdf_solve_batched(
+                rhs_b,
+                jac_b,
+                -t_hi,
+                lam,
+                params_t,
+                jnp.asarray([-t_lo], dtype),
+                quad_opts,
+                quad_rhs=quad_b,
+                quad0=q,
+                first_step=h_prev,
+                batched_fns=True,
+            )
+            ok = res.status == 0  # (B,)
+            lam_new = jnp.where(ok[:, None], res.ys[:, 0, :], jnp.nan)
+            q_new = jnp.where(ok[:, None], res.quad[:, 0, :], jnp.nan)
+            return lam_new, q_new, res.status, res.stats["n_steps"], res.stats[
+                "final_step_size"
+            ]
+
+        def skip(args):
+            lam, q, h_prev = args
+            return lam, q, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32), h_prev
+
+        lam, q, st, ns, h_prev = lax.cond(
+            nontrivial, do_solve, skip, (lam, q, h_prev)
+        )
+        status = jnp.maximum(status, st)
+        return (lam, q, status, nsteps + ns, h_prev), None
+
+    carry0 = (
+        lam0,
+        q0,
+        jnp.zeros((B,), jnp.int32),
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), -1.0, dtype),
+    )
+    (lam, q, status, nsteps, _), _ = lax.scan(
+        interval, carry0, (rev_t, rev_lower, jnp.swapaxes(rev_g, 0, 1))
+    )
+
+    overflow = saved["overflow"]
+    lam = jnp.where(overflow[:, None], jnp.nan, lam)
+    q = jnp.where(overflow[:, None], jnp.nan, q)
+    status = jnp.where(overflow, 99, status)
+
+    return AdjointResult(
+        lamda=lam,  # (B, n)
+        quad=q,  # (B, n_deriv)
+        status=status.astype(jnp.int32),
+        stats=dict(n_backward_steps=nsteps),
+    )

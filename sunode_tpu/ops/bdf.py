@@ -277,6 +277,12 @@ def bdf_solve(
     quad_rhs: (t, y, p) -> (m,); quad0 required.  Quadratures are integrated
     explicitly (they don't couple back into y).
     tvals must be increasing with tvals[0] >= t0.  Fully jit/vmap-compatible.
+
+    Internally the state, sensitivities and quadratures live in ONE combined
+    vector z = [y | vec(S) | q] with a single difference array, so the
+    per-step rescale/predict/update contractions and the error-norm reduce
+    happen once regardless of how many blocks are active (CVODES runs the
+    analogous loops per N_Vector; fusing them is the TPU-shaped layout).
     """
     dtype = jnp.result_type(y0.dtype, jnp.float32)
     y0 = jnp.asarray(y0, dtype)
@@ -288,27 +294,47 @@ def bdf_solve(
 
     with_sens = sens_rhs is not None
     with_quad = quad_rhs is not None
-    if with_sens:
-        S0 = jnp.asarray(S0, dtype)
-        k_sens = S0.shape[0]
-    if with_quad:
-        quad0 = jnp.asarray(quad0, dtype)
-        m_quad = quad0.shape[0]
+    k_sens = S0.shape[0] if with_sens else 0
+    m_quad = quad0.shape[0] if with_quad else 0
+    n_S = k_sens * n
+    n_tot = n + n_S + m_quad
+    sl_y = slice(0, n)
+    sl_S = slice(n, n + n_S)
+    sl_Q = slice(n + n_S, n_tot)
 
     rtol = jnp.asarray(options.rtol, dtype)
     atol = jnp.broadcast_to(jnp.asarray(options.atol, dtype), (n,))
     gamma, alpha, error_const = _order_constants(options.use_ndf, dtype)
     max_order = min(options.max_order, MAX_ORDER)
 
+    # combined tolerance vectors over z
+    atol_parts = [atol]
+    rtol_parts = [jnp.full((n,), rtol, dtype)]
+    # error-norm entry weights: block-mean of block-wrms^2 (CVODES cvSensNorm)
+    n_blocks = 1 + (k_sens if (with_sens and options.sens_err_con) else 0) + (
+        1 if (with_quad and options.quad_err_con) else 0
+    )
+    v_parts = [jnp.full((n,), 1.0 / (n * n_blocks), dtype)]
     if with_sens:
+        S0 = jnp.asarray(S0, dtype)
         pbar = (
             jnp.broadcast_to(jnp.asarray(options.sens_pbar, dtype), (k_sens,))
             if options.sens_pbar is not None
             else jnp.ones((k_sens,), dtype)
         )
         # CVodeSensEEtolerances: atol_S[k] = atol / pbar_k
-        atol_S = atol[None, :] / pbar[:, None]  # (k, n)
+        atol_S = (atol[None, :] / pbar[:, None]).reshape(-1)
+        atol_parts.append(atol_S)
+        rtol_parts.append(jnp.full((n_S,), rtol, dtype))
+        v_parts.append(
+            jnp.full(
+                (n_S,),
+                (1.0 / (n * n_blocks)) if options.sens_err_con else 0.0,
+                dtype,
+            )
+        )
     if with_quad:
+        quad0 = jnp.asarray(quad0, dtype)
         quad_rtol = jnp.asarray(
             options.quad_rtol if options.quad_rtol is not None else options.rtol, dtype
         )
@@ -319,6 +345,21 @@ def bdf_solve(
             ),
             (m_quad,),
         )
+        atol_parts.append(quad_atol)
+        rtol_parts.append(jnp.full((m_quad,), quad_rtol, dtype))
+        v_parts.append(
+            jnp.full(
+                (m_quad,),
+                (1.0 / (m_quad * n_blocks)) if options.quad_err_con else 0.0,
+                dtype,
+            )
+        )
+    atol_z = jnp.concatenate(atol_parts) if len(atol_parts) > 1 else atol_parts[0]
+    rtol_z = jnp.concatenate(rtol_parts) if len(rtol_parts) > 1 else rtol_parts[0]
+    v_err = jnp.concatenate(v_parts) if len(v_parts) > 1 else v_parts[0]
+
+    def err_norm_of(e, w_z):
+        return jnp.sqrt(jnp.sum((e * w_z) ** 2 * v_err))
 
     if options.constraints is not None:
         constraints = jnp.broadcast_to(jnp.asarray(options.constraints, dtype), (n,))
@@ -344,17 +385,21 @@ def bdf_solve(
         h0 = h_auto
     h0 = jnp.maximum(h0, 1e-12)
 
-    D0 = jnp.zeros((KD, n), dtype)
-    D0 = D0.at[0].set(y0).at[1].set(h0 * f0)
-
+    z_parts = [y0]
+    fz_parts = [f0]
     if with_sens:
         fS0 = sens_rhs(t0, y0, S0, params)
-        DS0 = jnp.zeros((KD, k_sens, n), dtype)
-        DS0 = DS0.at[0].set(S0).at[1].set(h0 * fS0)
+        z_parts.append(S0.reshape(-1))
+        fz_parts.append(fS0.reshape(-1))
     if with_quad:
         fQ0 = quad_rhs(t0, y0, params)
-        DQ0 = jnp.zeros((KD, m_quad), dtype)
-        DQ0 = DQ0.at[0].set(quad0).at[1].set(h0 * fQ0)
+        z_parts.append(quad0)
+        fz_parts.append(fQ0)
+    z0 = jnp.concatenate(z_parts) if len(z_parts) > 1 else z_parts[0]
+    fz0 = jnp.concatenate(fz_parts) if len(fz_parts) > 1 else fz_parts[0]
+
+    D0 = jnp.zeros((KD, n_tot), dtype)
+    D0 = D0.at[0].set(z0).at[1].set(h0 * fz0)
 
     save_steps = int(options.save_steps)
     if save_steps > 0:
@@ -367,10 +412,10 @@ def bdf_solve(
     else:
         saved0 = None
 
-    # emit any tvals coinciding with t0 (or pathologically before it)
-    ys0 = jnp.full((n_t, n), jnp.nan, dtype)
+    # combined output buffer (n_t, n_tot), sliced at the end
+    zs0 = jnp.full((n_t, n_tot), jnp.nan, dtype)
     emit_mask = tvals <= t0
-    ys0 = jnp.where(emit_mask[:, None], y0[None, :], ys0)
+    zs0 = jnp.where(emit_mask[:, None], z0[None, :], zs0)
     i_out0 = jnp.sum(emit_mask).astype(jnp.int32)
 
     factors0 = factor_newton(jnp.eye(n, dtype=dtype))
@@ -381,7 +426,7 @@ def bdf_solve(
 
     # h: desired next step size; h_D: spacing the difference arrays currently
     # represent.  Rescaling to h happens lazily at the start of each attempt
-    # (exactly one rescale contraction per array per attempt).
+    # (exactly one rescale contraction pair per attempt).
     carry0 = dict(
         t=t0,
         h=h0,
@@ -395,7 +440,7 @@ def bdf_solve(
         c_factored=jnp.asarray(0.0, dtype),
         need_factor=jnp.asarray(True),
         i_out=i_out0,
-        ys=ys0,
+        zs=zs0,
         status=jnp.where(bad_init, STATUS["BAD_INIT"], -1).astype(jnp.int32),
         consec_err_fails=jnp.asarray(0, jnp.int32),
         consec_conv_fails=jnp.asarray(0, jnp.int32),
@@ -404,29 +449,17 @@ def bdf_solve(
         njev=jnp.asarray(1, jnp.int32),
         nfactor=jnp.asarray(0, jnp.int32),
         nniters=jnp.asarray(0, jnp.int32),
+        nfevS=jnp.asarray(1 if with_sens else 0, jnp.int32),
         n_err_fails=jnp.asarray(0, jnp.int32),
         n_conv_fails=jnp.asarray(0, jnp.int32),
         saved=saved0,
     )
-    if with_sens:
-        carry0["DS"] = DS0
-        carry0["sens_out"] = jnp.where(
-            emit_mask[:, None, None],
-            S0[None],
-            jnp.full((n_t, k_sens, n), jnp.nan, dtype),
-        )
-        carry0["nfevS"] = jnp.asarray(1, jnp.int32)
-    if with_quad:
-        carry0["DQ"] = DQ0
-        carry0["quad_out"] = jnp.where(
-            emit_mask[:, None], quad0[None], jnp.full((n_t, m_quad), jnp.nan, dtype)
-        )
 
     def cond(c):
         return (c["status"] == -1) & (c["i_out"] < n_t)
 
     def newton_iterate(t_new, y_pred, psi, c_coef, factors, scale_w):
-        """Modified-Newton solve of d = c f(y_pred + d) - psi."""
+        """Modified-Newton solve of d = c f(y_pred + d) - psi (y block)."""
 
         def nbody(st):
             k, y, d, dy_norm_old, conv, div, bad, nfev = st
@@ -489,12 +522,7 @@ def bdf_solve(
 
         # ---- the single lazy rescale: bring D from spacing h_D to h_use ----
         pre_factor = h_use / jnp.maximum(c["h_D"], 1e-300)
-        RU = _rescale_P(q, pre_factor, dtype)
-        D = _apply_P(RU, c["D"])
-        if with_sens:
-            DS = _apply_P(RU, c["DS"])
-        if with_quad:
-            DQ = _apply_P(RU, c["DQ"])
+        D = _apply_P(_rescale_P(q, pre_factor, dtype), c["D"])
 
         # (re)build + factor Newton matrix if stale
         c_coef = h_use / alpha[q]
@@ -515,21 +543,33 @@ def bdf_solve(
             None,
         )
 
-        y_pred, psi = _predict(D, q, gamma, alpha)
-        scale = atol + rtol * jnp.abs(y_pred)
-        scale_w = 1.0 / scale
-        pred_ok = jnp.all(jnp.isfinite(y_pred))
+        # single stacked contraction: rows [pred; psi]
+        K = MAX_ORDER + 1
+        ar = jnp.arange(K)
+        wy = (ar <= q).astype(dtype)
+        wp = jnp.where((ar >= 1) & (ar <= q), gamma[:K], 0.0) / alpha[q]
+        PP = jnp.stack([wy, wp])  # (2, K)
+        pred_psi = jnp.einsum("wi,in->wn", PP, D[:K])
+        z_pred, psi_z = pred_psi[0], pred_psi[1]
+
+        scale_z = atol_z + rtol_z * jnp.abs(z_pred)
+        w_z = 1.0 / scale_z
+        y_pred = z_pred[sl_y]
+        scale_w = w_z[sl_y]
+        pred_ok = jnp.all(jnp.isfinite(z_pred))
 
         conv, nfailed, y_new, d_corr, n_iters, nfev_n = newton_iterate(
-            t_new, y_pred, psi, c_coef, factors, scale_w
+            t_new, y_pred, psi_z[sl_y], c_coef, factors, scale_w
         )
         conv = conv & pred_ok
+        d_parts = [d_corr]
 
         # ----- sensitivity corrector (linear; iterate with cached M) -------
+        nfevS_n = jnp.asarray(0, jnp.int32)
         if with_sens:
-            S_pred, psi_S = _predict(DS, q, gamma, alpha)
-            scale_S = atol_S + rtol * jnp.abs(S_pred)  # (k, n)
-            wS = 1.0 / scale_S
+            S_pred = z_pred[sl_S].reshape(k_sens, n)
+            psi_S = psi_z[sl_S].reshape(k_sens, n)
+            wS = w_z[sl_S].reshape(k_sens, n)
             solve_rows = jax.vmap(solve_factored, in_axes=(None, 0))
 
             def sbody(st):
@@ -566,14 +606,17 @@ def bdf_solve(
                 scond, sbody, sinit
             )
             conv = conv & s_conv
+            d_parts.append(dS_corr.reshape(-1))
         # quadrature corrector is explicit: d_q = c * qdot(t_n, y_n) - psi_q
         if with_quad:
-            Q_pred, psi_Q = _predict(DQ, q, gamma, alpha)
+            psi_Q = psi_z[sl_Q]
             fQ = quad_rhs(t_new, y_new, params)
             dQ_corr = c_coef * fQ - psi_Q
-            Q_new = Q_pred + dQ_corr
-            quad_bad = ~jnp.all(jnp.isfinite(Q_new))
+            quad_bad = ~jnp.all(jnp.isfinite(dQ_corr))
             conv = conv & ~quad_bad
+            d_parts.append(dQ_corr)
+
+        d_z = jnp.concatenate(d_parts) if len(d_parts) > 1 else d_parts[0]
 
         # constraint check (CVodeSetConstraints semantics)
         if constraints is not None:
@@ -601,34 +644,7 @@ def bdf_solve(
         njev = c["njev"] + jnp.where(refresh_J, 1, 0)
 
         # ----- error test ---------------------------------------------------
-        def block_err_norm(Drow_y, Drow_S, Drow_Q, const, wQ_scale):
-            e2 = _wrms(const * Drow_y, scale_w) ** 2
-            nb = 1
-            if with_sens and options.sens_err_con:
-                e2 = (
-                    e2
-                    + jnp.mean(
-                        jnp.mean((const * Drow_S * wS) ** 2, axis=-1), axis=-1
-                    )
-                    * k_sens
-                )
-                nb += k_sens
-            if with_quad and options.quad_err_con:
-                e2 = e2 + _wrms(const * Drow_Q, wQ_scale) ** 2
-                nb += 1
-            return jnp.sqrt(e2 / nb)
-
-        if with_quad and options.quad_err_con:
-            wQ = 1.0 / (quad_atol + quad_rtol * jnp.abs(Q_pred))
-        else:
-            wQ = None
-        err_norm_tot = block_err_norm(
-            d_corr,
-            dS_corr if with_sens else None,
-            dQ_corr if with_quad else None,
-            error_const[q],
-            wQ,
-        )
+        err_norm_tot = err_norm_of(error_const[q] * d_z, w_z)
         err_ok = err_norm_tot <= 1.0
         accept = conv & err_ok & ~constraint_fail
         err_reject = conv & (~err_ok | constraint_fail)
@@ -636,11 +652,7 @@ def bdf_solve(
         # ------------------------------------------------------------------
         # Masked accept-path updates (computed unconditionally; selected)
         # ------------------------------------------------------------------
-        D_upd = _update_D(D, q, d_corr)
-        if with_sens:
-            DS_upd = _update_D(DS, q, dS_corr)
-        if with_quad:
-            DQ_upd = _update_D(DQ, q, dQ_corr)
+        D_upd = _update_D(D, q, d_z)
         n_equal = jnp.where(accept, c["n_equal"] + 1, 0)
         t_next = jnp.where(accept, t_new, t)
 
@@ -657,25 +669,13 @@ def bdf_solve(
             )
 
         def emit_body(st):
-            i_out, ys, sens_out, quad_out = st
+            i_out, zs = st
             te = tvals[jnp.minimum(i_out, n_t - 1)]
-            yi = _interpolate(D_upd, q, t_new, h_use, te)
-            ys = ys.at[i_out].set(yi)
-            if with_sens:
-                si = _interpolate(DS_upd, q, t_new, h_use, te)
-                sens_out = sens_out.at[i_out].set(si)
-            if with_quad:
-                qi = _interpolate(DQ_upd, q, t_new, h_use, te)
-                quad_out = quad_out.at[i_out].set(qi)
-            return i_out + 1, ys, sens_out, quad_out
+            zi = _interpolate(D_upd, q, t_new, h_use, te)
+            zs = zs.at[i_out].set(zi)
+            return i_out + 1, zs
 
-        emit_init = (
-            c["i_out"],
-            c["ys"],
-            c["sens_out"] if with_sens else jnp.zeros((), dtype),
-            c["quad_out"] if with_quad else jnp.zeros((), dtype),
-        )
-        i_out, ys, sens_out, quad_out = lax.while_loop(emit_cond, emit_body, emit_init)
+        i_out, zs = lax.while_loop(emit_cond, emit_body, (c["i_out"], c["zs"]))
 
         # record accepted step for adjoint checkpointing (one packed scatter)
         if save_steps > 0:
@@ -685,9 +685,7 @@ def bdf_solve(
             slot = jnp.minimum(ns, save_steps - 1)
             row = jnp.concatenate([t_new[None], y_new, f_acc])
             sv = dict(
-                tyf=sv["tyf"].at[slot].set(
-                    jnp.where(accept, row, sv["tyf"][slot])
-                ),
+                tyf=sv["tyf"].at[slot].set(jnp.where(accept, row, sv["tyf"][slot])),
                 n_saved=jnp.where(
                     accept, jnp.minimum(ns + 1, save_steps), ns
                 ).astype(jnp.int32),
@@ -699,24 +697,12 @@ def bdf_solve(
         can_adapt = n_equal >= q + 1
         err_m = jnp.where(
             q > 1,
-            block_err_norm(
-                D_upd[q],
-                DS_upd[q] if with_sens else None,
-                DQ_upd[q] if with_quad else None,
-                error_const[jnp.maximum(q - 1, 0)],
-                wQ,
-            ),
+            err_norm_of(error_const[jnp.maximum(q - 1, 0)] * D_upd[q], w_z),
             jnp.inf,
         )
         err_p = jnp.where(
             q < max_order,
-            block_err_norm(
-                D_upd[q + 2],
-                DS_upd[q + 2] if with_sens else None,
-                DQ_upd[q + 2] if with_quad else None,
-                error_const[jnp.minimum(q + 1, MAX_ORDER)],
-                wQ,
-            ),
+            err_norm_of(error_const[jnp.minimum(q + 1, MAX_ORDER)] * D_upd[q + 2], w_z),
             jnp.inf,
         )
 
@@ -756,7 +742,6 @@ def bdf_solve(
         factor_next = jnp.where(accept, factor_acc, factor_fail)
         h_next = h_use * factor_next
         q_next = jnp.where(accept, q_acc, q)
-
         D_next = jnp.where(accept, D_upd, D)
 
         cef = jnp.where(accept, 0, c["consec_err_fails"] + jnp.where(err_reject, 1, 0))
@@ -771,6 +756,12 @@ def bdf_solve(
         status = jnp.where(
             (status == -1) & too_many & ~accept, STATUS["REPEATED_FAILURES"], status
         )
+        status = jnp.where(
+            (status == -1) & (c["nsteps"] + jnp.where(accept, 1, 0) >= options.max_steps),
+            STATUS["MAX_STEPS"],
+            status,
+        )
+        status = jnp.where((status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status)
 
         new_c = dict(
             t=t_next,
@@ -786,7 +777,7 @@ def bdf_solve(
             c_factored=c_factored,
             need_factor=jnp.where(accept, False, refresh_J),
             i_out=i_out,
-            ys=ys,
+            zs=zs,
             status=status.astype(jnp.int32),
             consec_err_fails=cef.astype(jnp.int32),
             consec_conv_fails=ccf.astype(jnp.int32),
@@ -797,28 +788,12 @@ def bdf_solve(
             njev=njev,
             nfactor=nfactor,
             nniters=c["nniters"] + n_iters,
+            nfevS=c["nfevS"] + nfevS_n,
             n_err_fails=c["n_err_fails"] + jnp.where(err_reject, 1, 0),
             n_conv_fails=c["n_conv_fails"]
             + jnp.where(newton_failed & ~refresh_J, 1, 0),
             saved=sv,
         )
-        if with_sens:
-            new_c["DS"] = jnp.where(accept, DS_upd, DS)
-            new_c["sens_out"] = sens_out
-            new_c["nfevS"] = c["nfevS"] + nfevS_n
-        if with_quad:
-            new_c["DQ"] = jnp.where(accept, DQ_upd, DQ)
-            new_c["quad_out"] = quad_out
-
-        # global failure checks
-        status = new_c["status"]
-        status = jnp.where(
-            (status == -1) & (new_c["nsteps"] >= options.max_steps),
-            STATUS["MAX_STEPS"],
-            status,
-        )
-        status = jnp.where((status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status)
-        new_c["status"] = status.astype(jnp.int32)
         return new_c
 
     final = lax.while_loop(cond, body, carry0)
@@ -851,11 +826,12 @@ def bdf_solve(
         }
     else:
         saved_out = None
+    zs = final["zs"]
     return BDFResult(
-        ys=final["ys"],
+        ys=zs[:, sl_y],
         status=status,
         stats=stats,
         saved=saved_out,
-        sens=final["sens_out"] if with_sens else None,
-        quad=final["quad_out"] if with_quad else None,
+        sens=zs[:, sl_S].reshape(n_t, k_sens, n) if with_sens else None,
+        quad=zs[:, sl_Q] if with_quad else None,
     )

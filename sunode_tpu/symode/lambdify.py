@@ -296,7 +296,9 @@ def lambdify_jax(
     if shape == ():
         lines.append("    return _out[0]")
     else:
-        lines.append(f"    return _out.reshape({shape!r})")
+        # batch-agnostic reshape: elements may carry trailing batch dims
+        # (the batch-native integrator calls with (n, B)-shaped states)
+        lines.append(f"    return _out.reshape({shape!r} + _out.shape[1:])")
     source = "\n".join(lines) + "\n"
 
     modname = f"<sunode_tpu.lambdify.{name}.{next(_module_counter)}>"

@@ -34,7 +34,7 @@ from sunode_tpu.adjoint import adjoint_backward, make_hermite_eval
 from sunode_tpu.ops.bdf import BDFOptions, bdf_solve
 from sunode_tpu.problem import Problem
 
-__all__ = ["make_solve_fn", "solve_ivp", "SolveResult"]
+__all__ = ["make_solve_fn", "make_batched_solve_fn", "solve_ivp", "SolveResult"]
 
 
 def _poison(ys, status):
@@ -183,6 +183,108 @@ def make_solve_fn(
         return solve
 
     raise ValueError(f"derivatives must be 'adjoint', 'forward' or None, got {derivatives!r}")
+
+
+def make_batched_solve_fn(
+    problem: Problem,
+    *,
+    derivatives: Optional[str] = "adjoint",
+    options: BDFOptions = BDFOptions(),
+    adjoint_options: Optional[BDFOptions] = None,
+    checkpoint_n: int = 1024,
+) -> Callable:
+    """Batch-native differentiable solver (the 10k-chains fast path).
+
+    Returns ``solve(t0, y0, p_sub, p_fix, tvals) -> ys`` with y0 (B, n),
+    p_sub (B, k); t0/tvals/p_fix shared across the batch.  Uses the
+    structure-of-arrays integrator (ops/bdf_batched.py) instead of
+    ``vmap(bdf_solve)`` — same math, TPU-shaped loop structure.  Only
+    'adjoint' and None gradient modes for now.
+    """
+    from sunode_tpu.adjoint import adjoint_backward_batched, make_hermite_eval_batched
+    from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+
+    rhs = problem.make_rhs()
+    jac = problem.make_jac_dense()
+    spec = problem.params
+    n_deriv = problem.n_params
+
+    if adjoint_options is None:
+        adjoint_options = BDFOptions(rtol=1e-10, atol=1e-10)
+
+    def _combine(p_sub, p_fix):
+        # p_sub (B, k), p_fix (k2,) shared -> (B, n_p)
+        B = p_sub.shape[0]
+        p_fix_b = jnp.broadcast_to(p_fix, (B,) + p_fix.shape)
+        return spec.combine(p_sub, p_fix_b, xp=jnp)
+
+    def _poison_b(ys, status):
+        return jnp.where((status == 0)[:, None, None], ys, jnp.nan)
+
+    if derivatives is None:
+
+        def solve(t0, y0, p_sub, p_fix, tvals):
+            p = _combine(p_sub, p_fix)
+            res = bdf_solve_batched(rhs, jac, t0, y0, p, tvals, options)
+            return _poison_b(res.ys, res.status)
+
+        return solve
+
+    if derivatives != "adjoint":
+        raise NotImplementedError("batched solver supports derivatives='adjoint' or None")
+
+    adjoint_rhs = problem.make_adjoint_rhs()
+    adjoint_jac = problem.make_adjoint_jac_dense()
+    quad_rhs = problem.make_adjoint_quad_rhs()
+    fwd_options = options._replace(save_steps=checkpoint_n)
+    rhs_tb = jax.vmap(rhs, in_axes=(0, 1, 1), out_axes=1)
+
+    @jax.custom_vjp
+    def solve(t0, y0, p_sub, p_fix, tvals):
+        p = _combine(p_sub, p_fix)
+        res = bdf_solve_batched(rhs, jac, t0, y0, p, tvals, options)
+        return _poison_b(res.ys, res.status)
+
+    def solve_fwd(t0, y0, p_sub, p_fix, tvals):
+        p = _combine(p_sub, p_fix)
+        res = bdf_solve_batched(rhs, jac, t0, y0, p, tvals, fwd_options)
+        ys = _poison_b(res.ys, res.status)
+        return ys, (t0, y0, p_sub, p_fix, tvals, res.saved, res.status)
+
+    def solve_bwd(residuals, g):
+        t0, y0, p_sub, p_fix, tvals, saved, status = residuals
+        B = y0.shape[0]
+        p = _combine(p_sub, p_fix)
+        adj = adjoint_backward_batched(
+            adjoint_rhs,
+            adjoint_jac,
+            quad_rhs,
+            saved,
+            t0,
+            tvals,
+            g,
+            p,
+            n_deriv,
+            adjoint_options,
+        )
+        bad = (status != 0) | (adj.status != 0)
+        lam = jnp.where(bad[:, None], jnp.nan, adj.lamda)  # (B, n)
+        quad = jnp.where(bad[:, None], jnp.nan, adj.quad)  # (B, k)
+        y_at = make_hermite_eval_batched(saved)
+        # y(t_i) for all i: (n_t, n, B)
+        ys_at = jax.vmap(lambda te: y_at(jnp.full((B,), te, tvals.dtype)))(tvals)
+        f_at = jax.vmap(lambda te, yb: rhs_tb(jnp.full((B,), te, tvals.dtype), yb, p.T))(
+            tvals, ys_at
+        )  # (n_t, n, B)
+        d_tvals = jnp.einsum("bij,ijb->i", g, f_at)  # summed over batch (shared tvals)
+        d_tvals = jnp.where(jnp.any(bad), jnp.nan, d_tvals)
+        f0 = rhs_tb(jnp.full((B,), t0, tvals.dtype), y0.T, p.T)  # (n, B)
+        d_t0 = -jnp.sum(lam * f0.T)
+        d_p_fix = jnp.zeros_like(p_fix)
+        return (d_t0, lam, quad, d_p_fix, d_tvals)
+
+    solve.defvjp(solve_fwd, solve_bwd)
+    return solve
 
 
 class SolveResult(NamedTuple):
