@@ -243,8 +243,16 @@ class JaxProblem(Problem):
 # ---------------------------------------------------------------------------
 def flat_solution_as_dict(problem: Problem, solution) -> dict[str, Any]:
     """Split a (n_times, n_states) solution into named nested arrays
-    (reference problem.py:147-154)."""
-    return problem.states.unflatten(np.asarray(solution))
+    (reference problem.py:147-154).  Works symbolically: only uses slicing
+    and reshape, so `solution` may be numpy, jnp, or a PyTensor matrix."""
+    from sunode_tpu.paramspec import nest_path_dict
+
+    flat = {}
+    for path in problem.states.paths:
+        s = problem.states.slices[path]
+        shape = (-1,) + problem.states.shapes[path]
+        flat[path] = solution[:, s].reshape(shape)
+    return nest_path_dict(flat)
 
 
 def solution_to_xarray(
