@@ -182,6 +182,11 @@ class Solver(_SolverBase):
         self._linear_solver = linear_solver
         self._init_params_state()
 
+        if solver == "ADAMS" and sens_mode is not None:
+            raise NotImplementedError(
+                "forward sensitivities with solver='ADAMS' are not implemented; "
+                "use solver='BDF' (CVODES-style) for sensitivity solves"
+            )
         if options is None:
             options = BDFOptions(
                 rtol=reltol,
@@ -191,9 +196,6 @@ class Solver(_SolverBase):
                 sens_pbar=scaling_factors,
             )
             if solver == "ADAMS":
-                # Adams-Moulton path: same D-array machinery at higher max
-                # order with functional-iteration-friendly settings; dedicated
-                # Adams corrector constants land in ops/adams.py.
                 from sunode_tpu.ops.adams import adams_options
 
                 options = adams_options(options)
@@ -250,7 +252,14 @@ class Solver(_SolverBase):
             n = self._problem.n_states
             k = self._problem.n_params
 
+            solver_kind = self._solver_kind
+
             def run(t0, y0, params, tvals, sens0):
+                if solver_kind == "ADAMS":
+                    from sunode_tpu.ops.adams import adams_solve
+
+                    res = adams_solve(rhs, t0, y0, params, tvals, opts)
+                    return res.ys, None, res.status, res.stats
                 if self._compute_sens:
                     res = bdf_solve(
                         rhs, jac, t0, y0, params, tvals, opts,

@@ -103,9 +103,9 @@ def test_invalid_args(problem):
         Solver(problem, linear_solver="magic")
 
 
-def test_adams_not_implemented_yet(problem):
+def test_adams_sens_not_implemented(problem):
     with pytest.raises(NotImplementedError):
-        Solver(problem, solver="ADAMS")
+        Solver(problem, solver="ADAMS", sens_mode="simultaneous")
 
 
 def test_batched_solve(problem):
