@@ -103,6 +103,10 @@ class BDFOptions(NamedTuple):
     quad_err_con: bool = False
     quad_atol: Optional[Any] = None  # defaults to atol-style scalar
     quad_rtol: Optional[float] = None
+    # Newton linear solver: 'dense' (LU / closed forms) or 'spgmr'
+    # (matrix-free GMRES on jvp's; reference linear_solver='spgmr')
+    linear_solver: str = "dense"
+    krylov_dim: int = 5  # CVODES SUNLinSol_SPGMR default maxl
 
 
 class BDFResult(NamedTuple):
@@ -269,6 +273,7 @@ def bdf_solve(
     quad_rhs: Optional[Callable] = None,
     quad0: Optional[jnp.ndarray] = None,
     first_step: Optional[Any] = None,  # traced override; <=0 -> automatic
+    jac_prod: Optional[Callable] = None,  # (t, y, v, p) -> J@v, for spgmr
 ) -> BDFResult:
     """Integrate dy/dt = rhs(t, y, p) from t0, emitting y(tvals).
 
@@ -291,6 +296,14 @@ def bdf_solve(
     n = y0.shape[0]
     n_t = tvals.shape[0]
     t_end = tvals[-1]
+
+    use_spgmr = options.linear_solver == "spgmr"
+    if options.linear_solver not in ("dense", "spgmr"):
+        raise ValueError("options.linear_solver must be 'dense' or 'spgmr'")
+    if use_spgmr and jac_prod is None:
+        # matrix-free default: jvp of the rhs
+        def jac_prod(t, y, v, p):  # noqa: F811
+            return jax.jvp(lambda y_: rhs(t, y_, p), (y,), (v,))[1]
 
     with_sens = sens_rhs is not None
     with_quad = quad_rhs is not None
@@ -418,11 +431,16 @@ def bdf_solve(
     zs0 = jnp.where(emit_mask[:, None], z0[None, :], zs0)
     i_out0 = jnp.sum(emit_mask).astype(jnp.int32)
 
-    factors0 = factor_newton(jnp.eye(n, dtype=dtype))
-
-    # CVODES evaluates a real Jacobian before the first BDF Newton iteration;
-    # starting from J=0 would silently run functional iteration instead.
-    J0 = jac(t0, y0, params)
+    if use_spgmr:
+        # matrix-free: no Jacobian matrix, no factorization state
+        factors0 = (jnp.zeros((1, 1), dtype),)
+        J0 = jnp.zeros((1, 1), dtype)
+    else:
+        factors0 = factor_newton(jnp.eye(n, dtype=dtype))
+        # CVODES evaluates a real Jacobian before the first BDF Newton
+        # iteration; starting from J=0 would silently run functional
+        # iteration instead.
+        J0 = jac(t0, y0, params)
 
     # h: desired next step size; h_D: spacing the difference arrays currently
     # represent.  Rescaling to h happens lazily at the start of each attempt
@@ -458,7 +476,7 @@ def bdf_solve(
     def cond(c):
         return (c["status"] == -1) & (c["i_out"] < n_t)
 
-    def newton_iterate(t_new, y_pred, psi, c_coef, factors, scale_w):
+    def newton_iterate(t_new, y_pred, psi, c_coef, factors, scale_w, lin_solve):
         """Modified-Newton solve of d = c f(y_pred + d) - psi (y block)."""
 
         def nbody(st):
@@ -466,7 +484,7 @@ def bdf_solve(
             f = rhs(t_new, y, params)
             bad_f = ~jnp.all(jnp.isfinite(f))
             res = c_coef * f - psi - d
-            delta = solve_factored(factors, res)
+            delta = lin_solve(res)
             bad_d = ~jnp.all(jnp.isfinite(delta))
             dy_norm = _wrms(delta, scale_w)
             rate = dy_norm / dy_norm_old
@@ -536,12 +554,15 @@ def bdf_solve(
             M = jnp.eye(n, dtype=dtype) - c_coef * c["J"]
             return factor_newton(M), c_coef, c["nfactor"] + 1
 
-        factors, c_factored, nfactor = lax.cond(
-            need_factor,
-            do_factor,
-            lambda _: (c["factors"], c["c_factored"], c["nfactor"]),
-            None,
-        )
+        if use_spgmr:
+            factors, c_factored, nfactor = c["factors"], c_coef, c["nfactor"]
+        else:
+            factors, c_factored, nfactor = lax.cond(
+                need_factor,
+                do_factor,
+                lambda _: (c["factors"], c["c_factored"], c["nfactor"]),
+                None,
+            )
 
         # single stacked contraction: rows [pred; psi]
         K = MAX_ORDER + 1
@@ -558,8 +579,21 @@ def bdf_solve(
         scale_w = w_z[sl_y]
         pred_ok = jnp.all(jnp.isfinite(z_pred))
 
+        if use_spgmr:
+            from sunode_tpu.ops.krylov import gmres_solve
+
+            def lin_solve(res):
+                return gmres_solve(
+                    lambda v: v - c_coef * jac_prod(t_new, y_pred, v, params),
+                    res,
+                    maxl=options.krylov_dim,
+                )
+        else:
+            def lin_solve(res):
+                return solve_factored(factors, res)
+
         conv, nfailed, y_new, d_corr, n_iters, nfev_n = newton_iterate(
-            t_new, y_pred, psi_z[sl_y], c_coef, factors, scale_w
+            t_new, y_pred, psi_z[sl_y], c_coef, factors, scale_w, lin_solve
         )
         conv = conv & pred_ok
         d_parts = [d_corr]
@@ -570,7 +604,10 @@ def bdf_solve(
             S_pred = z_pred[sl_S].reshape(k_sens, n)
             psi_S = psi_z[sl_S].reshape(k_sens, n)
             wS = w_z[sl_S].reshape(k_sens, n)
-            solve_rows = jax.vmap(solve_factored, in_axes=(None, 0))
+            if use_spgmr:
+                solve_rows = lambda _f, rows: jax.vmap(lin_solve)(rows)  # noqa: E731
+            else:
+                solve_rows = jax.vmap(solve_factored, in_axes=(None, 0))
 
             def sbody(st):
                 it, S, dS, norm_old, s_conv, s_bad, nfs = st
@@ -632,15 +669,23 @@ def bdf_solve(
 
         newton_failed = ~conv
         # If J is stale: refresh J and retry at same h.  Else halve h.
-        refresh_J = newton_failed & ~c["J_current"]
+        # (spgmr is matrix-free: linearization is always fresh, so a Newton
+        # failure goes straight to step reduction.)
+        if use_spgmr:
+            refresh_J = jnp.asarray(False)
+        else:
+            refresh_J = newton_failed & ~c["J_current"]
         halve = newton_failed & c["J_current"]
 
-        J_new = lax.cond(
-            refresh_J,
-            lambda _: jac(t_new, y_pred, params),
-            lambda _: c["J"],
-            None,
-        )
+        if use_spgmr:
+            J_new = c["J"]
+        else:
+            J_new = lax.cond(
+                refresh_J,
+                lambda _: jac(t_new, y_pred, params),
+                lambda _: c["J"],
+                None,
+            )
         njev = c["njev"] + jnp.where(refresh_J, 1, 0)
 
         # ----- error test ---------------------------------------------------

@@ -166,6 +166,31 @@ class Problem:
 
         return sensitivity_rhs
 
+    def make_banded_jac_dense(self, lower: int, upper: int) -> Callable:
+        """df/dy exploiting banded structure: only lower+upper+1 jvp sweeps
+        with striped seed vectors instead of n (the classic banded
+        difference-quotient trick; reference linear_solver='band',
+        solver.py:326-358 + sunmatrix_band).  Returns a dense (n, n) matrix
+        that is exactly zero outside the band."""
+        rhs = self.make_rhs()
+        n = self.n_states
+        w = lower + upper + 1
+
+        def jac(t, y, p):
+            f = lambda yy: rhs(t, yy, p)  # noqa: E731
+
+            def stripe(s):
+                seed = (jnp.arange(n) % w == s).astype(y.dtype)
+                return jax.jvp(f, (y,), (seed,))[1]
+
+            cols = jax.vmap(stripe)(jnp.arange(w))  # (w, n)
+            i = jnp.arange(n)[:, None]
+            j = jnp.arange(n)[None, :]
+            band = (j - i <= upper) & (i - j <= lower)
+            return jnp.where(band, cols[j % w, i], 0.0)
+
+        return jac
+
     def make_dfdp(self) -> Callable:
         """df/dp_subset with shape (n_states, n_deriv_params)."""
         rhs = self.make_rhs()

@@ -201,36 +201,62 @@ class Solver(_SolverBase):
                 options = adams_options(options)
         self._options = options
 
+        self._linear_solver_kwargs = dict(linear_solver_kwargs or {})
+        self._init_derived()
+        self._jit_cache: dict = {}
+        self.last_stats: Optional[dict] = None
+
+    def _init_derived(self):
+        problem = self._problem
+        linear_solver = self._linear_solver
         rhs = problem.make_rhs()
-        if linear_solver in ("dense_finitediff", "spgmr_finitediff"):
+        self._jac_prod = None
+        if linear_solver == "dense_finitediff":
             jacfn = _make_fd_jac(rhs)
+        elif linear_solver == "band":
+            kw = self._linear_solver_kwargs
+            if "lower_bandwidth" not in kw or "upper_bandwidth" not in kw:
+                raise ValueError(
+                    "linear_solver='band' requires linear_solver_kwargs with "
+                    "'lower_bandwidth' and 'upper_bandwidth'"
+                )
+            jacfn = problem.make_banded_jac_dense(
+                int(kw["lower_bandwidth"]), int(kw["upper_bandwidth"])
+            )
+        elif linear_solver in ("spgmr", "spgmr_finitediff"):
+            jacfn = problem.make_jac_dense()  # unused by the spgmr path
+            self._options = self._options._replace(linear_solver="spgmr")
+            if linear_solver == "spgmr":
+                self._jac_prod = problem.make_rhs_jac_prod()
+            else:
+                # directional finite difference (CVODES difference-quotient
+                # jtimes default)
+                def fd_jac_prod(t, y, v, p):
+                    import jax.numpy as jnp
+
+                    eps = jnp.sqrt(jnp.finfo(y.dtype).eps)
+                    nv = jnp.sqrt(jnp.sum(v * v))
+                    sig = eps * jnp.maximum(nv, 1.0) / jnp.maximum(nv, 1e-300)
+                    return (rhs(t, y + sig * v, p) - rhs(t, y, p)) / sig
+
+                self._jac_prod = fd_jac_prod
         else:
             jacfn = problem.make_jac_dense()
         self._rhs = rhs
         self._jac = jacfn
         self._sens_rhs = problem.make_sensitivity_rhs() if self._compute_sens else None
-        self._jit_cache: dict = {}
-        self.last_stats: Optional[dict] = None
 
     # --- pickling: drop derived functions, rebuild on load (the reference
     # rebuilds its C state the same way, solver.py:304-324) ---------------
     def __getstate__(self):
         state = self.__dict__.copy()
-        for key in ("_rhs", "_jac", "_sens_rhs", "_jit_cache", "last_stats"):
+        for key in ("_rhs", "_jac", "_sens_rhs", "_jac_prod", "_jit_cache", "last_stats"):
             state.pop(key, None)
         return state
 
     def __setstate__(self, state):
         self.__dict__.update(state)
-        problem = self._problem
-        rhs = problem.make_rhs()
-        if self._linear_solver in ("dense_finitediff", "spgmr_finitediff"):
-            jacfn = _make_fd_jac(rhs)
-        else:
-            jacfn = problem.make_jac_dense()
-        self._rhs = rhs
-        self._jac = jacfn
-        self._sens_rhs = problem.make_sensitivity_rhs() if self._compute_sens else None
+        self._init_derived()
         self._jit_cache = {}
         self.last_stats = None
 
@@ -249,6 +275,7 @@ class Solver(_SolverBase):
         if key not in self._jit_cache:
             opts = self._options
             rhs, jac, sens_rhs = self._rhs, self._jac, self._sens_rhs
+            jac_prod = self._jac_prod
             n = self._problem.n_states
             k = self._problem.n_params
 
@@ -263,10 +290,12 @@ class Solver(_SolverBase):
                 if self._compute_sens:
                     res = bdf_solve(
                         rhs, jac, t0, y0, params, tvals, opts,
-                        sens_rhs=sens_rhs, S0=sens0,
+                        sens_rhs=sens_rhs, S0=sens0, jac_prod=jac_prod,
                     )
                     return res.ys, res.sens, res.status, res.stats
-                res = bdf_solve(rhs, jac, t0, y0, params, tvals, opts)
+                res = bdf_solve(
+                    rhs, jac, t0, y0, params, tvals, opts, jac_prod=jac_prod
+                )
                 return res.ys, None, res.status, res.stats
 
             if batched:
