@@ -1,0 +1,132 @@
+"""sympy -> C code generation + runtime compilation for the native solver.
+
+The numba-@cfunc analog of the reference (sunode compiles sympy-generated
+RHS/Jacobian functions with numba into C-callable pointers,
+/root/reference/sunode/symode/lambdify.py + problem.py:156-185): here the
+same CSE'd expressions are printed as C (``sympy.ccode``), compiled with the
+system g++ into a shared library, and loaded via ctypes — no Python in the
+native solver's hot loop.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import sympy as sy
+
+__all__ = ["compile_problem_c", "native_lib_path", "build_native_lib"]
+
+_CACHE_DIR = Path(
+    os.environ.get("SUNODE_TPU_NATIVE_CACHE", Path.home() / ".cache" / "sunode_tpu")
+)
+
+
+def _cc() -> str:
+    return os.environ.get("CXX", "g++")
+
+
+def native_lib_path() -> Path:
+    """Build (once) and return the path of the core libcvbdf shared library."""
+    src = Path(__file__).parent / "cvbdf.cpp"
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    out = _CACHE_DIR / f"libcvbdf_{tag}.so"
+    if not out.exists():
+        build_native_lib(src, out)
+    return out
+
+
+def build_native_lib(src: Path, out: Path, extra: list[str] | None = None) -> None:
+    cmd = [
+        _cc(),
+        "-O3",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-o",
+        str(out),
+        str(src),
+        "-lpthread",
+    ] + (extra or [])
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _emit_c_function(name: str, exprs, varmap: dict, args_sig: str) -> str:
+    """One C function assigning CSE'd expressions into out[]."""
+    exprs = np.asarray(exprs, dtype=object).reshape(-1)
+    repl, reduced = sy.cse([sy.sympify(e) for e in exprs], sy.numbered_symbols("x_"))
+    lines = [f"void {name}({args_sig}) {{"]
+    subs = {sy.Symbol(k, real=True): sy.Symbol(v, real=True) for k, v in varmap.items()}
+
+    def pr(e):
+        return sy.ccode(e.xreplace(subs))
+
+    for sym, sub in repl:
+        lines.append(f"  const double {sym.name} = {pr(sub)};")
+    for i, e in enumerate(reduced):
+        lines.append(f"  out[{i}] = {pr(e)};")
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def compile_problem_c(problem, *, cache: bool = True):
+    """Generate + compile C rhs/jac for a SympyProblem; return a ctypes lib
+    exposing ``rhs(t, y, p, out)`` and ``jac(t, y, p, out)`` (row-major)."""
+    n = problem.n_states
+    # C-identifier varmap: __y_0 -> y[0] etc.  ccode can't print indexing via
+    # Symbol, so use IndexedBase-free trick: print to placeholder identifiers
+    # then textual replace (identifiers are unambiguous: __y_3 etc.)
+    varmap = {}
+    for i in range(n):
+        varmap[f"__y_{i}"] = f"Y_{i}"
+    for j in range(problem.n_all_params):
+        varmap[f"__p_{j}"] = f"P_{j}"
+    varmap["__t"] = "t"
+
+    header = [
+        "#include <math.h>",
+        'extern "C" {',
+    ]
+    body = []
+    rhs_src = _emit_c_function(
+        "sunode_rhs",
+        problem._sym_dydt,
+        varmap,
+        "double t, const double* y, const double* p, double* out",
+    )
+    jac_src = _emit_c_function(
+        "sunode_jac",
+        problem._sym_dydt_jac,
+        varmap,
+        "double t, const double* y, const double* p, double* out",
+    )
+    # prologue mapping placeholders to array loads
+    defines = []
+    for i in range(n):
+        defines.append(f"#define Y_{i} (y[{i}])")
+    for j in range(problem.n_all_params):
+        defines.append(f"#define P_{j} (p[{j}])")
+    src = "\n".join(header[:1] + defines + header[1:] + [rhs_src, jac_src, "}"]) + "\n"
+
+    _CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    out = _CACHE_DIR / f"problem_{tag}.so"
+    if not (cache and out.exists()):
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".cpp", delete=False, dir=str(_CACHE_DIR)
+        ) as f:
+            f.write(src)
+            srcpath = f.name
+        try:
+            build_native_lib(Path(srcpath), out, extra=[])
+        finally:
+            os.unlink(srcpath)
+    lib = ctypes.CDLL(str(out))
+    lib._generated_source = src  # type: ignore[attr-defined]
+    return lib

@@ -1,0 +1,160 @@
+"""CpuSolver: the native host execution path.
+
+Drives the C++ BDF integrator (native/cvbdf.cpp) with C RHS/Jacobian
+functions compiled from the problem's sympy expressions (native/codegen.py).
+This is the sunode deployment mode rebuilt natively — no SUNDIALS, no numba,
+no Python in the hot loop — and doubles as an independent oracle for
+tolerance-matched testing of the JAX/TPU integrator.
+
+Batched solves fan out over a C++ thread pool (``cvbdf_solve_batch``), the
+native replacement for the reference's fork-per-chain multiprocessing
+(README.md:233-238).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Any, Mapping, Optional
+
+import numpy as np
+
+from sunode_tpu.native.codegen import compile_problem_c, native_lib_path
+from sunode_tpu.solver import SolverError, _STATUS_MESSAGES
+
+__all__ = ["CpuSolver"]
+
+_RHS_T = ctypes.CFUNCTYPE(None)  # opaque; we pass raw pointers
+
+
+class CpuSolver:
+    """Solve ODE problems on the host with the native C++ integrator.
+
+    API mirrors the relevant subset of :class:`sunode_tpu.solver.Solver`:
+    ``set_params_dict``, ``make_output_buffers``, ``solve`` (with optional
+    leading batch axis on y0/params -> threaded batch execution).
+    """
+
+    def __init__(
+        self,
+        problem,
+        *,
+        abstol: float = 1e-10,
+        reltol: float = 1e-10,
+        max_steps: int = 100_000,
+        n_threads: int = 0,
+    ):
+        self._problem = problem
+        self._rtol = float(reltol)
+        self._atol = np.broadcast_to(
+            np.asarray(abstol, np.float64), (problem.n_states,)
+        ).copy()
+        self._max_steps = int(max_steps)
+        self._n_threads = int(n_threads)
+        self._params = np.zeros(problem.n_all_params)
+
+        self._core = ctypes.CDLL(str(native_lib_path()))
+        self._plib = compile_problem_c(problem)
+        self._rhs_ptr = ctypes.cast(self._plib.sunode_rhs, ctypes.c_void_p)
+        self._jac_ptr = ctypes.cast(self._plib.sunode_jac, ctypes.c_void_p)
+
+        self._core.cvbdf_solve.restype = ctypes.c_int
+        self._core.cvbdf_solve_batch.restype = None
+
+    # --- params ------------------------------------------------------
+    def set_params_dict(self, params: Mapping[str, Any]) -> None:
+        self._params = np.asarray(
+            self._problem.params.flatten_dict(params), dtype=np.float64
+        )
+
+    def get_params_dict(self):
+        return self._problem.params.unflatten(self._params)
+
+    def make_output_buffers(self, tvals):
+        return np.zeros((len(tvals), self._problem.n_states))
+
+    @property
+    def generated_source(self) -> str:
+        return self._plib._generated_source
+
+    # --- solve -------------------------------------------------------
+    def solve(self, t0, tvals, y0, y_out=None):
+        n = self._problem.n_states
+        y0 = self._problem.states.coerce_flat(y0, xp=np)
+        y0 = np.ascontiguousarray(y0, np.float64)
+        tvals = np.ascontiguousarray(tvals, np.float64)
+        n_t = len(tvals)
+
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+
+        if y0.ndim == 2:
+            batch = y0.shape[0]
+            params = np.ascontiguousarray(
+                np.broadcast_to(self._params, (batch, self._params.size)), np.float64
+            )
+            ys = np.full((batch, n_t, n), np.nan)
+            status = np.zeros(batch, np.int32)
+            self._core.cvbdf_solve_batch(
+                ctypes.c_int(n),
+                self._rhs_ptr,
+                self._jac_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(params),
+                ctypes.c_int(params.shape[1]),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(batch),
+                ctypes.c_int(self._n_threads),
+                dptr(ys),
+                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            )
+            self.last_status = status
+            if (status != 0).any():
+                codes = sorted(set(int(s) for s in status if s))
+                msgs = "; ".join(_STATUS_MESSAGES.get(c, f"code {c}") for c in codes)
+                raise SolverError(f"Native batch solve failed: {msgs}")
+        else:
+            ys = np.full((n_t, n), np.nan)
+            stats = np.zeros(8, np.int64)
+            rc = self._core.cvbdf_solve(
+                ctypes.c_int(n),
+                self._rhs_ptr,
+                self._jac_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_double(-1.0),
+                dptr(ys),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            self.last_stats = dict(
+                zip(
+                    [
+                        "n_steps",
+                        "n_rhs_evals",
+                        "n_jac_evals",
+                        "n_factorizations",
+                        "n_newton_iters",
+                        "n_error_test_fails",
+                        "n_conv_fails",
+                        "final_order",
+                    ],
+                    stats.tolist(),
+                )
+            )
+            if rc != 0:
+                raise SolverError(
+                    f"Native solve failed: {_STATUS_MESSAGES.get(rc, f'code {rc}')}"
+                )
+        if y_out is not None:
+            y_out[...] = ys
+            return y_out
+        return ys

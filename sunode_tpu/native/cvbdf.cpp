@@ -1,0 +1,444 @@
+// Native host-side BDF integrator: the C++ runtime component of sunode_tpu.
+//
+// Role in the framework (cf. reference layer L0, the SUNDIALS CVODES C
+// library that sunode links against): a self-contained variable-order
+// (1-5) variable-step BDF integrator with modified-Newton iteration and
+// dense partial-pivot LU, used as
+//   * the CPU execution path (single solves without an accelerator —
+//     sunode's original deployment mode), driven through compiled-C
+//     right-hand sides generated from sympy (native/codegen.py, the
+//     numba-@cfunc analog), and
+//   * an independent golden oracle for tolerance-matched tests of the JAX
+//     integrator (two implementations of the same math, different stacks).
+//
+// The algorithm matches sunode_tpu/ops/bdf.py (same difference-array
+// formulation, WRMS error control, stale-Jacobian strategy, step/order
+// heuristics) — written independently in C++, not translated from any
+// library source.
+//
+// Build: g++ -O3 -shared -fPIC -o libcvbdf.so cvbdf.cpp -lpthread
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+#include <thread>
+#include <vector>
+#include <atomic>
+
+namespace {
+
+constexpr int MAX_ORDER = 5;
+constexpr int KD = MAX_ORDER + 3;
+constexpr int NEWTON_MAXITER = 4;
+constexpr double MIN_FACTOR = 0.2;
+constexpr double MAX_FACTOR = 10.0;
+constexpr double THRESH = 1.5;
+constexpr int MAX_CONSECUTIVE_FAILS = 10;
+
+typedef void (*rhs_fn)(double t, const double* y, const double* p, double* out);
+typedef void (*jac_fn)(double t, const double* y, const double* p, double* out);
+
+struct Stats {
+  int64_t n_steps = 0;
+  int64_t n_rhs_evals = 0;
+  int64_t n_jac_evals = 0;
+  int64_t n_factorizations = 0;
+  int64_t n_newton_iters = 0;
+  int64_t n_error_test_fails = 0;
+  int64_t n_conv_fails = 0;
+  int64_t final_order = 1;
+};
+
+// ---------------------------------------------------------------------
+// dense LU with partial pivoting (row-major)
+// ---------------------------------------------------------------------
+bool lu_factor(int n, double* a, int* piv) {
+  for (int k = 0; k < n; ++k) {
+    int p = k;
+    double best = std::fabs(a[k * n + k]);
+    for (int i = k + 1; i < n; ++i) {
+      double v = std::fabs(a[i * n + k]);
+      if (v > best) { best = v; p = i; }
+    }
+    piv[k] = p;
+    if (p != k)
+      for (int j = 0; j < n; ++j) std::swap(a[k * n + j], a[p * n + j]);
+    double pivval = a[k * n + k];
+    if (pivval == 0.0 || !std::isfinite(pivval)) return false;
+    for (int i = k + 1; i < n; ++i) {
+      double m = a[i * n + k] / pivval;
+      a[i * n + k] = m;
+      for (int j = k + 1; j < n; ++j) a[i * n + j] -= m * a[k * n + j];
+    }
+  }
+  return true;
+}
+
+void lu_solve(int n, const double* lu, const int* piv, double* b) {
+  for (int k = 0; k < n; ++k)
+    if (piv[k] != k) std::swap(b[k], b[piv[k]]);
+  for (int i = 1; i < n; ++i) {
+    double acc = b[i];
+    for (int j = 0; j < i; ++j) acc -= lu[i * n + j] * b[j];
+    b[i] = acc;
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    double acc = b[i];
+    for (int j = i + 1; j < n; ++j) acc -= lu[i * n + j] * b[j];
+    b[i] = acc / lu[i * n + i];
+  }
+}
+
+// ---------------------------------------------------------------------
+// difference-array helpers
+// ---------------------------------------------------------------------
+void build_R(int q, double factor, double R[KD][KD]) {
+  int K = MAX_ORDER + 1;
+  for (int i = 0; i < K; ++i)
+    for (int j = 0; j < K; ++j) R[i][j] = (i == j) ? 1.0 : 0.0;
+  // recurrence rows (only the leading (q+1) block)
+  std::vector<double> row(K, 1.0), prev(K, 1.0);
+  for (int j = 0; j <= q; ++j) R[0][j] = 1.0;
+  for (int i = 1; i <= q; ++i) {
+    for (int j = 0; j < K; ++j) row[j] = prev[j] * (i - 1 - factor * j) / i;
+    for (int j = 0; j <= q; ++j) R[i][j] = row[j];
+    prev = row;
+  }
+}
+
+void rescale_D(int n, int q, double factor, double* D /* KD x n */) {
+  double R[KD][KD], U[KD][KD];
+  build_R(q, factor, R);
+  build_R(q, 1.0, U);
+  int K = MAX_ORDER + 1;
+  std::vector<double> t1(K), head(K);
+  for (int col = 0; col < n; ++col) {
+    for (int i = 0; i < K; ++i) {
+      double acc = 0.0;
+      for (int j = 0; j < K; ++j) acc += R[j][i] * D[j * n + col];
+      t1[i] = acc;
+    }
+    for (int i = 0; i < K; ++i) {
+      double acc = 0.0;
+      for (int j = 0; j < K; ++j) acc += U[j][i] * t1[j];
+      head[i] = acc;
+    }
+    for (int i = 0; i < K; ++i) D[i * n + col] = head[i];
+  }
+}
+
+void update_D(int n, int q, const double* d, double* D) {
+  for (int col = 0; col < n; ++col) {
+    double dq1 = D[(q + 1) * n + col];
+    D[(q + 2) * n + col] = d[col] - dq1;
+    D[(q + 1) * n + col] = d[col];
+    for (int i = q; i >= 0; --i) D[i * n + col] += D[(i + 1) * n + col];
+  }
+}
+
+void interpolate(int n, int q, const double* D, double t_n, double h,
+                 double t_eval, double* out) {
+  double s = (t_eval - t_n) / h;
+  for (int col = 0; col < n; ++col) out[col] = D[col];
+  double w = 1.0;
+  for (int i = 1; i <= q; ++i) {
+    w *= (s + i - 1) / i;
+    for (int col = 0; col < n; ++col) out[col] += w * D[i * n + col];
+  }
+}
+
+struct Work {
+  std::vector<double> D, J, M, y_pred, psi, scale, d, y, f, delta, err, y_out_row;
+  std::vector<int> piv;
+  explicit Work(int n)
+      : D(KD * n), J(n * n), M(n * n), y_pred(n), psi(n), scale(n), d(n),
+        y(n), f(n), delta(n), err(n), y_out_row(n), piv(n) {}
+};
+
+double wrms(int n, const double* x, const double* scale) {
+  double acc = 0.0;
+  for (int i = 0; i < n; ++i) {
+    double e = x[i] / scale[i];
+    acc += e * e;
+  }
+  return std::sqrt(acc / n);
+}
+
+int solve_one(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
+              const double* params, int n_t, const double* tvals, double rtol,
+              const double* atol, int64_t max_steps, double first_step,
+              double* ys_out, Stats* stats) {
+  const double gamma_tab[MAX_ORDER + 1] = {0, 1, 1.5, 1.5 + 1.0 / 3,
+                                           1.5 + 1.0 / 3 + 0.25,
+                                           1.5 + 1.0 / 3 + 0.25 + 0.2};
+  double alpha[MAX_ORDER + 1];
+  double error_const[MAX_ORDER + 2];
+  for (int qq = 0; qq <= MAX_ORDER; ++qq) alpha[qq] = gamma_tab[qq];
+  alpha[0] = 1.0;
+  for (int qq = 0; qq <= MAX_ORDER; ++qq) error_const[qq] = 1.0 / (qq + 1);
+  error_const[MAX_ORDER + 1] = 1.0 / (MAX_ORDER + 2);
+
+  Work w(n);
+  for (int i = 0; i < n_t * n; ++i) ys_out[i] = NAN;
+
+  // initial rhs
+  std::vector<double> f0(n);
+  f_fn(t0, y0, params, f0.data());
+  stats->n_rhs_evals++;
+  for (int i = 0; i < n; ++i)
+    if (!std::isfinite(y0[i]) || !std::isfinite(f0[i])) return 3;
+
+  double t_end = tvals[n_t - 1];
+  // Hairer-Wanner initial step
+  double h;
+  if (first_step > 0) {
+    h = std::min(first_step, t_end - t0);
+  } else {
+    for (int i = 0; i < n; ++i) w.scale[i] = atol[i] + rtol * std::fabs(y0[i]);
+    double d0 = wrms(n, y0, w.scale.data());
+    double d1 = wrms(n, f0.data(), w.scale.data());
+    double h0 = (d0 < 1e-5 || d1 < 1e-5) ? 1e-6 : 0.01 * d0 / d1;
+    h0 = std::min(h0, 0.5 * (t_end - t0));
+    std::vector<double> y1(n), f1(n);
+    for (int i = 0; i < n; ++i) y1[i] = y0[i] + h0 * f0[i];
+    f_fn(t0 + h0, y1.data(), params, f1.data());
+    stats->n_rhs_evals++;
+    for (int i = 0; i < n; ++i) f1[i] = (f1[i] - f0[i]);
+    double d2 = wrms(n, f1.data(), w.scale.data()) / h0;
+    double dm = std::max(d1, d2);
+    double h1 = dm <= 1e-15 ? std::max(1e-6, h0 * 1e-3) : std::sqrt(0.01 / dm);
+    h = std::min({100 * h0, h1, t_end - t0});
+  }
+  h = std::max(h, 1e-12);
+
+  // init difference array
+  std::fill(w.D.begin(), w.D.end(), 0.0);
+  for (int i = 0; i < n; ++i) {
+    w.D[i] = y0[i];
+    w.D[n + i] = h * f0[i];
+  }
+
+  double t = t0;
+  int q = 1;
+  int n_equal = 0;
+  bool J_current = false, need_factor = true;
+  double c_factored = 0.0;
+  int i_out = 0;
+  int consec_err = 0, consec_conv = 0;
+
+  // emit any tvals at/before t0
+  while (i_out < n_t && tvals[i_out] <= t0) {
+    for (int i = 0; i < n; ++i) ys_out[i_out * n + i] = y0[i];
+    ++i_out;
+  }
+
+  // initial Jacobian (CVODES evaluates before the first Newton)
+  j_fn(t0, y0, params, w.J.data());
+  stats->n_jac_evals++;
+  J_current = true;
+
+  double newton_tol =
+      std::max(10 * 2.220446049250313e-16 / rtol, std::min(0.03, std::sqrt(rtol)));
+
+  while (i_out < n_t) {
+    if (stats->n_steps >= max_steps) return 1;
+    double h_min_loc =
+        10 * 2.220446049250313e-16 * std::max(std::fabs(t), std::fabs(t_end));
+    if (h < h_min_loc) return 2;
+    double h_use = std::min(h, t_end - t);
+    if (h_use < h) {
+      rescale_D(n, q, h_use / h, w.D.data());
+      need_factor = true;
+    }
+    double t_new = t + h_use;
+    double c = h_use / alpha[q];
+
+    if (need_factor || std::fabs(c / (c_factored == 0 ? 1.0 : c_factored) - 1.0) > 1e-12) {
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j)
+          w.M[i * n + j] = (i == j ? 1.0 : 0.0) - c * w.J[i * n + j];
+      if (!lu_factor(n, w.M.data(), w.piv.data())) return 4;
+      stats->n_factorizations++;
+      c_factored = c;
+      need_factor = false;
+    }
+
+    // predict
+    for (int col = 0; col < n; ++col) {
+      double acc = 0.0, accp = 0.0;
+      for (int i = 0; i <= q; ++i) {
+        acc += w.D[i * n + col];
+        if (i >= 1) accp += gamma_tab[i] * w.D[i * n + col];
+      }
+      w.y_pred[col] = acc;
+      w.psi[col] = accp / alpha[q];
+    }
+    for (int i = 0; i < n; ++i)
+      w.scale[i] = atol[i] + rtol * std::fabs(w.y_pred[i]);
+
+    // Newton
+    bool conv = false, bad = false;
+    std::copy(w.y_pred.begin(), w.y_pred.end(), w.y.begin());
+    std::fill(w.d.begin(), w.d.end(), 0.0);
+    double dy_old = INFINITY;
+    for (int k = 0; k < NEWTON_MAXITER; ++k) {
+      f_fn(t_new, w.y.data(), params, w.f.data());
+      stats->n_rhs_evals++;
+      stats->n_newton_iters++;
+      for (int i = 0; i < n; ++i) {
+        if (!std::isfinite(w.f[i])) { bad = true; break; }
+        w.delta[i] = c * w.f[i] - w.psi[i] - w.d[i];
+      }
+      if (bad) break;
+      lu_solve(n, w.M.data(), w.piv.data(), w.delta.data());
+      double dy = wrms(n, w.delta.data(), w.scale.data());
+      if (!std::isfinite(dy)) { bad = true; break; }
+      double rate = dy / dy_old;
+      for (int i = 0; i < n; ++i) { w.d[i] += w.delta[i]; w.y[i] += w.delta[i]; }
+      if (dy == 0.0 || (k > 0 && rate < 1.0 && rate / (1 - rate) * dy < newton_tol)) {
+        conv = true;
+        break;
+      }
+      if (k > 0 && rate >= 2.0) break;
+      dy_old = dy;
+    }
+
+    if (!conv || bad) {
+      if (!J_current) {
+        j_fn(t_new, w.y_pred.data(), params, w.J.data());
+        stats->n_jac_evals++;
+        J_current = true;
+        need_factor = true;
+        continue;  // retry same h with fresh J
+      }
+      stats->n_conv_fails++;
+      if (++consec_conv >= MAX_CONSECUTIVE_FAILS) return 4;
+      rescale_D(n, q, 0.5, w.D.data());
+      h = h_use * 0.5;
+      need_factor = true;
+      n_equal = 0;
+      continue;
+    }
+
+    // error test
+    for (int i = 0; i < n; ++i) w.err[i] = error_const[q] * w.d[i];
+    double err_norm = wrms(n, w.err.data(), w.scale.data());
+    if (err_norm > 1.0) {
+      stats->n_error_test_fails++;
+      if (++consec_err >= MAX_CONSECUTIVE_FAILS) return 4;
+      double factor = std::clamp(0.9 * std::pow(err_norm, -1.0 / (q + 1)),
+                                 MIN_FACTOR, 0.9);
+      rescale_D(n, q, factor, w.D.data());
+      h = h_use * factor;
+      need_factor = true;
+      n_equal = 0;
+      continue;
+    }
+
+    // accept
+    consec_err = consec_conv = 0;
+    update_D(n, q, w.d.data(), w.D.data());
+    t = t_new;
+    ++stats->n_steps;
+    ++n_equal;
+    J_current = false;
+
+    while (i_out < n_t && tvals[i_out] <= t + 1e-14 * std::fabs(t)) {
+      interpolate(n, q, w.D.data(), t, h_use, tvals[i_out],
+                  ys_out + (size_t)i_out * n);
+      ++i_out;
+    }
+
+    h = h_use;
+    // order/step adaptation
+    if (n_equal >= q + 1) {
+      double err_m = INFINITY, err_p = INFINITY;
+      if (q > 1) {
+        for (int i = 0; i < n; ++i)
+          w.err[i] = error_const[q - 1] * w.D[q * n + i];
+        err_m = wrms(n, w.err.data(), w.scale.data());
+      }
+      if (q < MAX_ORDER) {
+        for (int i = 0; i < n; ++i)
+          w.err[i] = error_const[q + 1] * w.D[(q + 2) * n + i];
+        err_p = wrms(n, w.err.data(), w.scale.data());
+      }
+      auto fac = [](double e, int qq) {
+        if (!std::isfinite(e)) return 0.0;
+        e = std::clamp(e, 1e-30, 1e30);
+        return 0.9 * std::pow(e, -1.0 / (qq + 1));
+      };
+      double f_m = fac(err_m, q - 1), f_0 = fac(err_norm, q), f_p = fac(err_p, q + 1);
+      int dq = 0;
+      double best = f_0;
+      if (f_m > best) { best = f_m; dq = -1; }
+      if (f_p > best) { best = f_p; dq = +1; }
+      best = std::clamp(best, MIN_FACTOR, MAX_FACTOR);
+      if (best >= THRESH || best < 1.0 || dq != 0) {
+        int q_new = std::clamp(q + dq, 1, MAX_ORDER);
+        rescale_D(n, q_new, best, w.D.data());
+        q = q_new;
+        h = h_use * best;
+        n_equal = 0;
+        need_factor = true;
+      }
+    }
+  }
+  stats->final_order = q;
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int cvbdf_solve(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
+                const double* params, int n_t, const double* tvals,
+                double rtol, const double* atol, int64_t max_steps,
+                double first_step, double* ys_out, int64_t* stats_out) {
+  Stats st;
+  int rc = solve_one(n, f_fn, j_fn, t0, y0, params, n_t, tvals, rtol, atol,
+                     max_steps, first_step, ys_out, &st);
+  if (stats_out) {
+    stats_out[0] = st.n_steps;
+    stats_out[1] = st.n_rhs_evals;
+    stats_out[2] = st.n_jac_evals;
+    stats_out[3] = st.n_factorizations;
+    stats_out[4] = st.n_newton_iters;
+    stats_out[5] = st.n_error_test_fails;
+    stats_out[6] = st.n_conv_fails;
+    stats_out[7] = st.final_order;
+  }
+  return rc;
+}
+
+// Threaded batch runner: the native chain executor (replaces the reference's
+// fork-per-chain multiprocessing on the CPU path).  y0/params have leading
+// batch dims; each chain is independent; statuses per chain.
+void cvbdf_solve_batch(int n, rhs_fn f_fn, jac_fn j_fn, double t0,
+                       const double* y0_batch, const double* params_batch,
+                       int n_params, int n_t, const double* tvals, double rtol,
+                       const double* atol, int64_t max_steps, int batch,
+                       int n_threads, double* ys_out_batch, int* status_out) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      Stats st;
+      status_out[b] = solve_one(
+          n, f_fn, j_fn, t0, y0_batch + (size_t)b * n,
+          params_batch + (size_t)b * n_params, n_t, tvals, rtol, atol,
+          max_steps, -1.0, ys_out_batch + (size_t)b * n_t * n, &st);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < std::min(n_threads, batch); ++i)
+    pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

@@ -1,0 +1,107 @@
+"""Native C++ integrator (cvbdf) + sympy->C codegen path."""
+
+import shutil
+
+import numpy as np
+import pytest
+from scipy.integrate import solve_ivp
+
+if shutil.which("g++") is None:  # pragma: no cover
+    pytest.skip("no C++ compiler available", allow_module_level=True)
+
+from sunode_tpu.symode import SympyProblem
+from sunode_tpu.native.cpu_solver import CpuSolver
+from sunode_tpu.solver import Solver, SolverError
+
+
+def lv(t, y, p):
+    return {
+        "hares": p.alpha * y.hares - p.beta * y.lynx * y.hares,
+        "lynx": p.delta * y.hares * y.lynx - p.gamma * y.lynx,
+    }
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return SympyProblem(
+        params={"alpha": (), "beta": (), "gamma": (), "delta": ()},
+        states={"hares": (), "lynx": ()},
+        rhs_sympy=lv,
+        derivative_params=[("alpha",)],
+    )
+
+
+PARAMS = {"alpha": 1.0, "beta": 0.3, "gamma": 1.0, "delta": 0.4}
+TVALS = np.linspace(0.5, 8, 7)
+
+
+@pytest.fixture(scope="module")
+def native(problem):
+    s = CpuSolver(problem, abstol=1e-10, reltol=1e-10)
+    s.set_params_dict(PARAMS)
+    return s
+
+
+def test_generated_c_source(native):
+    src = native.generated_source
+    assert "sunode_rhs" in src and "sunode_jac" in src
+    assert "out[0] =" in src
+
+
+def test_native_accuracy(native):
+    out = native.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    ref = solve_ivp(
+        lambda t, y: [y[0] - 0.3 * y[0] * y[1], 0.4 * y[0] * y[1] - y[1]],
+        (0, 8),
+        [10.0, 2.0],
+        t_eval=TVALS,
+        method="LSODA",
+        rtol=1e-12,
+        atol=1e-12,
+    ).y.T
+    err = np.abs((out - ref) / (np.abs(ref) + 1e-10)).max()
+    assert err < 1e-6
+    assert native.last_stats["n_steps"] > 100
+
+
+def test_native_matches_jax_solver(problem, native):
+    jax_solver = Solver(problem, abstol=1e-10, reltol=1e-10)
+    jax_solver.set_params_dict(PARAMS)
+    out_j = jax_solver.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    out_n = native.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    # two independent implementations of the same method; agreement well
+    # within the requested tolerance is the 'golden oracle' contract
+    np.testing.assert_allclose(out_n, out_j, rtol=1e-6, atol=1e-9)
+
+
+def test_native_batch_threaded(native):
+    B = 16
+    y0s = np.tile([10.0, 2.0], (B, 1)) * np.linspace(0.9, 1.1, B)[:, None]
+    out = native.solve(0.0, TVALS, y0s)
+    assert out.shape == (B, len(TVALS), 2)
+    solo = native.solve(0.0, TVALS, y0s[7])
+    np.testing.assert_allclose(out[7], solo, rtol=1e-12)
+
+
+def test_native_failure_raises(problem):
+    s = CpuSolver(problem, abstol=1e-10, reltol=1e-10, max_steps=3)
+    s.set_params_dict(PARAMS)
+    with pytest.raises(SolverError, match="max_steps|too many steps"):
+        s.solve(0.0, TVALS, np.array([10.0, 2.0]))
+
+
+def test_native_nested_vector_params():
+    def rhs(t, y, p):
+        return {"x": -p.rates.k[0] * y.x + p.rates.k[1]}
+
+    prob = SympyProblem(
+        params={"rates": {"k": (2,)}},
+        states={"x": ()},
+        rhs_sympy=rhs,
+        derivative_params=[],
+    )
+    s = CpuSolver(prob, abstol=1e-12, reltol=1e-10)
+    s.set_params_dict({"rates": {"k": [2.0, 1.0]}})
+    out = s.solve(0.0, np.array([1.0, 2.0]), np.array([3.0]))
+    expected = 0.5 + 2.5 * np.exp(-2.0 * np.array([1.0, 2.0]))
+    np.testing.assert_allclose(out[:, 0], expected, rtol=1e-7)
