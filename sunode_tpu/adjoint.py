@@ -265,8 +265,15 @@ def adjoint_backward_batched(
     params: jnp.ndarray,  # (B, n_p)
     n_deriv: int,
     options: BDFOptions = BDFOptions(rtol=1e-10, atol=1e-10),
+    method: str = "BDF",
 ) -> AdjointResult:
-    """Batch-native interval-wise backward solve (see ``adjoint_backward``)."""
+    """Batch-native interval-wise backward solve (see ``adjoint_backward``).
+
+    ``method='ADAMS'`` integrates the backward adjoint system with the
+    functional-iteration Adams core — appropriate when the forward problem is
+    non-stiff (the adjoint inherits the stiffness of the forward dynamics).
+    """
+    from sunode_tpu.ops.adams_batched import adams_solve_batched
     from sunode_tpu.ops.bdf_batched import bdf_solve_batched
 
     dtype = saved["y"].dtype
@@ -316,19 +323,33 @@ def adjoint_backward_batched(
 
         def do_solve(args):
             lam, q, h_prev = args
-            res = bdf_solve_batched(
-                rhs_b,
-                jac_b,
-                -t_hi,
-                lam,
-                params_t,
-                jnp.asarray([-t_lo], dtype),
-                quad_opts,
-                quad_rhs=quad_b,
-                quad0=q,
-                first_step=h_prev,
-                batched_fns=True,
-            )
+            if method == "ADAMS":
+                res = adams_solve_batched(
+                    rhs_b,
+                    -t_hi,
+                    lam,
+                    params_t,
+                    jnp.asarray([-t_lo], dtype),
+                    quad_opts,
+                    quad_rhs=quad_b,
+                    quad0=q,
+                    first_step=h_prev,
+                    batched_fns=True,
+                )
+            else:
+                res = bdf_solve_batched(
+                    rhs_b,
+                    jac_b,
+                    -t_hi,
+                    lam,
+                    params_t,
+                    jnp.asarray([-t_lo], dtype),
+                    quad_opts,
+                    quad_rhs=quad_b,
+                    quad0=q,
+                    first_step=h_prev,
+                    batched_fns=True,
+                )
             ok = res.status == 0  # (B,)
             lam_new = jnp.where(ok[:, None], res.ys[:, 0, :], jnp.nan)
             q_new = jnp.where(ok[:, None], res.quad[:, 0, :], jnp.nan)

@@ -1,0 +1,538 @@
+"""Batch-native Adams-Moulton integrator (non-stiff fast path).
+
+Structure-of-arrays companion to ``ops/adams.py``, built like
+``ops/bdf_batched.py`` (trailing batch axis, shared loop indices, unrolled
+masked iterations — see that module for the TPU rationale).  Functional
+iteration means NO Jacobians, NO factorizations and NO linear solves: each
+attempt is a handful of fused elementwise passes, which makes this the
+fastest path for non-stiff workloads (Lotka-Volterra chains, SIR
+epidemiological families) at roughly half the steps of BDF.
+
+Supports a quadrature block (combined z = [y | q]; quadratures ride the same
+corrector since they don't couple back), which is what the adjoint backward
+pass needs.  Sensitivities: use the BDF core.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sunode_tpu.ops.adams import (
+    _GAMMA,
+    _GAMMA_STAR,
+    _C_INT,
+    FUNCTIONAL_MAXITER,
+)
+from sunode_tpu.ops.bdf import (
+    MAX_CONSECUTIVE_FAILS,
+    MIN_FACTOR,
+    MAX_FACTOR,
+    STATUS,
+    THRESH,
+    BDFOptions,
+    BDFResult,
+)
+
+__all__ = ["adams_solve_batched"]
+
+
+def adams_solve_batched(
+    rhs: Callable,
+    t0,
+    y0: jnp.ndarray,  # (B, n)
+    params: jnp.ndarray,  # (B, n_p)
+    tvals: jnp.ndarray,  # (n_t,) shared
+    options: BDFOptions = BDFOptions(),
+    *,
+    quad_rhs: Optional[Callable] = None,
+    quad0: Optional[jnp.ndarray] = None,  # (B, m)
+    first_step: Optional[Any] = None,
+    batched_fns: bool = False,
+    max_order: int = 8,
+) -> BDFResult:
+    """Batched Adams solve; outputs leading-batch like ``bdf_solve_batched``."""
+    dtype = jnp.result_type(y0.dtype, jnp.float32)
+    y0 = jnp.asarray(y0, dtype).T  # (n, B)
+    n, B = y0.shape
+    t0 = jnp.asarray(t0, dtype)
+    tvals = jnp.asarray(tvals, dtype)
+    n_t = tvals.shape[0]
+    t_end = tvals[-1]
+    params = jnp.asarray(params, dtype).T
+
+    with_quad = quad_rhs is not None
+    m_quad = quad0.shape[1] if with_quad else 0
+    nz = n + m_quad
+    sl_y = slice(0, n)
+    sl_Q = slice(n, nz)
+
+    P_MAX = min(max_order, 12)
+    KAB = P_MAX + 3  # DF rows 0..p+2
+
+    if batched_fns:
+        rhs_b = rhs
+        quad_rhs_b = quad_rhs
+    else:
+        rhs_b = jax.vmap(rhs, in_axes=(0, 1, 1), out_axes=1)
+        if with_quad:
+            quad_rhs_b = jax.vmap(quad_rhs, in_axes=(0, 1, 1), out_axes=1)
+    if with_quad:
+        quad0_t = jnp.asarray(quad0, dtype).T
+
+    def fz(t, y):
+        """Combined derivative [f(y) | g(y)] -> (nz, B)."""
+        f = rhs_b(t, y, params)
+        if with_quad:
+            g = quad_rhs_b(t, y, params)
+            return jnp.concatenate([f, g])
+        return f
+
+    rtol = jnp.asarray(options.rtol, dtype)
+    atol = jnp.broadcast_to(jnp.asarray(options.atol, dtype), (n,))
+    gamma = jnp.asarray(_GAMMA, dtype)
+    gamma_star_abs = jnp.asarray(np.abs(_GAMMA_STAR), dtype)
+
+    # combined error weights over z
+    n_blocks = 1 + (1 if (with_quad and options.quad_err_con) else 0)
+    v_parts = [jnp.full((n,), 1.0 / (n * n_blocks), dtype)]
+    atol_parts = [atol]
+    rtol_parts = [jnp.full((n,), rtol, dtype)]
+    if with_quad:
+        quad_rtol = jnp.asarray(
+            options.quad_rtol if options.quad_rtol is not None else options.rtol, dtype
+        )
+        quad_atol = jnp.broadcast_to(
+            jnp.asarray(
+                options.quad_atol if options.quad_atol is not None else options.atol,
+                dtype,
+            ),
+            (m_quad,),
+        )
+        atol_parts.append(quad_atol)
+        rtol_parts.append(jnp.full((m_quad,), quad_rtol, dtype))
+        v_parts.append(
+            jnp.full(
+                (m_quad,),
+                (1.0 / (m_quad * n_blocks)) if options.quad_err_con else 0.0,
+                dtype,
+            )
+        )
+    atol_z = jnp.concatenate(atol_parts) if len(atol_parts) > 1 else atol_parts[0]
+    rtol_z = jnp.concatenate(rtol_parts) if len(rtol_parts) > 1 else rtol_parts[0]
+    v_err = jnp.concatenate(v_parts) if len(v_parts) > 1 else v_parts[0]
+
+    if options.constraints is not None:
+        constraints = jnp.broadcast_to(jnp.asarray(options.constraints, dtype), (n,))
+    else:
+        constraints = None
+
+    newton_tol = options.newton_tol_factor * jnp.maximum(
+        10 * jnp.finfo(dtype).eps / rtol, jnp.minimum(0.03, jnp.sqrt(rtol))
+    )
+
+    t0_b = jnp.full((B,), t0, dtype)
+    f0 = rhs_b(t0_b, y0, params)
+    fz0 = fz(t0_b, y0)
+    bad_init = ~(jnp.all(jnp.isfinite(y0), axis=0) & jnp.all(jnp.isfinite(f0), axis=0))
+
+    # initial step (Hairer-Wanner, order-1 estimate)
+    scale0 = atol[:, None] + rtol * jnp.abs(y0)
+    w0 = 1.0 / scale0
+    d0n = jnp.sqrt(jnp.mean((y0 * w0) ** 2, axis=0))
+    d1n = jnp.sqrt(jnp.mean((f0 * w0) ** 2, axis=0))
+    h0a = jnp.where((d0n < 1e-5) | (d1n < 1e-5), 1e-6, 0.01 * d0n / d1n)
+    h0a = jnp.minimum(h0a, 0.5 * (t_end - t0))
+    y1 = y0 + h0a[None, :] * f0
+    f1 = rhs_b(t0_b + h0a, y1, params)
+    d2n = jnp.sqrt(jnp.mean(((f1 - f0) * w0) ** 2, axis=0)) / h0a
+    dmn = jnp.maximum(d1n, d2n)
+    h1a = jnp.where(dmn <= 1e-15, jnp.maximum(1e-6, h0a * 1e-3), jnp.sqrt(0.01 / dmn))
+    h_auto = jnp.minimum(jnp.minimum(100 * h0a, h1a), t_end - t0)
+    h_auto = jnp.minimum(h_auto, options.max_step)
+    if first_step is not None:
+        fs = jnp.broadcast_to(jnp.asarray(first_step, dtype), (B,))
+        h0 = jnp.where(fs > 0, jnp.minimum(fs, t_end - t0), h_auto)
+    elif options.first_step is not None:
+        h0 = jnp.full((B,), options.first_step, dtype)
+    else:
+        h0 = h_auto
+    h0 = jnp.maximum(h0, 1e-12)
+
+    z0 = jnp.concatenate([y0, quad0_t]) if with_quad else y0
+    DF0 = jnp.zeros((KAB, nz, B), dtype).at[0].set(fz0)
+
+    save_steps = int(options.save_steps)
+    if save_steps > 0:
+        row0 = jnp.concatenate([t0_b[None, :], y0, f0])
+        buf0 = jnp.full((save_steps, 1 + 2 * n, B), jnp.inf, dtype)
+        buf0 = buf0.at[:, 1:, :].set(0.0).at[0].set(row0)
+        saved0 = {
+            "tyf": buf0,
+            "n_saved": jnp.ones((B,), jnp.int32),
+            "overflow": jnp.zeros((B,), bool),
+        }
+    else:
+        saved0 = None
+
+    zs0 = jnp.full((n_t, nz, B), jnp.nan, dtype)
+    emit_mask0 = tvals <= t0
+    zs0 = jnp.where(emit_mask0[:, None, None], z0[None], zs0)
+    i_out0 = jnp.full((B,), jnp.sum(emit_mask0), jnp.int32)
+
+    zeros_i = jnp.zeros((B,), jnp.int32)
+    carry0 = dict(
+        t=t0_b,
+        z=z0,
+        h=h0,
+        h_D=h0,
+        p=jnp.ones((B,), jnp.int32),
+        DF=DF0,
+        n_equal=zeros_i,
+        i_out=i_out0,
+        zs=zs0,
+        status=jnp.where(bad_init, STATUS["BAD_INIT"], -1).astype(jnp.int32),
+        consec_fails=zeros_i,
+        nsteps=zeros_i,
+        nfev=jnp.full((B,), 2, jnp.int32),
+        nniters=zeros_i,
+        n_err_fails=zeros_i,
+        n_conv_fails=zeros_i,
+        it=jnp.asarray(0, jnp.int32),
+        saved=saved0,
+    )
+
+    def lane_active(c):
+        return (c["status"] == -1) & (c["i_out"] < n_t)
+
+    def cond(c):
+        return jnp.any(lane_active(c))
+
+    def _rescale(DF, p, factor):
+        """R(factor)U rescale of the leading p block; unrolled elementwise."""
+        K = P_MAX + 1
+
+        def build(fac):
+            rows = [[jnp.ones_like(fac) for _ in range(K)]]
+            for i in range(1, K):
+                rows.append([rows[-1][j] * (i - 1 - fac * j) / i for j in range(K)])
+            out = []
+            for i in range(K):
+                row = []
+                for j in range(K):
+                    inblock = (i <= p - 1) & (j <= p - 1)
+                    eye = 1.0 if i == j else 0.0
+                    row.append(jnp.where(inblock, rows[i][j], eye))
+                out.append(row)
+            return out
+
+        R = build(factor)
+        U = build(jnp.ones_like(factor))
+        rowsD = [DF[j] for j in range(K)]
+        t1 = [sum(R[j][i][None, :] * rowsD[j] for j in range(K)) for i in range(K)]
+        head = [sum(U[j][i][None, :] * t1[j] for j in range(K)) for i in range(K)]
+        return DF.at[:K].set(jnp.stack(head))
+
+    def body(c):
+        active = lane_active(c)
+        t, p, z_prev = c["t"], c["p"], c["z"]
+        y_prev = z_prev[sl_y]
+
+        h_min_loc = 10 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t), jnp.abs(t_end))
+        underflow = active & (c["h"] < jnp.maximum(h_min_loc, options.min_step))
+        h_use = jnp.where(active, jnp.minimum(c["h"], t_end - t), c["h"])
+        t_new = t + h_use
+
+        pre_factor = h_use / jnp.maximum(c["h_D"], 1e-300)
+        DF = _rescale(c["DF"], p, pre_factor)
+
+        # predictor sums + f extrapolation (masked, unrolled)
+        K = P_MAX + 1
+        acc_z = jnp.zeros_like(z_prev)
+        f_extrap = jnp.zeros_like(z_prev)
+        for i in range(K):
+            m = jnp.where(i <= p - 1, 1.0, 0.0)[None, :]
+            acc_z = acc_z + m * gamma[i] * DF[i]
+            f_extrap = f_extrap + m * DF[i]
+        z_pred = z_prev + h_use[None, :] * acc_z
+        c_A = h_use * gamma[p - 1]  # (B,)
+
+        scale_z = atol_z[:, None] + rtol_z[:, None] * jnp.abs(z_pred)
+        w_z = 1.0 / scale_z
+        w_y = w_z[sl_y]
+        pred_ok = jnp.all(jnp.isfinite(z_pred), axis=0)
+
+        # fixed-point corrector (statically unrolled, per-lane masked)
+        y_it = z_pred[sl_y]
+        conv = ~active
+        div = jnp.zeros((B,), bool)
+        bad = jnp.zeros((B,), bool)
+        dy_old = jnp.full((B,), jnp.inf, dtype)
+        niter = zeros_i
+        fz_it = None
+        for k in range(FUNCTIONAL_MAXITER):
+            fz_k = fz(t_new, y_it)
+            bad_f = ~jnp.all(jnp.isfinite(fz_k), axis=0)
+            z_next = z_pred + c_A[None, :] * (fz_k - f_extrap)
+            delta = z_next[sl_y] - y_it
+            dy_norm = jnp.sqrt(jnp.mean((delta * w_y) ** 2, axis=0))
+            rate = dy_norm / dy_old
+            live = ~(conv | div | bad)
+            y_it = jnp.where(live[None, :], z_next[sl_y], y_it)
+            fz_it = fz_k if fz_it is None else jnp.where(live[None, :], fz_k, fz_it)
+            conv_new = (
+                (dy_norm == 0.0)
+                | ((k > 0) & (rate < 1.0) & (rate / (1 - rate) * dy_norm < newton_tol))
+                | (dy_norm < 0.1 * newton_tol)
+            )
+            div_new = (k > 0) & (rate >= 2.0)
+            bad = bad | (live & bad_f)
+            conv = conv | (live & conv_new & ~bad)
+            div = div | (live & div_new & ~conv_new)
+            niter = niter + live.astype(jnp.int32)
+            dy_old = jnp.where(live, dy_norm, dy_old)
+        conv = conv & ~bad & pred_ok
+        # final combined derivative at the converged y
+        fz_new = fz(t_new, y_it)
+        d_fz = fz_new - f_extrap  # (nz, B)
+        z_new = z_pred + c_A[None, :] * d_fz
+        y_new = z_new[sl_y]
+        nfev_n = niter + 1
+
+        if constraints is not None:
+            cns = constraints[:, None]
+            viol = (
+                ((cns == 1) & (y_new < 0))
+                | ((cns == -1) & (y_new > 0))
+                | ((cns == 2) & (y_new <= 0))
+                | ((cns == -2) & (y_new >= 0))
+            )
+            constraint_fail = jnp.any(viol, axis=0)
+        else:
+            constraint_fail = jnp.zeros((B,), bool)
+
+        # error test: LTE = |gamma*_p| h d_fz
+        DF_upd = _update(DF, p, d_fz)
+        gsp = gamma_star_abs[p]  # (B,)
+        err_rows = jnp.stack(
+            [
+                (gsp * h_use)[None, :] * d_fz,
+                (gamma_star_abs[jnp.maximum(p - 1, 0)] * h_use)[None, :]
+                * _take_row(DF_upd, p - 1),
+                (gamma_star_abs[jnp.minimum(p + 1, P_MAX + 1)] * h_use)[None, :]
+                * _take_row(DF_upd, p + 1),
+            ]
+        )
+        err3 = jnp.sqrt(
+            jnp.sum((err_rows * w_z[None]) ** 2 * v_err[None, :, None], axis=1)
+        )
+        err_norm = err3[0]
+        err_ok = err_norm <= 1.0
+        accept = active & conv & err_ok & ~constraint_fail
+        err_reject = active & conv & (~err_ok | constraint_fail)
+
+        n_equal = jnp.where(accept, c["n_equal"] + 1, 0)
+        t_next = jnp.where(accept, t_new, t)
+        z_next_carry = jnp.where(accept[None, :], z_new, z_prev)
+
+        # ---- emission (exact integral-basis interpolation) ---------------
+        def emit_cond(st):
+            i_out = st[0]
+            te = tvals[jnp.minimum(i_out, n_t - 1)]
+            pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
+            return jnp.any(pend)
+
+        def emit_body(st):
+            i_out, zs = st
+            te = tvals[jnp.minimum(i_out, n_t - 1)]
+            pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
+            s = (te - t_new) / h_use  # (B,)
+            acc = jnp.zeros_like(z_new)
+            for i in range(K):
+                coefs = _C_INT[i]
+                ci = jnp.zeros_like(s)
+                for a in coefs[::-1]:
+                    ci = ci * s + a
+                wgt = jnp.where(i <= p, ci, 0.0)
+                acc = acc + wgt[None, :] * DF_upd[i]
+            zi = z_new + h_use[None, :] * acc
+            onehot = jnp.arange(n_t)[:, None] == jnp.minimum(i_out, n_t - 1)[None, :]
+            write = onehot[:, None, :] & pend[None, None, :]
+            zs = jnp.where(write, zi[None], zs)
+            return i_out + pend.astype(jnp.int32), zs
+
+        i_out, zs = lax.while_loop(emit_cond, emit_body, (c["i_out"], c["zs"]))
+
+        # ---- checkpoint recording ----------------------------------------
+        if save_steps > 0:
+            sv = c["saved"]
+            row = jnp.concatenate([t_new[None, :], y_new, fz_new[sl_y]])
+            pad = jnp.concatenate(
+                [jnp.full((1, B), jnp.inf, dtype), jnp.zeros((2 * n, B), dtype)]
+            )
+            row = jnp.where(accept[None, :], row, pad)
+            slot = jnp.minimum(c["it"] + 1, save_steps - 1)
+            buf = lax.dynamic_update_index_in_dim(sv["tyf"], row, slot, 0)
+            overflow = sv["overflow"] | (accept & (c["it"] + 1 >= save_steps - 1))
+            sv = dict(
+                tyf=buf,
+                n_saved=sv["n_saved"] + accept.astype(jnp.int32),
+                overflow=overflow,
+            )
+        else:
+            sv = c["saved"]
+
+        # ---- order & step adaptation -------------------------------------
+        can_adapt = n_equal >= p + 1
+        err_m = jnp.where(p > 1, err3[1], jnp.inf)
+        err_p_ = jnp.where(p < P_MAX, err3[2], jnp.inf)
+
+        def fac(e, qq):
+            unavailable = ~jnp.isfinite(e)
+            e_safe = jnp.clip(e, 1e-30, 1e30)
+            f = 0.9 * e_safe ** (-1.0 / (qq + 1.0))
+            return jnp.where(unavailable, 0.0, f)
+
+        f_m = fac(err_m, (p - 1).astype(dtype))
+        f_0 = fac(err_norm, p.astype(dtype))
+        f_p = fac(err_p_, (p + 1).astype(dtype))
+        facs = jnp.stack([f_m, f_0, f_p])
+        best = jnp.argmax(facs, axis=0)
+        dq = best.astype(jnp.int32) - 1
+        factor_best = jnp.clip(
+            jnp.take_along_axis(facs, best[None, :], axis=0)[0], MIN_FACTOR, MAX_FACTOR
+        )
+        do_change = can_adapt & (
+            (factor_best >= THRESH) | (factor_best < 1.0) | (dq != 0)
+        )
+        p_acc = jnp.where(do_change, jnp.clip(p + dq, 1, P_MAX), p)
+        factor_acc = jnp.where(do_change, factor_best, 1.0)
+        factor_acc = jnp.minimum(
+            factor_acc, options.max_step / jnp.maximum(h_use, 1e-300)
+        )
+        n_equal = jnp.where(do_change & accept, 0, n_equal)
+
+        factor_rej = jnp.clip(
+            0.9 * jnp.clip(err_norm, 1e-30, 1e30) ** (-1.0 / (p + 1.0)),
+            MIN_FACTOR,
+            0.9,
+        )
+        factor_rej = jnp.where(constraint_fail & err_ok, 0.25, factor_rej)
+        factor_fail = jnp.where(active & ~conv, 0.25, factor_rej)
+
+        factor_next = jnp.where(accept, factor_acc, factor_fail)
+        h_next = jnp.where(active, h_use * factor_next, c["h"])
+        p_next = jnp.where(accept, p_acc, p)
+        DF_next = jnp.where(accept[None, None, :], DF_upd, DF)
+        DF_next = jnp.where(active[None, None, :], DF_next, c["DF"])
+
+        cfails = jnp.where(accept, 0, c["consec_fails"] + active.astype(jnp.int32))
+        too_many = cfails >= MAX_CONSECUTIVE_FAILS
+
+        status = c["status"]
+        status = jnp.where(
+            (status == -1) & active & too_many & ~accept,
+            STATUS["REPEATED_FAILURES"],
+            status,
+        )
+        nsteps = c["nsteps"] + accept.astype(jnp.int32)
+        status = jnp.where(
+            (status == -1) & active & (nsteps >= options.max_steps),
+            STATUS["MAX_STEPS"],
+            status,
+        )
+        status = jnp.where((status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status)
+
+        return dict(
+            t=t_next,
+            z=z_next_carry,
+            h=h_next,
+            h_D=jnp.where(active, h_use, c["h_D"]),
+            p=p_next,
+            DF=DF_next,
+            n_equal=n_equal.astype(jnp.int32),
+            i_out=i_out,
+            zs=zs,
+            status=status.astype(jnp.int32),
+            consec_fails=cfails.astype(jnp.int32),
+            nsteps=nsteps,
+            nfev=c["nfev"] + nfev_n,
+            nniters=c["nniters"] + niter,
+            n_err_fails=c["n_err_fails"] + err_reject.astype(jnp.int32),
+            n_conv_fails=c["n_conv_fails"] + (active & ~conv).astype(jnp.int32),
+            it=c["it"] + 1,
+            saved=sv,
+        )
+
+    def _take_row(DF, idx):
+        return jnp.take_along_axis(
+            DF, jnp.broadcast_to(jnp.clip(idx, 0, KAB - 1)[None, None, :], (1, nz, B)), axis=0
+        )[0]
+
+    def _update(DF, p, d_fz):
+        """Accepted-step f-difference update (J = p-1):
+        i<=p-1: sum_{j=i..p-1} DF[j] + d;  i==p: d;  i==p+1: d - DF[p]."""
+        S = [None] * (KAB + 1)
+        S[KAB] = jnp.zeros_like(DF[0])
+        for i in range(KAB - 1, -1, -1):
+            S[i] = S[i + 1] + DF[i]
+        S_stack = jnp.stack(S)
+        Sp = jnp.take_along_axis(
+            S_stack, jnp.broadcast_to(p[None, None, :], (1, nz, B)), axis=0
+        )[0]  # S[p]
+        DFp = _take_row(DF, p)
+        rows = []
+        for i in range(KAB):
+            low = (i <= p - 1)[None, :]
+            is_p = (i == p)[None, :]
+            is_p1 = (i == p + 1)[None, :]
+            val = jnp.where(
+                low,
+                S[i] - Sp + d_fz,
+                jnp.where(is_p, d_fz, jnp.where(is_p1, d_fz - DFp, DF[i])),
+            )
+            rows.append(val)
+        return jnp.stack(rows)
+
+    final = lax.while_loop(cond, body, carry0)
+
+    status = jnp.where(
+        final["status"] == -1, STATUS["SUCCESS"], final["status"]
+    ).astype(jnp.int32)
+    stats = dict(
+        n_steps=final["nsteps"],
+        n_rhs_evals=final["nfev"],
+        n_jac_evals=jnp.zeros((B,), jnp.int32),
+        n_factorizations=jnp.zeros((B,), jnp.int32),
+        n_newton_iters=final["nniters"],
+        n_error_test_fails=final["n_err_fails"],
+        n_conv_fails=final["n_conv_fails"],
+        final_order=final["p"],
+        final_step_size=final["h"],
+        final_time=final["t"],
+        n_attempts=final["it"],
+    )
+    if save_steps > 0:
+        buf = final["saved"]["tyf"]
+        order = jnp.argsort(buf[:, 0, :], axis=0)
+        buf = jnp.take_along_axis(buf, order[:, None, :], axis=0)
+        saved_out = {
+            "t": buf[:, 0, :],
+            "y": buf[:, 1 : n + 1, :],
+            "f": buf[:, n + 1 :, :],
+            "n_saved": final["saved"]["n_saved"],
+            "overflow": final["saved"]["overflow"],
+        }
+    else:
+        saved_out = None
+
+    zs = final["zs"]
+    ys = jnp.moveaxis(zs[:, sl_y, :], 2, 0)
+    quad = jnp.moveaxis(zs[:, sl_Q, :], 2, 0) if with_quad else None
+    return BDFResult(
+        ys=ys, status=status, stats=stats, saved=saved_out, sens=None, quad=quad
+    )

@@ -192,6 +192,7 @@ def make_batched_solve_fn(
     options: BDFOptions = BDFOptions(),
     adjoint_options: Optional[BDFOptions] = None,
     checkpoint_n: int = 1024,
+    method: str = "BDF",
 ) -> Callable:
     """Batch-native differentiable solver (the 10k-chains fast path).
 
@@ -202,12 +203,21 @@ def make_batched_solve_fn(
     'adjoint' and None gradient modes for now.
     """
     from sunode_tpu.adjoint import adjoint_backward_batched, make_hermite_eval_batched
+    from sunode_tpu.ops.adams_batched import adams_solve_batched
     from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+
+    if method not in ("BDF", "ADAMS"):
+        raise ValueError("method must be 'BDF' or 'ADAMS'")
 
     rhs = problem.make_rhs()
     jac = problem.make_jac_dense()
     spec = problem.params
     n_deriv = problem.n_params
+
+    def _forward(t0, y0, p, tvals, opts):
+        if method == "ADAMS":
+            return adams_solve_batched(rhs, t0, y0, p, tvals, opts)
+        return bdf_solve_batched(rhs, jac, t0, y0, p, tvals, opts)
 
     if adjoint_options is None:
         adjoint_options = BDFOptions(rtol=1e-10, atol=1e-10)
@@ -225,7 +235,7 @@ def make_batched_solve_fn(
 
         def solve(t0, y0, p_sub, p_fix, tvals):
             p = _combine(p_sub, p_fix)
-            res = bdf_solve_batched(rhs, jac, t0, y0, p, tvals, options)
+            res = _forward(t0, y0, p, tvals, options)
             return _poison_b(res.ys, res.status)
 
         return solve
@@ -242,12 +252,12 @@ def make_batched_solve_fn(
     @jax.custom_vjp
     def solve(t0, y0, p_sub, p_fix, tvals):
         p = _combine(p_sub, p_fix)
-        res = bdf_solve_batched(rhs, jac, t0, y0, p, tvals, options)
+        res = _forward(t0, y0, p, tvals, options)
         return _poison_b(res.ys, res.status)
 
     def solve_fwd(t0, y0, p_sub, p_fix, tvals):
         p = _combine(p_sub, p_fix)
-        res = bdf_solve_batched(rhs, jac, t0, y0, p, tvals, fwd_options)
+        res = _forward(t0, y0, p, tvals, fwd_options)
         ys = _poison_b(res.ys, res.status)
         return ys, (t0, y0, p_sub, p_fix, tvals, res.saved, res.status)
 
@@ -266,6 +276,7 @@ def make_batched_solve_fn(
             p,
             n_deriv,
             adjoint_options,
+            method=method,
         )
         bad = (status != 0) | (adj.status != 0)
         lam = jnp.where(bad[:, None], jnp.nan, adj.lamda)  # (B, n)
