@@ -418,12 +418,24 @@ def adams_solve(
         factor_rej = jnp.where(constraint_fail & err_ok, 0.25, factor_rej)
         factor_fail = jnp.where(~conv, 0.25, factor_rej)  # conv failure: h/4 (CVODES ETACF)
 
-        factor_next = jnp.where(accept, factor_acc, factor_fail)
+        # breakdown detector: marginal accepts (err > 0.5) don't clear the
+        # failure counter; after 4 accumulated failures, RESET the history
+        # (keep only nabla^0 f, which is exact at the last accepted point)
+        # and restart at order 1 — recovers from corrupted high-order
+        # differences that otherwise drive an h-collapse.
+        cfails_fail = c["consec_fails"] + 1
+        reset = ~accept & (cfails_fail >= 4)
+        cfails = jnp.where(
+            accept,
+            jnp.where(err_norm <= 0.5, 0, c["consec_fails"]),
+            jnp.where(reset, 0, cfails_fail),
+        )
+        factor_next = jnp.where(accept, factor_acc, jnp.where(reset, 0.25, factor_fail))
         h_next = h_use * factor_next
-        p_next = jnp.where(accept, p_acc, p)
-        DF_next = jnp.where(accept, DF_upd, DF)
+        p_next = jnp.where(accept, p_acc, jnp.where(reset, 1, p))
+        row0 = (jnp.arange(KA) == 0).astype(dtype)[:, None]
+        DF_next = jnp.where(accept, DF_upd, jnp.where(reset, DF * row0, DF))
 
-        cfails = jnp.where(accept, 0, c["consec_fails"] + 1)
         too_many = cfails >= MAX_CONSECUTIVE_FAILS
 
         status = c["status"]

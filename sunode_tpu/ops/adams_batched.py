@@ -424,13 +424,24 @@ def adams_solve_batched(
         factor_rej = jnp.where(constraint_fail & err_ok, 0.25, factor_rej)
         factor_fail = jnp.where(active & ~conv, 0.25, factor_rej)
 
-        factor_next = jnp.where(accept, factor_acc, factor_fail)
+        # breakdown detector (see ops/adams.py): marginal accepts keep the
+        # failure counter; 4 accumulated failures trigger a per-lane history
+        # RESET (keep nabla^0 f only) and an order-1 restart.
+        failed_lane = active & ~accept
+        cfails_fail = c["consec_fails"] + 1
+        reset = failed_lane & (cfails_fail >= 4)
+        cfails = jnp.where(
+            accept,
+            jnp.where(err_norm <= 0.5, 0, c["consec_fails"]),
+            jnp.where(reset, 0, jnp.where(failed_lane, cfails_fail, c["consec_fails"])),
+        )
+        factor_next = jnp.where(accept, factor_acc, jnp.where(reset, 0.25, factor_fail))
         h_next = jnp.where(active, h_use * factor_next, c["h"])
-        p_next = jnp.where(accept, p_acc, p)
-        DF_next = jnp.where(accept[None, None, :], DF_upd, DF)
+        p_next = jnp.where(accept, p_acc, jnp.where(reset, 1, p))
+        row0 = (jnp.arange(KAB) == 0).astype(dtype)[:, None, None]
+        DF_next = jnp.where(accept[None, None, :], DF_upd, jnp.where(reset[None, None, :], DF * row0, DF))
         DF_next = jnp.where(active[None, None, :], DF_next, c["DF"])
 
-        cfails = jnp.where(accept, 0, c["consec_fails"] + active.astype(jnp.int32))
         too_many = cfails >= MAX_CONSECUTIVE_FAILS
 
         status = c["status"]

@@ -784,12 +784,26 @@ def bdf_solve(
         factor_fail = jnp.where(refresh_J, 1.0, jnp.where(halve, 0.5, factor_rej))
 
         # ----- merge: next h target; D spacing stays h_use (lazy rescale) --
-        factor_next = jnp.where(accept, factor_acc, factor_fail)
+        # breakdown detector (see ops/adams.py): marginal accepts keep the
+        # failure counter; 4 accumulated failures trigger a history RESET
+        # (keep y and the first difference only) and an order-1 restart.
+        cef_fail = c["consec_err_fails"] + 1
+        reset = ~accept & err_reject & (cef_fail >= 4)
+        factor_next = jnp.where(
+            accept, factor_acc, jnp.where(reset, 0.25, factor_fail)
+        )
         h_next = h_use * factor_next
-        q_next = jnp.where(accept, q_acc, q)
-        D_next = jnp.where(accept, D_upd, D)
+        q_next = jnp.where(accept, q_acc, jnp.where(reset, 1, q))
+        rows01 = (jnp.arange(KD) <= 1).astype(dtype).reshape(
+            (KD,) + (1,) * (D.ndim - 1)
+        )
+        D_next = jnp.where(accept, D_upd, jnp.where(reset, D * rows01, D))
 
-        cef = jnp.where(accept, 0, c["consec_err_fails"] + jnp.where(err_reject, 1, 0))
+        cef = jnp.where(
+            accept,
+            jnp.where(err_norm_tot <= 0.5, 0, c["consec_err_fails"]),
+            jnp.where(reset, 0, c["consec_err_fails"] + jnp.where(err_reject, 1, 0)),
+        )
         ccf = jnp.where(
             accept,
             0,

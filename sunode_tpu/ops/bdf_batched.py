@@ -679,13 +679,29 @@ def bdf_solve_batched(
         factor_rej = jnp.where(constraint_fail & err_ok, 0.25, factor_rej)
         factor_fail = jnp.where(refresh_J, 1.0, jnp.where(halve, 0.5, factor_rej))
 
-        factor_next = jnp.where(accept, factor_acc, factor_fail)
+        # breakdown detector (see ops/adams.py): marginal accepts keep the
+        # failure counter; 4 accumulated failures trigger a per-lane history
+        # RESET (keep y and the first difference only) and an order-1 restart.
+        cef_fail = c["consec_err_fails"] + 1
+        reset = active & ~accept & err_reject & (cef_fail >= 4)
+        factor_next = jnp.where(
+            accept, factor_acc, jnp.where(reset, 0.25, factor_fail)
+        )
         h_next = jnp.where(active, h_use * factor_next, c["h"])
-        q_next = jnp.where(accept, q_acc, q)
-        D_next = jnp.where(accept[None, None, :], D_upd, D)
+        q_next = jnp.where(accept, q_acc, jnp.where(reset, 1, q))
+        rows01 = (jnp.arange(KD) <= 1).astype(dtype)[:, None, None]
+        D_next = jnp.where(
+            accept[None, None, :], D_upd, jnp.where(reset[None, None, :], D * rows01, D)
+        )
         D_next = jnp.where(active[None, None, :], D_next, c["D"])
 
-        cef = jnp.where(accept, 0, c["consec_err_fails"] + err_reject.astype(jnp.int32))
+        cef = jnp.where(
+            accept,
+            jnp.where(err_norm_tot <= 0.5, 0, c["consec_err_fails"]),
+            jnp.where(
+                reset, 0, c["consec_err_fails"] + err_reject.astype(jnp.int32)
+            ),
+        )
         ccf = jnp.where(
             accept,
             0,
