@@ -306,6 +306,43 @@ def adjoint_backward_batched(
 
     quad_opts = options._replace(quad_err_con=True, save_steps=0)
 
+    if method == "ADAMS":
+        # FUSED backward: one loop over the whole backward span with
+        # in-loop cotangent injections (history reset + warm step size at
+        # each observation) instead of one cold solver start per interval.
+        lam0 = grads[:, -1, :]  # inject the last observation at the start
+        q0 = jnp.zeros((B, n_deriv), dtype)
+        ev_times = (-tvals[:-1])[::-1]  # ascending tau events
+        ev_deltas = jnp.flip(grads[:, :-1, :], axis=1)  # (B, n_e, n)
+        ev_deltas = jnp.moveaxis(ev_deltas, 0, 2)  # (n_e, n, B)
+        res = adams_solve_batched(
+            rhs_b,
+            -tvals[-1],
+            lam0,
+            params_t,
+            jnp.asarray([-t0], dtype),
+            quad_opts,
+            quad_rhs=quad_b,
+            quad0=q0,
+            batched_fns=True,
+            inject_times=ev_times,
+            inject_deltas=ev_deltas,
+        )
+        zfin = res.stats["final_state"]  # (B, n + n_deriv)
+        ok = res.status == 0
+        lam = jnp.where(ok[:, None], zfin[:, :n], jnp.nan)
+        q = jnp.where(ok[:, None], zfin[:, n:], jnp.nan)
+        overflow = saved["overflow"]
+        lam = jnp.where(overflow[:, None], jnp.nan, lam)
+        q = jnp.where(overflow[:, None], jnp.nan, q)
+        status = jnp.where(overflow, 99, res.status)
+        return AdjointResult(
+            lamda=lam,
+            quad=q,
+            status=status.astype(jnp.int32),
+            stats=dict(n_backward_steps=res.stats["n_steps"]),
+        )
+
     lam0 = jnp.zeros((B, n), dtype)
     q0 = jnp.zeros((B, n_deriv), dtype)
 

@@ -54,6 +54,8 @@ def adams_solve_batched(
     first_step: Optional[Any] = None,
     batched_fns: bool = False,
     max_order: int = 8,
+    inject_times: Optional[jnp.ndarray] = None,  # (n_e,) ascending, shared
+    inject_deltas: Optional[jnp.ndarray] = None,  # (n_e, n, B) added to y
 ) -> BDFResult:
     """Batched Adams solve; outputs leading-batch like ``bdf_solve_batched``."""
     dtype = jnp.result_type(y0.dtype, jnp.float32)
@@ -64,6 +66,11 @@ def adams_solve_batched(
     n_t = tvals.shape[0]
     t_end = tvals[-1]
     params = jnp.asarray(params, dtype).T
+
+    with_inject = inject_times is not None
+    if with_inject:
+        inject_times = jnp.asarray(inject_times, dtype)
+        n_ev = inject_times.shape[0]
 
     with_quad = quad_rhs is not None
     m_quad = quad0.shape[1] if with_quad else 0
@@ -203,6 +210,7 @@ def adams_solve_batched(
         n_err_fails=zeros_i,
         n_conv_fails=zeros_i,
         it=jnp.asarray(0, jnp.int32),
+        i_ev=zeros_i,
         saved=saved0,
     )
 
@@ -244,7 +252,17 @@ def adams_solve_batched(
 
         h_min_loc = 10 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t), jnp.abs(t_end))
         underflow = active & (c["h"] < jnp.maximum(h_min_loc, options.min_step))
-        h_use = jnp.where(active, jnp.minimum(c["h"], t_end - t), c["h"])
+        if with_inject:
+            i_ev = c["i_ev"]
+            t_lim = jnp.where(
+                i_ev < n_ev,
+                inject_times[jnp.minimum(i_ev, n_ev - 1)],
+                t_end,
+            )
+            t_lim = jnp.minimum(t_lim, t_end)
+        else:
+            t_lim = t_end
+        h_use = jnp.where(active, jnp.minimum(c["h"], t_lim - t), c["h"])
         t_new = t + h_use
 
         pre_factor = h_use / jnp.maximum(c["h_D"], 1e-300)
@@ -338,6 +356,31 @@ def adams_solve_batched(
         n_equal = jnp.where(accept, c["n_equal"] + 1, 0)
         t_next = jnp.where(accept, t_new, t)
         z_next_carry = jnp.where(accept[None, :], z_new, z_prev)
+
+        if with_inject:
+            tiny_ev = 1e-12 * (1.0 + jnp.abs(t_lim))
+            at_event = accept & (i_ev < n_ev) & (t_new >= t_lim - tiny_ev)
+            delta_ev = jnp.take_along_axis(
+                inject_deltas,
+                jnp.broadcast_to(
+                    jnp.minimum(i_ev, n_ev - 1)[None, None, :],
+                    (1,) + inject_deltas.shape[1:],
+                ),
+                axis=0,
+            )[0]  # (n, B)
+            y_inj = z_new[sl_y] + jnp.where(at_event[None, :], delta_ev, 0.0)
+            z_inj = (
+                jnp.concatenate([y_inj, z_new[sl_Q]]) if with_quad else y_inj
+            )
+            z_next_carry = jnp.where(
+                (accept & at_event)[None, :], z_inj, z_next_carry
+            )
+            # the state jumped: rebuild the history from scratch with
+            # DF[0] = f(z_injected), order 1 (warm h is kept)
+            fz_inj = fz(t_new, y_inj)
+            i_ev_next = i_ev + at_event.astype(jnp.int32)
+        else:
+            at_event = jnp.zeros((B,), bool)
 
         # ---- emission (exact integral-basis interpolation) ---------------
         def emit_cond(st):
@@ -440,6 +483,13 @@ def adams_solve_batched(
         p_next = jnp.where(accept, p_acc, jnp.where(reset, 1, p))
         row0 = (jnp.arange(KAB) == 0).astype(dtype)[:, None, None]
         DF_next = jnp.where(accept[None, None, :], DF_upd, jnp.where(reset[None, None, :], DF * row0, DF))
+        if with_inject:
+            DF_event = jnp.zeros_like(DF_next).at[0].set(fz_inj)
+            DF_next = jnp.where(at_event[None, None, :], DF_event, DF_next)
+            p_next = jnp.where(at_event, 1, p_next)
+            n_equal = jnp.where(at_event, 0, n_equal)
+            # keep the step size but don't overshoot what worked before
+            h_next = jnp.where(at_event, h_use, h_next)
         DF_next = jnp.where(active[None, None, :], DF_next, c["DF"])
 
         too_many = cfails >= MAX_CONSECUTIVE_FAILS
@@ -476,6 +526,7 @@ def adams_solve_batched(
             n_err_fails=c["n_err_fails"] + err_reject.astype(jnp.int32),
             n_conv_fails=c["n_conv_fails"] + (active & ~conv).astype(jnp.int32),
             it=c["it"] + 1,
+            i_ev=i_ev_next if with_inject else c["i_ev"],
             saved=sv,
         )
 
@@ -526,6 +577,9 @@ def adams_solve_batched(
         final_step_size=final["h"],
         final_time=final["t"],
         n_attempts=final["it"],
+        # final carried state (leading batch): the fused backward pass reads
+        # lambda/quad from here (post-injection), not from the emissions
+        final_state=final["z"].T,
     )
     if save_steps > 0:
         buf = final["saved"]["tyf"]
