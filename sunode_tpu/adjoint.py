@@ -315,18 +315,33 @@ def adjoint_backward_batched(
         ev_times = (-tvals[:-1])[::-1]  # ascending tau events
         ev_deltas = jnp.flip(grads[:, :-1, :], axis=1)  # (B, n_e, n)
         ev_deltas = jnp.moveaxis(ev_deltas, 0, 2)  # (n_e, n, B)
+
+        # y(t) along the recorded forward trajectory is independent of
+        # lambda, so it is staged ONCE per step attempt instead of once per
+        # corrector iteration (the Hermite gather is the single most
+        # expensive op in the backward loop)
+        def stage_y(tau):
+            return y_at(-tau)
+
+        def rhs_staged(tau, lam, p, y):
+            return -aj_rhs_b(-tau, y, lam, p)
+
+        def quad_staged(tau, lam, p, y):
+            return q_rhs_b(-tau, y, lam, p)
+
         res = adams_solve_batched(
-            rhs_b,
+            rhs_staged,
             -tvals[-1],
             lam0,
             params_t,
             jnp.asarray([-t0], dtype),
             quad_opts,
-            quad_rhs=quad_b,
+            quad_rhs=quad_staged,
             quad0=q0,
             batched_fns=True,
             inject_times=ev_times,
             inject_deltas=ev_deltas,
+            stage_fn=stage_y,
         )
         zfin = res.stats["final_state"]  # (B, n + n_deriv)
         ok = res.status == 0

@@ -56,6 +56,7 @@ def adams_solve_batched(
     max_order: int = 8,
     inject_times: Optional[jnp.ndarray] = None,  # (n_e,) ascending, shared
     inject_deltas: Optional[jnp.ndarray] = None,  # (n_e, n, B) added to y
+    stage_fn: Optional[Callable] = None,  # t(B,) -> aux, computed ONCE per attempt
 ) -> BDFResult:
     """Batched Adams solve; outputs leading-batch like ``bdf_solve_batched``."""
     dtype = jnp.result_type(y0.dtype, jnp.float32)
@@ -91,8 +92,21 @@ def adams_solve_batched(
     if with_quad:
         quad0_t = jnp.asarray(quad0, dtype).T
 
-    def fz(t, y):
-        """Combined derivative [f(y) | g(y)] -> (nz, B)."""
+    with_stage = stage_fn is not None
+
+    def fz(t, y, stage=None):
+        """Combined derivative [f(y) | g(y)] -> (nz, B).
+
+        ``stage`` is per-attempt precomputed context (e.g. the interpolated
+        forward trajectory in the adjoint backward pass — it does NOT depend
+        on the iterated state, so it is evaluated once per attempt rather
+        than once per corrector iteration)."""
+        if with_stage:
+            f = rhs_b(t, y, params, stage)
+            if with_quad:
+                g = quad_rhs_b(t, y, params, stage)
+                return jnp.concatenate([f, g])
+            return f
         f = rhs_b(t, y, params)
         if with_quad:
             g = quad_rhs_b(t, y, params)
@@ -143,8 +157,12 @@ def adams_solve_batched(
     )
 
     t0_b = jnp.full((B,), t0, dtype)
-    f0 = rhs_b(t0_b, y0, params)
-    fz0 = fz(t0_b, y0)
+    stage0 = stage_fn(t0_b) if with_stage else None
+    if with_stage:
+        f0 = rhs_b(t0_b, y0, params, stage0)
+    else:
+        f0 = rhs_b(t0_b, y0, params)
+    fz0 = fz(t0_b, y0, stage0)
     bad_init = ~(jnp.all(jnp.isfinite(y0), axis=0) & jnp.all(jnp.isfinite(f0), axis=0))
 
     # initial step (Hairer-Wanner, order-1 estimate)
@@ -155,7 +173,10 @@ def adams_solve_batched(
     h0a = jnp.where((d0n < 1e-5) | (d1n < 1e-5), 1e-6, 0.01 * d0n / d1n)
     h0a = jnp.minimum(h0a, 0.5 * (t_end - t0))
     y1 = y0 + h0a[None, :] * f0
-    f1 = rhs_b(t0_b + h0a, y1, params)
+    if with_stage:
+        f1 = rhs_b(t0_b + h0a, y1, params, stage_fn(t0_b + h0a))
+    else:
+        f1 = rhs_b(t0_b + h0a, y1, params)
     d2n = jnp.sqrt(jnp.mean(((f1 - f0) * w0) ** 2, axis=0)) / h0a
     dmn = jnp.maximum(d1n, d2n)
     h1a = jnp.where(dmn <= 1e-15, jnp.maximum(1e-6, h0a * 1e-3), jnp.sqrt(0.01 / dmn))
@@ -284,6 +305,8 @@ def adams_solve_batched(
         w_y = w_z[sl_y]
         pred_ok = jnp.all(jnp.isfinite(z_pred), axis=0)
 
+        stage = stage_fn(t_new) if with_stage else None
+
         # fixed-point corrector (statically unrolled, per-lane masked)
         y_it = z_pred[sl_y]
         conv = ~active
@@ -293,7 +316,7 @@ def adams_solve_batched(
         niter = zeros_i
         fz_it = None
         for k in range(FUNCTIONAL_MAXITER):
-            fz_k = fz(t_new, y_it)
+            fz_k = fz(t_new, y_it, stage)
             bad_f = ~jnp.all(jnp.isfinite(fz_k), axis=0)
             z_next = z_pred + c_A[None, :] * (fz_k - f_extrap)
             delta = z_next[sl_y] - y_it
@@ -315,7 +338,7 @@ def adams_solve_batched(
             dy_old = jnp.where(live, dy_norm, dy_old)
         conv = conv & ~bad & pred_ok
         # final combined derivative at the converged y
-        fz_new = fz(t_new, y_it)
+        fz_new = fz(t_new, y_it, stage)
         d_fz = fz_new - f_extrap  # (nz, B)
         z_new = z_pred + c_A[None, :] * d_fz
         y_new = z_new[sl_y]
@@ -377,7 +400,7 @@ def adams_solve_batched(
             )
             # the state jumped: rebuild the history from scratch with
             # DF[0] = f(z_injected), order 1 (warm h is kept)
-            fz_inj = fz(t_new, y_inj)
+            fz_inj = fz(t_new, y_inj, stage)
             i_ev_next = i_ev + at_event.astype(jnp.int32)
         else:
             at_event = jnp.zeros((B,), bool)
@@ -531,9 +554,13 @@ def adams_solve_batched(
         )
 
     def _take_row(DF, idx):
-        return jnp.take_along_axis(
-            DF, jnp.broadcast_to(jnp.clip(idx, 0, KAB - 1)[None, None, :], (1, nz, B)), axis=0
-        )[0]
+        # masked sum instead of take_along_axis: gathers over the tiny
+        # leading axis are ~5x slower than KAB fused selects at large B
+        idx = jnp.clip(idx, 0, KAB - 1)
+        out = jnp.zeros_like(DF[0])
+        for i in range(KAB):
+            out = out + jnp.where(i == idx, 1.0, 0.0)[None, :] * DF[i]
+        return out
 
     def _update(DF, p, d_fz):
         """Accepted-step f-difference update (J = p-1):
@@ -542,10 +569,9 @@ def adams_solve_batched(
         S[KAB] = jnp.zeros_like(DF[0])
         for i in range(KAB - 1, -1, -1):
             S[i] = S[i + 1] + DF[i]
-        S_stack = jnp.stack(S)
-        Sp = jnp.take_along_axis(
-            S_stack, jnp.broadcast_to(p[None, None, :], (1, nz, B)), axis=0
-        )[0]  # S[p]
+        Sp = jnp.zeros_like(DF[0])
+        for i in range(KAB + 1):
+            Sp = Sp + jnp.where(i == p, 1.0, 0.0)[None, :] * S[i]
         DFp = _take_row(DF, p)
         rows = []
         for i in range(KAB):
