@@ -226,9 +226,50 @@ def _searchsorted_b(ts, t):
 def make_hermite_eval_batched(saved: dict) -> Callable:
     """Trailing-batch cubic Hermite evaluator.
 
-    ``saved``: t (S, B), y (S, n, B), f (S, n, B), n_saved (B,) — the layout
-    produced by ``bdf_solve_batched``.  Returns ``y_at(t_b) -> (n, B)``."""
-    ts, ys, fs, n_saved = saved["t"], saved["y"], saved["f"], saved["n_saved"]
+    ``saved``: t (S, B), n_saved (B,), and either a packed tyf (S, 1+2n, B)
+    or split y/f (S, n, B) arrays — the layout produced by the batched
+    cores.  Returns ``y_at(t_b) -> (n, B)``.
+
+    With the packed buffer each evaluation is exactly two row gathers
+    (the bracketing rows) instead of six strided ones."""
+    ts, n_saved = saved["t"], saved["n_saved"]
+
+    # NOTE: measured on v5e — six strided gathers from the split (S,n,B)
+    # arrays beat two gathers from the packed (S,1+2n,B) buffer by ~1.4x
+    # (the packed row gather tiles poorly); prefer split when available.
+    if "tyf" in saved and "y" not in saved:
+        tyf = saved["tyf"]
+        S, W, B = tyf.shape
+        n = (W - 1) // 2
+
+        def row_at(i):
+            return jnp.take_along_axis(
+                tyf, jnp.broadcast_to(i[None, None, :], (1, W, B)), axis=0
+            )[0]  # (W, B)
+
+        def y_at(t):
+            idx = _searchsorted_b(ts, t)
+            i = jnp.clip(idx, 0, n_saved - 2)
+            r0 = row_at(i)
+            r1 = row_at(i + 1)
+            t0, y0, f0 = r0[0], r0[1 : n + 1], r0[n + 1 :]
+            t1, y1, f1 = r1[0], r1[1 : n + 1], r1[n + 1 :]
+            h = t1 - t0
+            tau = jnp.clip((t - t0) / h, 0.0, 1.0)
+            h00 = (1 + 2 * tau) * (1 - tau) ** 2
+            h10 = tau * (1 - tau) ** 2
+            h01 = tau**2 * (3 - 2 * tau)
+            h11 = tau**2 * (tau - 1)
+            return (
+                h00[None] * y0
+                + (h10 * h)[None] * f0
+                + h01[None] * y1
+                + (h11 * h)[None] * f1
+            )
+
+        return y_at
+
+    ys, fs = saved["y"], saved["f"]
     S, n, B = ys.shape
     lanes = jnp.arange(B)
 
