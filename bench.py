@@ -39,7 +39,7 @@ def main():
     import __graft_entry__ as ge
 
     fn, _ = ge._build(
-        batch=args.batch, tvals_n=21, rtol=args.rtol, checkpoint_n=1024
+        batch=args.batch, tvals_n=21, rtol=args.rtol, checkpoint_n=384
     )
     rng = np.random.default_rng(42)
     y0s = jnp.asarray(
