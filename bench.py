@@ -1,11 +1,13 @@
-"""Benchmark: vmapped Lotka-Volterra adjoint-gradient solves/sec on one chip.
+"""Benchmarks for the BASELINE.json configs.
 
-North-star metric from BASELINE.json: 10k vmapped LV adjoint-gradient solves
-per second on a single TPU v5e chip, tolerance-matched to CVODES BDF at
-rtol=1e-8.  The reference's own number for one adjoint forward+backward pair
-is 1.25 ms on the author's CPU (BASELINE.md — from_sympy.ipynb cell 7), i.e.
-800 gradient pairs/sec single-threaded; ``vs_baseline`` is measured
-throughput divided by that.
+Default (what the driver runs): vmapped Lotka-Volterra adjoint-gradient
+solves/sec on one chip — the north-star metric.  The reference's own number
+for one adjoint forward+backward pair is 1.25 ms on the author's CPU
+(BASELINE.md — from_sympy.ipynb cell 7), i.e. 800 gradient pairs/sec;
+``vs_baseline`` is measured throughput divided by that.
+
+Other configs (``--config``): robertson (stiff BDF wall-clock),
+lv_forward (forward solve), lv_sens (forward sensitivities).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,19 +21,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_GRADS_PER_SEC = 800.0  # 1.25 ms per adjoint pair (BASELINE.md)
+REFERENCE_LV_FORWARD_SEC = 200e-6  # README.md:128-130 (~200us, rtol 1e-10)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=10_000)
-    ap.add_argument("--quick", action="store_true", help="small batch smoke run")
-    ap.add_argument("--rtol", type=float, default=1e-8)
-    ap.add_argument("--repeats", type=int, default=3)
-    args = ap.parse_args()
-    if args.quick:
-        args.batch = 256
-        args.repeats = 1
+def _lv_problem():
+    from sunode_tpu.symode import SympyProblem
 
+    def lv(t, y, p):
+        return {
+            "hares": p.alpha * y.hares - p.beta * y.lynx * y.hares,
+            "lynx": p.delta * y.hares * y.lynx - p.gamma * y.lynx,
+        }
+
+    return SympyProblem(
+        params={"alpha": (), "beta": (), "gamma": (), "delta": ()},
+        states={"hares": (), "lynx": ()},
+        rhs_sympy=lv,
+        derivative_params=[("alpha",), ("beta",)],
+    )
+
+
+def bench_lv_adjoint(args):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -50,7 +60,6 @@ def main():
     )
 
     step = jax.jit(fn)
-    # compile + warmup
     gy, gp = step(y0s, p_subs)
     gy.block_until_ready()
     n_finite = int(jnp.isfinite(gy).all(axis=-1).sum())
@@ -62,21 +71,172 @@ def main():
         gy, gp = step(y0s, p_subs)
         gy.block_until_ready()
         times.append(time.perf_counter() - t0)
-    dt = min(times)
-    throughput = args.batch / dt
+    throughput = args.batch / min(times)
+    return {
+        "metric": "lv_adjoint_grads_per_sec_10k_vmapped"
+        if not args.quick
+        else "lv_adjoint_grads_per_sec_quick",
+        "value": round(throughput, 1),
+        "unit": "grad_solves/sec",
+        "vs_baseline": round(throughput / REFERENCE_GRADS_PER_SEC, 3),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "lv_adjoint_grads_per_sec_10k_vmapped"
-                if not args.quick
-                else "lv_adjoint_grads_per_sec_quick",
-                "value": round(throughput, 1),
-                "unit": "grad_solves/sec",
-                "vs_baseline": round(throughput / REFERENCE_GRADS_PER_SEC, 3),
-            }
+
+def bench_lv_forward(args):
+    """README config: LV forward solve at rtol=1e-10 (reference ~200us/solve)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sunode_tpu.ops.bdf import BDFOptions
+    from sunode_tpu.ops.adams_batched import adams_solve_batched
+
+    problem = _lv_problem()
+    rhs = problem.make_rhs()
+    tvals = jnp.linspace(0.0, 10.0, 50)
+    rng = np.random.default_rng(42)
+    B = args.batch
+    y0s = jnp.asarray(np.array([10.0, 2.0]) * (1 + 0.05 * rng.standard_normal((B, 2))))
+    ps = jnp.asarray(
+        np.array([1.0, 0.3, 1.0, 0.4]) * (1 + 0.05 * rng.standard_normal((B, 4)))
+    )
+    opts = BDFOptions(rtol=1e-10, atol=1e-10)
+    run = jax.jit(lambda y, p: adams_solve_batched(rhs, 0.0, y, p, tvals, opts))
+    r = run(y0s, ps)
+    jax.block_until_ready(r.ys)
+    assert int((r.status == 0).sum()) == B
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        r = run(y0s, ps)
+        jax.block_until_ready(r.ys)
+        times.append(time.perf_counter() - t0)
+    per_solve = min(times) / B
+    return {
+        "metric": "lv_forward_solve_wallclock",
+        "value": round(per_solve * 1e6, 2),
+        "unit": "us/solve (batched)",
+        "vs_baseline": round(REFERENCE_LV_FORWARD_SEC / per_solve, 3),
+    }
+
+
+def bench_lv_sens(args):
+    """Forward sensitivities (sens_mode='simultaneous', d/dalpha d/dbeta)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sunode_tpu.ops.bdf import BDFOptions
+    from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+
+    problem = _lv_problem()
+    rhs, jac = problem.make_rhs(), problem.make_jac_dense()
+    sens_rhs = problem.make_sensitivity_rhs()
+    tvals = jnp.linspace(0.0, 10.0, 21)
+    rng = np.random.default_rng(42)
+    B = args.batch
+    y0s = jnp.asarray(np.array([10.0, 2.0]) * (1 + 0.05 * rng.standard_normal((B, 2))))
+    ps = jnp.asarray(
+        np.array([1.0, 0.3, 1.0, 0.4]) * (1 + 0.05 * rng.standard_normal((B, 4)))
+    )
+    S0 = jnp.zeros((B, 2, 2))
+    opts = BDFOptions(rtol=args.rtol, atol=args.rtol)
+    run = jax.jit(
+        lambda y, p: bdf_solve_batched(
+            rhs, jac, 0.0, y, p, tvals, opts, sens_rhs=sens_rhs, S0=S0
         )
     )
+    r = run(y0s, ps)
+    jax.block_until_ready(r.ys)
+    assert int((r.status == 0).sum()) == B
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        r = run(y0s, ps)
+        jax.block_until_ready(r.ys)
+        times.append(time.perf_counter() - t0)
+    throughput = B / min(times)
+    return {
+        "metric": "lv_forward_sens_solves_per_sec",
+        "value": round(throughput, 1),
+        "unit": "sens_solves/sec",
+        "vs_baseline": round(throughput / REFERENCE_GRADS_PER_SEC, 3),
+    }
+
+
+def bench_robertson(args):
+    """Robertson stiff kinetics wall-clock (adaptive BDF + Jacobian reuse)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sunode_tpu.ops.bdf import BDFOptions
+    from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+    from sunode_tpu.symode import SympyProblem
+
+    def rob(t, y, p):
+        r1 = p.k1 * y.a
+        r2 = p.k2 * y.b * y.b
+        r3 = p.k3 * y.b * y.c
+        return {"a": -r1 + r3, "b": r1 - r2 - r3, "c": r2}
+
+    problem = SympyProblem(
+        params={"k1": (), "k2": (), "k3": ()},
+        states={"a": (), "b": (), "c": ()},
+        rhs_sympy=rob,
+        derivative_params=[("k1",)],
+    )
+    rhs, jac = problem.make_rhs(), problem.make_jac_dense()
+    tvals = jnp.asarray([4.0 * 10.0**k for k in range(-1, 7)])
+    B = args.batch
+    rng = np.random.default_rng(42)
+    ps = jnp.asarray(
+        np.array([0.04, 3e7, 1e4]) * (1 + 0.02 * rng.standard_normal((B, 3)))
+    )
+    y0s = jnp.tile(jnp.asarray([1.0, 0.0, 0.0]), (B, 1))
+    opts = BDFOptions(rtol=1e-8, atol=jnp.asarray([1e-10, 1e-12, 1e-10]))
+    run = jax.jit(lambda y, p: bdf_solve_batched(rhs, jac, 0.0, y, p, tvals, opts))
+    r = run(y0s, ps)
+    jax.block_until_ready(r.ys)
+    assert int((r.status == 0).sum()) == B
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        r = run(y0s, ps)
+        jax.block_until_ready(r.ys)
+        times.append(time.perf_counter() - t0)
+    per_solve = min(times) / B
+    return {
+        "metric": "robertson_stiff_solve_wallclock",
+        "value": round(per_solve * 1e6, 2),
+        "unit": "us/solve (batched, t=[0,4e6])",
+        "vs_baseline": 0.0,  # no reference number published for Robertson
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--config",
+        default="lv_adjoint",
+        choices=["lv_adjoint", "lv_forward", "lv_sens", "robertson"],
+    )
+    ap.add_argument("--batch", type=int, default=10_000)
+    ap.add_argument("--quick", action="store_true", help="small batch smoke run")
+    ap.add_argument("--rtol", type=float, default=1e-8)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+    if args.quick:
+        args.batch = 256
+        args.repeats = 1
+
+    result = {
+        "lv_adjoint": bench_lv_adjoint,
+        "lv_forward": bench_lv_forward,
+        "lv_sens": bench_lv_sens,
+        "robertson": bench_robertson,
+    }[args.config](args)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -425,9 +425,14 @@ def adams_solve(
         # differences that otherwise drive an h-collapse.
         cfails_fail = c["consec_fails"] + 1
         reset = ~accept & (cfails_fail >= 4)
+        # decay counter (see ops/bdf.py)
         cfails = jnp.where(
             accept,
-            jnp.where(err_norm <= 0.5, 0, c["consec_fails"]),
+            jnp.where(
+                err_norm <= 0.9,
+                jnp.maximum(c["consec_fails"] - 1, 0),
+                c["consec_fails"],
+            ),
             jnp.where(reset, 0, cfails_fail),
         )
         factor_next = jnp.where(accept, factor_acc, jnp.where(reset, 0.25, factor_fail))

@@ -496,9 +496,14 @@ def adams_solve_batched(
         failed_lane = active & ~accept
         cfails_fail = c["consec_fails"] + 1
         reset = failed_lane & (cfails_fail >= 4)
+        # decay counter (see ops/bdf.py)
         cfails = jnp.where(
             accept,
-            jnp.where(err_norm <= 0.5, 0, c["consec_fails"]),
+            jnp.where(
+                err_norm <= 0.9,
+                jnp.maximum(c["consec_fails"] - 1, 0),
+                c["consec_fails"],
+            ),
             jnp.where(reset, 0, jnp.where(failed_lane, cfails_fail, c["consec_fails"])),
         )
         factor_next = jnp.where(accept, factor_acc, jnp.where(reset, 0.25, factor_fail))

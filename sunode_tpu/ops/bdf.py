@@ -794,14 +794,46 @@ def bdf_solve(
         )
         h_next = h_use * factor_next
         q_next = jnp.where(accept, q_acc, jnp.where(reset, 1, q))
-        rows01 = (jnp.arange(KD) <= 1).astype(dtype).reshape(
+        # rebuild the reset history from scratch: D[0] = z at the last
+        # accepted point (exact), D[1] = h * dz/dt evaluated there (a kept
+        # D[1] may itself be corrupted, leaving an h-independent error
+        # estimate that collapses h)
+        row0_mask = (jnp.arange(KD) == 0).astype(dtype).reshape(
             (KD,) + (1,) * (D.ndim - 1)
         )
-        D_next = jnp.where(accept, D_upd, jnp.where(reset, D * rows01, D))
 
+        def reset_D(_):
+            z_last = D[0]
+            fz_parts_r = [rhs(t, z_last[sl_y], params)]
+            if with_sens:
+                fz_parts_r.append(
+                    sens_rhs(
+                        t, z_last[sl_y], z_last[sl_S].reshape(k_sens, n), params
+                    ).reshape(-1)
+                )
+            if with_quad:
+                fz_parts_r.append(quad_rhs(t, z_last[sl_y], params))
+            fz_last = (
+                jnp.concatenate(fz_parts_r)
+                if len(fz_parts_r) > 1
+                else fz_parts_r[0]
+            )
+            return (D * row0_mask).at[1].set(h_use * fz_last)
+
+        D_reset = lax.cond(reset, reset_D, lambda _: D, None)
+        D_next = jnp.where(accept, D_upd, jnp.where(reset, D_reset, D))
+
+        # decay counter: clean accepts decrement, marginal accepts
+        # (err in (0.9, 1]) hold, rejections increment — tolerates the
+        # alternating shrink-accept/fail pattern of a genuine breakdown
+        # without firing on hysteresis-held steps
         cef = jnp.where(
             accept,
-            jnp.where(err_norm_tot <= 0.5, 0, c["consec_err_fails"]),
+            jnp.where(
+                err_norm_tot <= 0.9,
+                jnp.maximum(c["consec_err_fails"] - 1, 0),
+                c["consec_err_fails"],
+            ),
             jnp.where(reset, 0, c["consec_err_fails"] + jnp.where(err_reject, 1, 0)),
         )
         ccf = jnp.where(

@@ -689,15 +689,43 @@ def bdf_solve_batched(
         )
         h_next = jnp.where(active, h_use * factor_next, c["h"])
         q_next = jnp.where(accept, q_acc, jnp.where(reset, 1, q))
-        rows01 = (jnp.arange(KD) <= 1).astype(dtype)[:, None, None]
+        # rebuild reset history: D[0] kept, D[1] = h * dz/dt at the last
+        # accepted point (keeping a possibly-corrupted D[1] leaves an
+        # h-independent error estimate that collapses h)
+        row0_mask = (jnp.arange(KD) == 0).astype(dtype)[:, None, None]
+
+        def reset_D(_):
+            z_last = D[0]
+            fz_parts_r = [rhs_b(t, z_last[sl_y], params)]
+            if with_sens:
+                fz_parts_r.append(
+                    sens_rhs_b(
+                        t, z_last[sl_y], z_last[sl_S].reshape(k_sens, n, B), params
+                    ).reshape(n_S, B)
+                )
+            if with_quad:
+                fz_parts_r.append(quad_rhs_b(t, z_last[sl_y], params))
+            fz_last = (
+                jnp.concatenate(fz_parts_r)
+                if len(fz_parts_r) > 1
+                else fz_parts_r[0]
+            )
+            return (D * row0_mask).at[1].set(h_use[None, :] * fz_last)
+
+        D_reset = lax.cond(jnp.any(reset), reset_D, lambda _: D, None)
         D_next = jnp.where(
-            accept[None, None, :], D_upd, jnp.where(reset[None, None, :], D * rows01, D)
+            accept[None, None, :], D_upd, jnp.where(reset[None, None, :], D_reset, D)
         )
         D_next = jnp.where(active[None, None, :], D_next, c["D"])
 
+        # decay counter (see ops/bdf.py)
         cef = jnp.where(
             accept,
-            jnp.where(err_norm_tot <= 0.5, 0, c["consec_err_fails"]),
+            jnp.where(
+                err_norm_tot <= 0.9,
+                jnp.maximum(c["consec_err_fails"] - 1, 0),
+                c["consec_err_fails"],
+            ),
             jnp.where(
                 reset, 0, c["consec_err_fails"] + err_reject.astype(jnp.int32)
             ),
