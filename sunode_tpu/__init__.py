@@ -21,9 +21,19 @@ if not _os.environ.get("SUNODE_TPU_NO_X64"):
 __version__ = "0.1.0"
 
 from sunode_tpu.paramspec import ParamSpec, Record  # noqa: E402
+from sunode_tpu.problem import JaxProblem, Problem  # noqa: E402
+from sunode_tpu.symode import SympyProblem  # noqa: E402
+from sunode_tpu.solver import AdjointSolver, Solver, SolverError  # noqa: E402
+import sunode_tpu.solver  # noqa: E402,F401  (reference parity: `import sunode.solver`)
 
 __all__ = [
     "ParamSpec",
     "Record",
+    "Problem",
+    "JaxProblem",
+    "SympyProblem",
+    "Solver",
+    "AdjointSolver",
+    "SolverError",
     "__version__",
 ]

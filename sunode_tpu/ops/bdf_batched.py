@@ -55,16 +55,6 @@ from sunode_tpu.ops.linalg import factor_newton_b, solve_factored_b
 __all__ = ["bdf_solve_batched"]
 
 
-def _tree_where(mask_b, new, old):
-    """Per-lane select over factor pytrees; mask is (B,), leaves (..., B)."""
-    return jax.tree_util.tree_map(
-        lambda a, b: jnp.where(mask_b, a, b) if a.dtype != jnp.int32
-        else jnp.where(mask_b, a, b),
-        new,
-        old,
-    )
-
-
 def _build_R_elems(q, factor, dtype):
     """Masked rescale matrix as a static KxK grid of (B,) scalars.
 

@@ -171,3 +171,31 @@ def test_solve_ivp_end_to_end_grad():
     eps = 1e-5
     fd = (float(run(jnp.asarray(1.0 + eps))) - float(run(jnp.asarray(1.0 - eps)))) / (2 * eps)
     np.testing.assert_allclose(float(g), fd, rtol=5e-4)
+
+
+def test_solve_ivp_direct_jax_mode():
+    """use_sympy=False: the RHS runs on jnp Records (JaxProblem path)."""
+
+    def run(alpha):
+        res = solve_ivp(
+            t0=0.0,
+            y0={"hares": (10.0, ()), "lynx": (2.0, ())},
+            params={
+                "alpha": (alpha, ()),
+                "beta": (0.3, ()),
+                "gamma": np.array(1.0),
+                "delta": np.array(0.4),
+            },
+            tvals=np.linspace(1.0, 8.0, 5),
+            rhs=lv_sympy,  # same arithmetic works on jnp leaves
+            derivatives="adjoint",
+            derivative_params=[("alpha",), ("beta",)],
+            solver_kwargs=dict(rtol=1e-9, atol=1e-9),
+            use_sympy=False,
+        )
+        return jnp.sum(res.solution["hares"] ** 2)
+
+    g = jax.grad(run)(jnp.asarray(1.0))
+    eps = 1e-5
+    fd = (float(run(jnp.asarray(1.0 + eps))) - float(run(jnp.asarray(1.0 - eps)))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=5e-4)
