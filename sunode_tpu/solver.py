@@ -392,14 +392,43 @@ class AdjointSolver(_SolverBase):
             rtol=adjoint_reltol, atol=adjoint_abstol, max_steps=max_steps
         )
 
+        self._init_derived()
+        self._jit_cache: dict = {}
+        self._last_forward: Optional[dict] = None
+        self.last_stats: Optional[dict] = None
+
+    def _init_derived(self):
+        problem = self._problem
         self._rhs = problem.make_rhs()
         self._jac = problem.make_jac_dense()
         self._adjoint_rhs = problem.make_adjoint_rhs()
         self._adjoint_jac = problem.make_adjoint_jac_dense()
         self._quad_rhs = problem.make_adjoint_quad_rhs()
-        self._jit_cache: dict = {}
-        self._last_forward: Optional[dict] = None
-        self.last_stats: Optional[dict] = None
+
+    # pickling: rebuild derived functions on load (note: the REFERENCE
+    # AdjointSolver cannot pickle at all — fork-only multiprocessing,
+    # quickstart_pymc.rst:154-163)
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        for key in (
+            "_rhs",
+            "_jac",
+            "_adjoint_rhs",
+            "_adjoint_jac",
+            "_quad_rhs",
+            "_jit_cache",
+            "_last_forward",
+            "last_stats",
+        ):
+            state.pop(key, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._init_derived()
+        self._jit_cache = {}
+        self._last_forward = None
+        self.last_stats = None
 
     def make_output_buffers(self, tvals):
         """(y_out, grad_out, lamda_out) — reference solver.py:637-641."""

@@ -193,3 +193,14 @@ def test_empty_and_nested_params():
     np.testing.assert_allclose(
         out[:, 0], 0.5 + 2.5 * np.exp(-np.array([1.0, 2.0])), rtol=1e-7
     )
+
+
+def test_adjoint_solver_pickling(problem):
+    import pickle
+
+    solver = AdjointSolver(problem, checkpoint_n=4096)
+    solver.set_params_dict(PARAMS)
+    s2 = pickle.loads(pickle.dumps(solver))
+    y_out, grad_out, lamda_out = s2.make_output_buffers(TVALS)
+    s2.solve_forward(0.0, TVALS, np.array([10.0, 2.0]), y_out)
+    assert np.isfinite(y_out).all()
