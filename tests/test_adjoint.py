@@ -199,3 +199,14 @@ def test_solve_ivp_direct_jax_mode():
     eps = 1e-5
     fd = (float(run(jnp.asarray(1.0 + eps))) - float(run(jnp.asarray(1.0 - eps)))) / (2 * eps)
     np.testing.assert_allclose(float(g), fd, rtol=5e-4)
+
+
+def test_adjoint_t0_grad_vs_fd(adjoint_solve):
+    def loss_t0(t0):
+        ys = adjoint_solve(t0, Y0, P_SUB, P_FIX, TVALS)
+        return jnp.sum(ys**2)
+
+    g = jax.grad(loss_t0)(jnp.asarray(0.0))
+    eps = 1e-6
+    fd = (float(loss_t0(jnp.asarray(eps))) - float(loss_t0(jnp.asarray(-eps)))) / (2 * eps)
+    np.testing.assert_allclose(float(g), fd, rtol=1e-4)
