@@ -191,7 +191,7 @@ def adjoint_backward(
 
     # checkpoint-buffer overflow -> the recorded trajectory is incomplete and
     # the Hermite reconstruction silently wrong; poison instead.
-    overflow = saved["n_saved"] >= saved["t"].shape[0]
+    overflow = saved.get("overflow", saved["n_saved"] >= saved["t"].shape[0])
     lam = jnp.where(overflow, jnp.nan, lam)
     q = jnp.where(overflow, jnp.nan, q)
     status = jnp.where(overflow, 99, status)
@@ -422,34 +422,21 @@ def adjoint_backward_batched(
         nontrivial = (t_hi - t_lo) > tiny  # shared scalar
 
         def do_solve(args):
+            # (method == 'ADAMS' already returned via the fused path above)
             lam, q, h_prev = args
-            if method == "ADAMS":
-                res = adams_solve_batched(
-                    rhs_b,
-                    -t_hi,
-                    lam,
-                    params_t,
-                    jnp.asarray([-t_lo], dtype),
-                    quad_opts,
-                    quad_rhs=quad_b,
-                    quad0=q,
-                    first_step=h_prev,
-                    batched_fns=True,
-                )
-            else:
-                res = bdf_solve_batched(
-                    rhs_b,
-                    jac_b,
-                    -t_hi,
-                    lam,
-                    params_t,
-                    jnp.asarray([-t_lo], dtype),
-                    quad_opts,
-                    quad_rhs=quad_b,
-                    quad0=q,
-                    first_step=h_prev,
-                    batched_fns=True,
-                )
+            res = bdf_solve_batched(
+                rhs_b,
+                jac_b,
+                -t_hi,
+                lam,
+                params_t,
+                jnp.asarray([-t_lo], dtype),
+                quad_opts,
+                quad_rhs=quad_b,
+                quad0=q,
+                first_step=h_prev,
+                batched_fns=True,
+            )
             ok = res.status == 0  # (B,)
             lam_new = jnp.where(ok[:, None], res.ys[:, 0, :], jnp.nan)
             q_new = jnp.where(ok[:, None], res.quad[:, 0, :], jnp.nan)

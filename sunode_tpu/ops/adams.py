@@ -169,14 +169,12 @@ def adams_solve(
     n = y0.shape[0]
     n_t = tvals.shape[0]
     t_end = tvals[-1]
-    # Default order cap 8: the fixed-leading-coefficient difference rescale
-    # grows ill-conditioned at very high orders + tight tolerances (the
-    # classic reason codes cap well below the theoretical Adams-12); 8 is
-    # robust to rtol 1e-11 and near-optimal on step counts.  Users may raise
-    # max_order up to 12 explicitly.
-    max_order = min(
-        options.max_order if options.max_order > 5 else 8, ADAMS_MAX_ORDER
-    )
+    # Order cap (options.adams_max_order, default 8): the fixed-leading-
+    # coefficient difference rescale grows ill-conditioned at very high
+    # orders + tight tolerances (the classic reason codes cap well below the
+    # theoretical Adams-12); 8 is robust to rtol 1e-11 and near-optimal on
+    # step counts.  Raiseable to 12 at your own risk.
+    max_order = min(options.adams_max_order, ADAMS_MAX_ORDER)
 
     rtol = jnp.asarray(options.rtol, dtype)
     atol = jnp.broadcast_to(jnp.asarray(options.atol, dtype), (n,))
@@ -214,7 +212,11 @@ def adams_solve(
         row0 = jnp.concatenate([t0[None], y0, f0])
         buf0 = jnp.full((save_steps, 1 + 2 * n), jnp.inf, dtype)
         buf0 = buf0.at[:, 1:].set(0.0).at[0].set(row0)
-        saved0 = {"tyf": buf0, "n_saved": jnp.asarray(1, jnp.int32)}
+        saved0 = {
+            "tyf": buf0,
+            "n_saved": jnp.asarray(1, jnp.int32),
+            "overflow": jnp.asarray(False),
+        }
     else:
         saved0 = None
 
@@ -368,6 +370,8 @@ def adams_solve(
                 n_saved=jnp.where(accept, jnp.minimum(ns + 1, save_steps), ns).astype(
                     jnp.int32
                 ),
+                # a write at ns >= save_steps overwrites a valid row
+                overflow=sv["overflow"] | (accept & (ns >= save_steps)),
             )
         else:
             sv = c["saved"]
@@ -497,6 +501,7 @@ def adams_solve(
             "y": buf[:, 1 : n + 1],
             "f": buf[:, n + 1 :],
             "n_saved": final["saved"]["n_saved"],
+            "overflow": final["saved"]["overflow"],
         }
     else:
         saved_out = None

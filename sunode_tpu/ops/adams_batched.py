@@ -53,7 +53,6 @@ def adams_solve_batched(
     quad0: Optional[jnp.ndarray] = None,  # (B, m)
     first_step: Optional[Any] = None,
     batched_fns: bool = False,
-    max_order: int = 8,
     inject_times: Optional[jnp.ndarray] = None,  # (n_e,) ascending, shared
     inject_deltas: Optional[jnp.ndarray] = None,  # (n_e, n, B) added to y
     stage_fn: Optional[Callable] = None,  # t(B,) -> aux, computed ONCE per attempt
@@ -79,7 +78,7 @@ def adams_solve_batched(
     sl_y = slice(0, n)
     sl_Q = slice(n, nz)
 
-    P_MAX = min(max_order, 12)
+    P_MAX = min(options.adams_max_order, 12)
     KAB = P_MAX + 3  # DF rows 0..p+2
 
     if batched_fns:
@@ -283,7 +282,9 @@ def adams_solve_batched(
             t_lim = jnp.minimum(t_lim, t_end)
         else:
             t_lim = t_end
-        h_use = jnp.where(active, jnp.minimum(c["h"], t_lim - t), c["h"])
+        h_use = jnp.where(
+            active, jnp.maximum(jnp.minimum(c["h"], t_lim - t), 0.0), c["h"]
+        )
         t_new = t + h_use
 
         pre_factor = h_use / jnp.maximum(c["h_D"], 1e-300)
@@ -314,7 +315,6 @@ def adams_solve_batched(
         bad = jnp.zeros((B,), bool)
         dy_old = jnp.full((B,), jnp.inf, dtype)
         niter = zeros_i
-        fz_it = None
         for k in range(FUNCTIONAL_MAXITER):
             fz_k = fz(t_new, y_it, stage)
             bad_f = ~jnp.all(jnp.isfinite(fz_k), axis=0)
@@ -324,7 +324,6 @@ def adams_solve_batched(
             rate = dy_norm / dy_old
             live = ~(conv | div | bad)
             y_it = jnp.where(live[None, :], z_next[sl_y], y_it)
-            fz_it = fz_k if fz_it is None else jnp.where(live[None, :], fz_k, fz_it)
             conv_new = (
                 (dy_norm == 0.0)
                 | ((k > 0) & (rate < 1.0) & (rate / (1 - rate) * dy_norm < newton_tol))
@@ -443,7 +442,9 @@ def adams_solve_batched(
             row = jnp.where(accept[None, :], row, pad)
             slot = jnp.minimum(c["it"] + 1, save_steps - 1)
             buf = lax.dynamic_update_index_in_dim(sv["tyf"], row, slot, 0)
-            overflow = sv["overflow"] | (accept & (c["it"] + 1 >= save_steps - 1))
+            # overflow only when a VALID row would be overwritten: the first
+            # write to the last slot (it+1 == save_steps-1) is still valid
+            overflow = sv["overflow"] | (accept & (c["it"] + 1 >= save_steps))
             sv = dict(
                 tyf=buf,
                 n_saved=sv["n_saved"] + accept.astype(jnp.int32),
@@ -516,8 +517,10 @@ def adams_solve_batched(
             DF_next = jnp.where(at_event[None, None, :], DF_event, DF_next)
             p_next = jnp.where(at_event, 1, p_next)
             n_equal = jnp.where(at_event, 0, n_equal)
-            # keep the step size but don't overshoot what worked before
-            h_next = jnp.where(at_event, h_use, h_next)
+            # resume with the WORKING step size (c["h"]), not the clamped
+            # final sliver of the interval — and never 0 (duplicate
+            # observation times produce legal zero-length event steps)
+            h_next = jnp.where(at_event, jnp.maximum(c["h"], h_min_loc * 4), h_next)
         DF_next = jnp.where(active[None, None, :], DF_next, c["DF"])
 
         too_many = cfails >= MAX_CONSECUTIVE_FAILS

@@ -107,6 +107,10 @@ class BDFOptions(NamedTuple):
     # (matrix-free GMRES on jvp's; reference linear_solver='spgmr')
     linear_solver: str = "dense"
     krylov_dim: int = 5  # CVODES SUNLinSol_SPGMR default maxl
+    # Adams order cap (separate from the BDF max_order so explicit low caps
+    # stay expressible); default 8 — see ops/adams.py for the conditioning
+    # rationale.  Hard ceiling 12 (CV_ADAMS max).
+    adams_max_order: int = 8
 
 
 class BDFResult(NamedTuple):
@@ -421,7 +425,11 @@ def bdf_solve(
         row0 = jnp.concatenate([t0[None], y0, f0])
         buf0 = jnp.full((save_steps, 1 + 2 * n), jnp.inf, dtype)
         buf0 = buf0.at[:, 1:].set(0.0).at[0].set(row0)
-        saved0 = {"tyf": buf0, "n_saved": jnp.asarray(1, jnp.int32)}
+        saved0 = {
+            "tyf": buf0,
+            "n_saved": jnp.asarray(1, jnp.int32),
+            "overflow": jnp.asarray(False),
+        }
     else:
         saved0 = None
 
@@ -734,6 +742,8 @@ def bdf_solve(
                 n_saved=jnp.where(
                     accept, jnp.minimum(ns + 1, save_steps), ns
                 ).astype(jnp.int32),
+                # a write at ns >= save_steps overwrites a valid row
+                overflow=sv["overflow"] | (accept & (ns >= save_steps)),
             )
         else:
             sv = c["saved"]
@@ -914,6 +924,7 @@ def bdf_solve(
             "y": buf[:, 1 : n + 1],
             "f": buf[:, n + 1 :],
             "n_saved": final["saved"]["n_saved"],
+            "overflow": final["saved"]["overflow"],
         }
     else:
         saved_out = None

@@ -621,7 +621,9 @@ def bdf_solve_batched(
             row = jnp.where(accept[None, :], row, pad)
             slot = jnp.minimum(c["it"] + 1, save_steps - 1)
             buf = lax.dynamic_update_index_in_dim(sv["tyf"], row, slot, 0)
-            overflow = sv["overflow"] | (accept & (c["it"] + 1 >= save_steps - 1))
+            # overflow only when a VALID row would be overwritten: the first
+            # write to the last slot (it+1 == save_steps-1) is still valid
+            overflow = sv["overflow"] | (accept & (c["it"] + 1 >= save_steps))
             sv = dict(
                 tyf=buf,
                 n_saved=sv["n_saved"] + accept.astype(jnp.int32),

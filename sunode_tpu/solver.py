@@ -152,17 +152,18 @@ class Solver(_SolverBase):
         self,
         problem: Problem,
         *,
-        abstol: float = 1e-10,
-        reltol: float = 1e-10,
+        abstol: Any = None,
+        reltol: Optional[float] = None,
         sens_mode: Optional[str] = None,
         scaling_factors: Optional[np.ndarray] = None,
         constraints: Optional[np.ndarray] = None,
         solver: str = "BDF",
         linear_solver: str = "dense",
         linear_solver_kwargs: Optional[dict] = None,
-        max_steps: int = 100_000,
+        max_steps: Optional[int] = None,
         options: Optional[BDFOptions] = None,
     ):
+        # reference defaults: abstol=1e-10, reltol=1e-10 (solver.py:242-254)
         if solver not in ("BDF", "ADAMS"):
             raise ValueError("solver must be 'BDF' or 'ADAMS'")
         if sens_mode not in (None, "simultaneous", "staggered"):
@@ -189,9 +190,9 @@ class Solver(_SolverBase):
             )
         if options is None:
             options = BDFOptions(
-                rtol=reltol,
-                atol=abstol,
-                max_steps=max_steps,
+                rtol=1e-10 if reltol is None else reltol,
+                atol=1e-10 if abstol is None else abstol,
+                max_steps=100_000 if max_steps is None else max_steps,
                 constraints=None if constraints is None else np.asarray(constraints),
                 sens_pbar=scaling_factors,
             )
@@ -199,6 +200,20 @@ class Solver(_SolverBase):
                 from sunode_tpu.ops.adams import adams_options
 
                 options = adams_options(options)
+        else:
+            conflicting = {
+                "abstol": abstol,
+                "reltol": reltol,
+                "max_steps": max_steps,
+                "constraints": constraints,
+                "scaling_factors": scaling_factors,
+            }
+            bad = [k for k, v in conflicting.items() if v is not None]
+            if bad:
+                raise ValueError(
+                    f"Pass {bad} inside options=BDFOptions(...) — they are "
+                    "ignored when an explicit options object is given"
+                )
         self._options = options
 
         self._linear_solver_kwargs = dict(linear_solver_kwargs or {})

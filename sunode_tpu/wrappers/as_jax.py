@@ -396,7 +396,6 @@ def solve_ivp(
 
     # flatten inputs (keeping traced leaves traced)
     y0_flat = _flatten_traced(problem.states, y0_values)
-    p_full_nested = nest_path_dict(p_values)
     p_sub = _flatten_subset_traced(problem.params, p_values)
     p_fix = _flatten_remainder_traced(problem.params, p_values)
 
