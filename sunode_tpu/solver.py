@@ -296,6 +296,28 @@ class Solver(_SolverBase):
 
             solver_kind = self._solver_kind
 
+            if batched and opts.linear_solver == "dense":
+                # batch-native structure-of-arrays cores: the fast path for
+                # chain batches (see ops/bdf_batched.py for the rationale)
+                from sunode_tpu.ops.adams_batched import adams_solve_batched
+                from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+
+                def run(t0, y0, params, tvals, sens0):
+                    if solver_kind == "ADAMS":
+                        res = adams_solve_batched(rhs, t0, y0, params, tvals, opts)
+                        return res.ys, None, res.status, res.stats
+                    if self._compute_sens:
+                        res = bdf_solve_batched(
+                            rhs, jac, t0, y0, params, tvals, opts,
+                            sens_rhs=sens_rhs, S0=sens0,
+                        )
+                        return res.ys, res.sens, res.status, res.stats
+                    res = bdf_solve_batched(rhs, jac, t0, y0, params, tvals, opts)
+                    return res.ys, None, res.status, res.stats
+
+                self._jit_cache[key] = jax.jit(run)
+                return self._jit_cache[key]
+
             def run(t0, y0, params, tvals, sens0):
                 if solver_kind == "ADAMS":
                     from sunode_tpu.ops.adams import adams_solve
