@@ -17,9 +17,11 @@ All functions are jit/vmap/Pallas-compatible (pure elementwise jnp).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "DF",
@@ -43,9 +45,73 @@ __all__ = [
 _SPLITTER = 4097.0  # 2^12 + 1 for f32 Dekker splitting
 
 
-class DF(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class DF:
+    """A double-float value/array.  Arithmetic operators are overloaded so
+    polynomial RHS code written for jnp arrays (e.g. the sympy-generated
+    functions) evaluates in double-float unchanged inside Pallas kernels
+    (which have no native f64)."""
+
     hi: jnp.ndarray
     lo: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.hi, self.lo), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def __iter__(self):
+        return iter((self.hi, self.lo))
+
+    def __add__(self, other):
+        return df_add(self, _coerce(other, self))
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return df_sub(self, _coerce(other, self))
+
+    def __rsub__(self, other):
+        return df_sub(_coerce(other, self), self)
+
+    def __mul__(self, other):
+        return df_mul(self, _coerce(other, self))
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return df_div(self, _coerce(other, self))
+
+    def __rtruediv__(self, other):
+        return df_div(_coerce(other, self), self)
+
+    def __neg__(self):
+        return df_neg(self)
+
+    def __lt__(self, other):
+        return df_lt(self, _coerce(other, self))
+
+    def __le__(self, other):
+        return df_le(self, _coerce(other, self))
+
+    def __getitem__(self, idx):
+        return DF(self.hi[idx], self.lo[idx])
+
+
+def _coerce(x, like: "DF") -> "DF":
+    if isinstance(x, DF):
+        return x
+    if isinstance(x, (int, float)):
+        # static scalar: split on the host (f64-free trace — required inside
+        # Pallas kernels, which cannot create f64 values)
+        hi = np.float32(x)
+        lo = np.float32(np.float64(x) - np.float64(hi))
+        z = jnp.zeros_like(like.hi)
+        return DF(z + hi, z + lo)
+    return df_from_f32(x)
 
 
 def two_sum(a, b):
