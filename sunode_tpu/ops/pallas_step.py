@@ -20,8 +20,17 @@ This module is the working proof of that pipeline, shipped as groundwork:
 
 Numerical parity with the f64 reference path is tested in
 tests/test_pallas_step.py (interpret mode on CPU; compiled on TPU when one
-is attached).  Wiring this kernel into the full adaptive loop (order/step
-control in-kernel) is the planned round-2 flagship.
+is attached).
+
+Measured on v5e at B=10k (this exact PECE math):
+  - Pallas df64 kernel:        ~2.4 ms   (Mosaic codegen loses badly here)
+  - plain-XLA df64 (same DF ops): ~0.3 ms
+  - plain-XLA f64 (emulated):  ~0.15 ms  <- XLA's f64 emulation is GOOD
+So double-float is NOT a performance play against XLA's own f64 emulation;
+its value is exclusively inside Pallas (where f64 doesn't exist at all), and
+a fused Pallas integrator only pays off once Mosaic codegen for this op mix
+beats XLA — to be revisited with flatter (2-D) layouts.  The precision
+pipeline (exact EFTs on TPU) is proven either way.
 """
 
 from __future__ import annotations
