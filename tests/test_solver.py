@@ -204,3 +204,13 @@ def test_adjoint_solver_pickling(problem):
     y_out, grad_out, lamda_out = s2.make_output_buffers(TVALS)
     s2.solve_forward(0.0, TVALS, np.array([10.0, 2.0]), y_out)
     assert np.isfinite(y_out).all()
+
+
+def test_batched_solve_adams(problem):
+    solver = Solver(problem, solver="ADAMS", abstol=1e-9, reltol=1e-9)
+    solver.set_params_dict(PARAMS)
+    y0 = np.tile([10.0, 2.0], (6, 1)) * np.linspace(0.95, 1.05, 6)[:, None]
+    out = solver.solve(0.0, TVALS, y0)
+    assert out.shape == (6, len(TVALS), 2)
+    solo = solver.solve(0.0, TVALS, y0[2])
+    np.testing.assert_allclose(out[2], solo, rtol=1e-6, atol=1e-9)
