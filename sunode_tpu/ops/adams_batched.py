@@ -623,7 +623,7 @@ def adams_solve_batched(
             "t": buf[:, 0, :],
             "y": buf[:, 1 : n + 1, :],
             "f": buf[:, n + 1 :, :],
-            "tyf": buf,  # packed rows: single-gather Hermite evaluation
+            "yf": buf[:, 1:, :],  # (S, 2n, B) y|f table: fast Hermite gathers
             "n_saved": final["saved"]["n_saved"],
             "overflow": final["saved"]["overflow"],
         }

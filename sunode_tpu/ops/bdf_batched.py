@@ -808,7 +808,7 @@ def bdf_solve_batched(
             "t": buf[:, 0, :],  # (S, B)
             "y": buf[:, 1 : n + 1, :],  # (S, n, B)
             "f": buf[:, n + 1 :, :],  # (S, n, B)
-            "tyf": buf,  # packed rows: single-gather Hermite evaluation
+            "yf": buf[:, 1:, :],  # (S, 2n, B) y|f table: fast Hermite gathers
             "n_saved": final["saved"]["n_saved"],
             "overflow": final["saved"]["overflow"],
         }
