@@ -105,3 +105,35 @@ def test_native_nested_vector_params():
     out = s.solve(0.0, np.array([1.0, 2.0]), np.array([3.0]))
     expected = 0.5 + 2.5 * np.exp(-2.0 * np.array([1.0, 2.0]))
     np.testing.assert_allclose(out[:, 0], expected, rtol=1e-7)
+
+
+def test_native_robertson_cross_check():
+    """Stiff golden-value agreement between the C++ and JAX BDF cores."""
+    import jax.numpy as jnp
+    from sunode_tpu.ops.bdf import BDFOptions
+
+    def rob(t, y, p):
+        r1 = p.k1 * y.a
+        r2 = p.k2 * y.b * y.b
+        r3 = p.k3 * y.b * y.c
+        return {"a": -r1 + r3, "b": r1 - r2 - r3, "c": r2}
+
+    prob = SympyProblem(
+        params={"k1": (), "k2": (), "k3": ()},
+        states={"a": (), "b": (), "c": ()},
+        rhs_sympy=rob,
+        derivative_params=[],
+    )
+    tvals = np.array([4.0 * 10.0**k for k in range(-1, 6)])
+    pvals = {"k1": 0.04, "k2": 3e7, "k3": 1e4}
+
+    cpu = CpuSolver(prob, abstol=1e-12, reltol=1e-9)
+    cpu.set_params_dict(pvals)
+    out_native = cpu.solve(0.0, tvals, np.array([1.0, 0.0, 0.0]))
+
+    jx = Solver(prob, options=None, abstol=1e-12, reltol=1e-9)
+    jx.set_params_dict(pvals)
+    out_jax = jx.solve(0.0, tvals, np.array([1.0, 0.0, 0.0]))
+
+    err = np.abs(out_native - out_jax) / (np.abs(out_jax) + 1e-14)
+    assert err.max() < 1e-5, f"cross-impl max rel err {err.max():.2e}"
