@@ -221,12 +221,19 @@ def _searchsorted_b(ts, t):
     lanes = jnp.arange(B)
     lo = jnp.zeros((B,), jnp.int32)
     hi = jnp.full((B,), S, jnp.int32)
-    for _ in range(max(1, int(np.ceil(np.log2(max(S, 2)))))):
+    # S+1 possible insertion points -> ceil(log2(S+1)) halvings.  With
+    # ceil(log2(S)) a power-of-two S left the final candidate untested
+    # (S=16384 returned -1 where numpy searchsorted gives 0).  Updates are
+    # guarded by lo < hi so extra iterations are no-ops (an unguarded
+    # iteration at lo == hi == S gathers out of bounds, which JAX clamps,
+    # and pushes lo past S).
+    for _ in range(max(1, int(np.ceil(np.log2(S + 1))))):
         mid = (lo + hi) // 2
-        vals = ts[mid, lanes]
-        go_right = vals <= t
+        vals = ts[jnp.minimum(mid, S - 1), lanes]
+        open_ = lo < hi
+        go_right = open_ & (vals <= t)
         lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
+        hi = jnp.where(open_ & ~go_right, mid, hi)
     return lo - 1
 
 

@@ -441,10 +441,16 @@ def adams_solve_batched(
             )
             row = jnp.where(accept[None, :], row, pad)
             slot = jnp.minimum(c["it"] + 1, save_steps - 1)
+            # once the shared counter clamps to the last slot, a REJECTED
+            # attempt must not pad over a lane's previously-written row
+            # (that row may be the lane's final valid checkpoint)
+            clamped = c["it"] + 1 >= save_steps
+            old_row = lax.dynamic_index_in_dim(sv["tyf"], slot, 0, keepdims=False)
+            row = jnp.where((clamped & ~accept)[None, :], old_row, row)
             buf = lax.dynamic_update_index_in_dim(sv["tyf"], row, slot, 0)
             # overflow only when a VALID row would be overwritten: the first
             # write to the last slot (it+1 == save_steps-1) is still valid
-            overflow = sv["overflow"] | (accept & (c["it"] + 1 >= save_steps))
+            overflow = sv["overflow"] | (accept & clamped)
             sv = dict(
                 tyf=buf,
                 n_saved=sv["n_saved"] + accept.astype(jnp.int32),
