@@ -519,9 +519,25 @@ def adams_solve_batched(
         row0 = (jnp.arange(KAB) == 0).astype(dtype)[:, None, None]
         DF_next = jnp.where(accept[None, None, :], DF_upd, jnp.where(reset[None, None, :], DF * row0, DF))
         if with_inject:
-            DF_event = jnp.zeros_like(DF_next).at[0].set(fz_inj)
+            keep = max(1, int(options.inject_keep_order))
+            if keep <= 1:
+                # CVODES semantics: full history reset, order-1 restart
+                DF_event = jnp.zeros_like(DF_next).at[0].set(fz_inj)
+                p_event = jnp.ones_like(p_next)
+            else:
+                # linear-adjoint retention: replace nabla^0 f with the
+                # post-injection derivative, keep higher differences below
+                # `keep` (the jump's own difference terms are O((hL)^j) and
+                # the error test guards the approximation), zero the rest
+                row_idx = jnp.arange(KAB)[:, None, None]
+                DF_event = jnp.where(
+                    row_idx == 0,
+                    fz_inj[None],
+                    jnp.where(row_idx < keep, DF_upd, 0.0),
+                )
+                p_event = jnp.minimum(p_next, keep)
             DF_next = jnp.where(at_event[None, None, :], DF_event, DF_next)
-            p_next = jnp.where(at_event, 1, p_next)
+            p_next = jnp.where(at_event, p_event, p_next)
             n_equal = jnp.where(at_event, 0, n_equal)
             # resume with the WORKING step size (c["h"]), not the clamped
             # final sliver of the interval — and never 0 (duplicate

@@ -111,6 +111,17 @@ class BDFOptions(NamedTuple):
     # stay expressible); default 8 — see ops/adams.py for the conditioning
     # rationale.  Hard ceiling 12 (CV_ADAMS max).
     adams_max_order: int = 8
+    # Cotangent-injection history retention (fused adjoint backward only).
+    # CVODES reinitializes the backward integrator at every observation
+    # (solver.py:750-784), i.e. order-1 restart.  Because the adjoint system
+    # is LINEAR in lambda, the pre-jump difference history remains a good
+    # approximation of the post-jump trajectory's history up to terms
+    # O((h L)^j) (L = local Jacobian scale): keeping min(p, inject_keep_order)
+    # orders after an injection avoids the order ramp-up entirely, and the
+    # per-step error test still guards accuracy (a polluted history shows up
+    # as a large measured correction and rejects the step).  1 = CVODES
+    # behavior (full restart).
+    inject_keep_order: int = 1
 
 
 class BDFResult(NamedTuple):

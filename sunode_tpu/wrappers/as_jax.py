@@ -193,6 +193,7 @@ def make_batched_solve_fn(
     adjoint_options: Optional[BDFOptions] = None,
     checkpoint_n: int = 1024,
     method: str = "BDF",
+    adjoint_interpolation: str = "hermite",
 ) -> Callable:
     """Batch-native differentiable solver (the 10k-chains fast path).
 
@@ -201,6 +202,11 @@ def make_batched_solve_fn(
     structure-of-arrays integrator (ops/bdf_batched.py) instead of
     ``vmap(bdf_solve)`` — same math, TPU-shaped loop structure.  Only
     'adjoint' and None gradient modes for now.
+
+    ``adjoint_interpolation``: 'hermite' (CVODES CV_HERMITE checkpoint
+    analog; any stiffness) or 'resolve' (backsolve adjoint re-integrating
+    y(t) backward; non-stiff + ADAMS only — smooth backward RHS, no
+    checkpoint table; see ``adjoint_backward_batched``).
     """
     from sunode_tpu.adjoint import adjoint_backward_batched, make_hermite_eval_batched
     from sunode_tpu.ops.adams_batched import adams_solve_batched
@@ -243,10 +249,20 @@ def make_batched_solve_fn(
     if derivatives != "adjoint":
         raise NotImplementedError("batched solver supports derivatives='adjoint' or None")
 
+    if adjoint_interpolation not in ("hermite", "resolve"):
+        raise ValueError(
+            f"adjoint_interpolation must be 'hermite' or 'resolve', got "
+            f"{adjoint_interpolation!r}"
+        )
+    if adjoint_interpolation == "resolve" and method != "ADAMS":
+        raise ValueError("adjoint_interpolation='resolve' requires method='ADAMS'")
+    resolve = adjoint_interpolation == "resolve"
+
     adjoint_rhs = problem.make_adjoint_rhs()
     adjoint_jac = problem.make_adjoint_jac_dense()
     quad_rhs = problem.make_adjoint_quad_rhs()
-    fwd_options = options._replace(save_steps=checkpoint_n)
+    # 'resolve' re-integrates y backward: no checkpoint recording needed
+    fwd_options = options if resolve else options._replace(save_steps=checkpoint_n)
     rhs_tb = jax.vmap(rhs, in_axes=(0, 1, 1), out_axes=1)
 
     @jax.custom_vjp
@@ -259,10 +275,10 @@ def make_batched_solve_fn(
         p = _combine(p_sub, p_fix)
         res = _forward(t0, y0, p, tvals, fwd_options)
         ys = _poison_b(res.ys, res.status)
-        return ys, (t0, y0, p_sub, p_fix, tvals, res.saved, res.status)
+        return ys, (t0, y0, p_sub, p_fix, tvals, res.saved, res.status, ys)
 
     def solve_bwd(residuals, g):
-        t0, y0, p_sub, p_fix, tvals, saved, status = residuals
+        t0, y0, p_sub, p_fix, tvals, saved, status, ys_fwd = residuals
         B = y0.shape[0]
         p = _combine(p_sub, p_fix)
         adj = adjoint_backward_batched(
@@ -277,16 +293,19 @@ def make_batched_solve_fn(
             n_deriv,
             adjoint_options,
             method=method,
+            interpolation=adjoint_interpolation,
+            rhs=rhs if resolve else None,
+            y_end=ys_fwd[:, -1, :] if resolve else None,
         )
         bad = (status != 0) | (adj.status != 0)
         lam = jnp.where(bad[:, None], jnp.nan, adj.lamda)  # (B, n)
         quad = jnp.where(bad[:, None], jnp.nan, adj.quad)  # (B, k)
-        y_at = make_hermite_eval_batched(saved)
-        # y(t_i) for all i: (n_t, n, B)
-        ys_at = jax.vmap(lambda te: y_at(jnp.full((B,), te, tvals.dtype)))(tvals)
-        f_at = jax.vmap(lambda te, yb: rhs_tb(jnp.full((B,), te, tvals.dtype), yb, p.T))(
-            tvals, ys_at
-        )  # (n_t, n, B)
+        # d/dtvals_i = sum_b g_bi . f(t_i, y_b(t_i)): the forward emissions
+        # ARE y(t_i) (exact integral-basis interpolation), so evaluate f on
+        # them directly instead of re-gathering through the Hermite table
+        f_at = jax.vmap(
+            lambda te, yb: rhs_tb(jnp.full((B,), te, tvals.dtype), yb, p.T)
+        )(tvals, jnp.moveaxis(ys_fwd, 0, 2))  # (n_t, n, B)
         d_tvals = jnp.einsum("bij,ijb->i", g, f_at)  # summed over batch (shared tvals)
         d_tvals = jnp.where(jnp.any(bad), jnp.nan, d_tvals)
         f0 = rhs_tb(jnp.full((B,), t0, tvals.dtype), y0.T, p.T)  # (n, B)
