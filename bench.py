@@ -65,6 +65,18 @@ def bench_lv_adjoint(args):
     n_finite = int(jnp.isfinite(gy).all(axis=-1).sum())
     assert n_finite == args.batch, f"only {n_finite}/{args.batch} chains succeeded"
 
+    # correctness gate: the measured gradients must tolerance-match the
+    # committed independent oracle (scipy LSODA rtol=1e-12 + central FD,
+    # tests/golden/lv_adjoint.npz) on the first 16 lanes — the throughput
+    # number is only reported for a solve that is actually right.
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "lv_adjoint.npz"
+    )
+    if args.batch == 10000 and os.path.exists(golden_path):
+        g = np.load(golden_path)
+        np.testing.assert_allclose(np.asarray(gy[:16]), g["gy"], rtol=2e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gp[:16]), g["gp"], rtol=2e-3, atol=1e-3)
+
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()

@@ -249,19 +249,22 @@ def make_batched_solve_fn(
     if derivatives != "adjoint":
         raise NotImplementedError("batched solver supports derivatives='adjoint' or None")
 
-    if adjoint_interpolation not in ("hermite", "resolve"):
+    if adjoint_interpolation not in ("hermite", "resolve", "transition"):
         raise ValueError(
-            f"adjoint_interpolation must be 'hermite' or 'resolve', got "
-            f"{adjoint_interpolation!r}"
+            f"adjoint_interpolation must be 'hermite', 'resolve' or "
+            f"'transition', got {adjoint_interpolation!r}"
         )
-    if adjoint_interpolation == "resolve" and method != "ADAMS":
-        raise ValueError("adjoint_interpolation='resolve' requires method='ADAMS'")
-    resolve = adjoint_interpolation == "resolve"
+    if adjoint_interpolation in ("resolve", "transition") and method != "ADAMS":
+        raise ValueError(
+            f"adjoint_interpolation={adjoint_interpolation!r} requires method='ADAMS'"
+        )
+    resolve = adjoint_interpolation in ("resolve", "transition")
 
     adjoint_rhs = problem.make_adjoint_rhs()
     adjoint_jac = problem.make_adjoint_jac_dense()
     quad_rhs = problem.make_adjoint_quad_rhs()
-    # 'resolve' re-integrates y backward: no checkpoint recording needed
+    dfdp = problem.make_dfdp() if adjoint_interpolation == "transition" else None
+    # 'resolve'/'transition' re-integrate y backward: no checkpoint recording
     fwd_options = options if resolve else options._replace(save_steps=checkpoint_n)
     rhs_tb = jax.vmap(rhs, in_axes=(0, 1, 1), out_axes=1)
 
@@ -281,22 +284,38 @@ def make_batched_solve_fn(
         t0, y0, p_sub, p_fix, tvals, saved, status, ys_fwd = residuals
         B = y0.shape[0]
         p = _combine(p_sub, p_fix)
-        adj = adjoint_backward_batched(
-            adjoint_rhs,
-            adjoint_jac,
-            quad_rhs,
-            saved,
-            t0,
-            tvals,
-            g,
-            p,
-            n_deriv,
-            adjoint_options,
-            method=method,
-            interpolation=adjoint_interpolation,
-            rhs=rhs if resolve else None,
-            y_end=ys_fwd[:, -1, :] if resolve else None,
-        )
+        if adjoint_interpolation == "transition":
+            from sunode_tpu.adjoint import adjoint_backward_transition_batched
+
+            adj = adjoint_backward_transition_batched(
+                rhs,
+                adjoint_jac,
+                dfdp,
+                t0,
+                tvals,
+                g,
+                p,
+                n_deriv,
+                ys_fwd[:, -1, :],
+                adjoint_options,
+            )
+        else:
+            adj = adjoint_backward_batched(
+                adjoint_rhs,
+                adjoint_jac,
+                quad_rhs,
+                saved,
+                t0,
+                tvals,
+                g,
+                p,
+                n_deriv,
+                adjoint_options,
+                method=method,
+                interpolation=adjoint_interpolation,
+                rhs=rhs if resolve else None,
+                y_end=ys_fwd[:, -1, :] if resolve else None,
+            )
         bad = (status != 0) | (adj.status != 0)
         lam = jnp.where(bad[:, None], jnp.nan, adj.lamda)  # (B, n)
         quad = jnp.where(bad[:, None], jnp.nan, adj.quad)  # (B, k)
