@@ -12,14 +12,26 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# single-instance solves are latency-bound: CPU is the right device (the
+# batched 10k-chain path is what belongs on the TPU — see __graft_entry__)
+if os.environ.get("EXAMPLE_FORCE_CPU", "1") == "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 try:
     import pytensor
     import pytensor.tensor as pt
 except ImportError:
-    print("pytensor not installed; this example needs the optional pytensor dep")
-    sys.exit(0)
+    # fall back to the vendored Op-protocol shim: the Ops + logp/dlogp path
+    # below run unchanged (pymc itself still needs the real pytensor)
+    from sunode_tpu.wrappers.pt_shim import install
+
+    install()
+    import pytensor
+    import pytensor.tensor as pt
 
 import sunode_tpu.wrappers.as_pytensor as sun_pt
 

@@ -1,11 +1,17 @@
 """PyTensor wrapper — modeled on reference sunode/test_pytensor.py.
 
-Skipped when pytensor is not installed (it is optional, like xarray)."""
+Runs against the real pytensor when installed; otherwise against the
+vendored Op-protocol shim (sunode_tpu/wrappers/pt_shim.py), so the wrapper's
+perform/grad bodies execute either way."""
 
 import numpy as np
 import pytest
 
-pytensor = pytest.importorskip("pytensor")
+from sunode_tpu.wrappers.pt_shim import install as _install_shim
+
+_install_shim()
+
+import pytensor  # noqa: E402
 import pytensor.tensor as pt  # noqa: E402
 
 from sunode_tpu.wrappers.as_pytensor import solve_ivp  # noqa: E402
@@ -114,3 +120,88 @@ def test_grad_wrt_tvals():
     f = pytensor.function([alpha, pt_tvals], g_tv)
     g = f(1.0, TVALS)
     assert np.isfinite(g).all() and g.shape == TVALS.shape
+
+
+def test_nuts_leapfrog_smoke():
+    """BASELINE config 4 smoke: logp + dlogp through SolveODEAdjoint driving
+    HMC leapfrog steps (what PyMC NUTS executes per tree extension).
+
+    The posterior is a Gaussian likelihood on noisy LV observations with a
+    Gaussian prior on (alpha, beta); gradients flow through the adjoint Op.
+    """
+    alpha = pt.dscalar("alpha")
+    beta = pt.dscalar("beta")
+    solved = solve_ivp(
+        t0=0.0,
+        y0={"hares": (np.float64(10.0), ()), "lynx": (np.float64(2.0), ())},
+        params={
+            "alpha": (alpha, ()),
+            "beta": (beta, ()),
+            "gamma": np.float64(1.0),
+            "delta": np.float64(0.4),
+        },
+        tvals=TVALS,
+        rhs=lv,
+        derivatives="adjoint",
+    )
+    flat = solved[1]
+
+    # synthetic observations from the true trajectory
+    rng = np.random.default_rng(0)
+    f_truth = pytensor.function([alpha, beta], flat)
+    data = f_truth(1.0, 0.3) + 0.1 * rng.standard_normal((len(TVALS), 2))
+    sigma = 0.1
+
+    resid = flat - pt.as_tensor_variable(data)
+    loglike = -0.5 * (resid * resid).sum() / sigma**2
+    logprior = -0.5 * ((alpha - 1.0) ** 2 + (beta - 0.3) ** 2) / 0.5**2
+    logp = loglike + logprior
+
+    dlogp = pytensor.grad(logp, [alpha, beta])
+    logp_dlogp = pytensor.function([alpha, beta], [logp] + dlogp)
+
+    # a few HMC leapfrog steps
+    q = np.array([1.02, 0.31])
+    p = np.array([0.3, -0.2])
+    eps = 1e-4
+    lp0, ga, gb = logp_dlogp(*q)
+    g = np.array([ga, gb])
+    H0 = -float(lp0) + 0.5 * float(p @ p)
+    for _ in range(5):
+        p = p + 0.5 * eps * g
+        q = q + eps * p
+        lp, ga, gb = logp_dlogp(*q)
+        g = np.array([ga, gb])
+        p = p + 0.5 * eps * g
+    H1 = -float(lp) + 0.5 * float(p @ p)
+    assert np.isfinite([H0, H1]).all()
+    # leapfrog is symplectic: the Hamiltonian is nearly conserved when the
+    # gradients are consistent with the logp (a wrong gradient diverges fast)
+    assert abs(H1 - H0) < 1e-2 * (1 + abs(H0))
+
+
+def test_nan_poisoning_through_op():
+    """A diverging parameter region must yield NaN logp/grad (so a sampler
+    rejects) rather than raising — reference as_pytensor.py:244-247."""
+    alpha = pt.dscalar("alpha")
+    solved = solve_ivp(
+        t0=0.0,
+        y0={"hares": (np.float64(10.0), ()), "lynx": (np.float64(2.0), ())},
+        params={
+            "alpha": (alpha, ()),
+            "beta": np.float64(0.3),
+            "gamma": np.float64(1.0),
+            "delta": np.float64(0.4),
+        },
+        tvals=TVALS,
+        rhs=lv,
+        derivatives="adjoint",
+    )
+    flat = solved[1]
+    loss = (flat**2).sum()
+    g = pytensor.grad(loss, alpha)
+    f = pytensor.function([alpha], [loss, g])
+    l_ok, g_ok = f(1.0)
+    assert np.isfinite(l_ok) and np.isfinite(g_ok)
+    l_bad, g_bad = f(np.nan)  # a diverged sampler proposal
+    assert np.isnan(l_bad) and np.isnan(g_bad)
