@@ -208,15 +208,14 @@ def adams_solve(
     DF0 = jnp.zeros((KA, n), dtype).at[0].set(f0)
 
     save_steps = int(options.save_steps)
+    thinning = bool(options.checkpoint_thinning)
     if save_steps > 0:
+        from sunode_tpu.ops._recording import init_saved_single
+
         row0 = jnp.concatenate([t0[None], y0, f0])
         buf0 = jnp.full((save_steps, 1 + 2 * n), jnp.inf, dtype)
         buf0 = buf0.at[:, 1:].set(0.0).at[0].set(row0)
-        saved0 = {
-            "tyf": buf0,
-            "n_saved": jnp.asarray(1, jnp.int32),
-            "overflow": jnp.asarray(False),
-        }
+        saved0 = init_saved_single(buf0, thinning)
     else:
         saved0 = None
 
@@ -242,6 +241,11 @@ def adams_solve(
         nniters=jnp.asarray(0, jnp.int32),
         n_err_fails=jnp.asarray(0, jnp.int32),
         n_conv_fails=jnp.asarray(0, jnp.int32),
+        # post-mortem snapshot of the fatal attempt (ref error_* analog)
+        pm_t=jnp.asarray(jnp.nan, dtype),
+        pm_h=jnp.asarray(jnp.nan, dtype),
+        pm_q=jnp.asarray(-1, jnp.int32),
+        pm_worst=jnp.asarray(-1, jnp.int32),
         saved=saved0,
     )
 
@@ -361,18 +365,10 @@ def adams_solve(
         i_out, ys = lax.while_loop(emit_cond, emit_body, (c["i_out"], c["ys"]))
 
         if save_steps > 0:
-            sv = c["saved"]
-            ns = sv["n_saved"]
-            slot = jnp.minimum(ns, save_steps - 1)
+            from sunode_tpu.ops._recording import record_step_single
+
             row = jnp.concatenate([t_new[None], y_new, f_new])
-            sv = dict(
-                tyf=sv["tyf"].at[slot].set(jnp.where(accept, row, sv["tyf"][slot])),
-                n_saved=jnp.where(accept, jnp.minimum(ns + 1, save_steps), ns).astype(
-                    jnp.int32
-                ),
-                # a write at ns >= save_steps overwrites a valid row
-                overflow=sv["overflow"] | (accept & (ns >= save_steps)),
-            )
+            sv = record_step_single(c["saved"], accept, row, save_steps, thinning)
         else:
             sv = c["saved"]
 
@@ -457,6 +453,19 @@ def adams_solve(
         )
         status = jnp.where((status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status)
 
+        # post-mortem: snapshot (t, attempted h, order, worst state) on the
+        # attempt where the status turns fatal (ref symode/problem.py:150-158
+        # error_* analog).  Worst state = largest weighted LTE component on
+        # an error rejection, largest weighted correction otherwise.
+        fatal_now = (c["status"] == -1) & (status != -1)
+        e_err = jnp.abs(err) * scale_w
+        e_newt = jnp.abs(y_new - y_pred) * scale_w
+        worst = jnp.argmax(jnp.where(conv, e_err, e_newt)).astype(jnp.int32)
+        pm_t = jnp.where(fatal_now, t, c["pm_t"])
+        pm_h = jnp.where(fatal_now, h_use, c["pm_h"])
+        pm_q = jnp.where(fatal_now, p, c["pm_q"]).astype(jnp.int32)
+        pm_worst = jnp.where(fatal_now, worst, c["pm_worst"]).astype(jnp.int32)
+
         return dict(
             t=t_next,
             y=y_next_carry,
@@ -474,6 +483,10 @@ def adams_solve(
             nniters=c["nniters"] + k_it,
             n_err_fails=c["n_err_fails"] + jnp.where(err_reject, 1, 0),
             n_conv_fails=c["n_conv_fails"] + jnp.where(~conv, 1, 0),
+            pm_t=pm_t,
+            pm_h=pm_h,
+            pm_q=pm_q,
+            pm_worst=pm_worst,
             saved=sv,
         )
 
@@ -493,6 +506,11 @@ def adams_solve(
         final_order=final["p"],
         final_step_size=final["h"],
         final_time=final["t"],
+        # where a fatal solve died (NaN / -1 on success); see body()
+        error_time=final["pm_t"],
+        error_step_size=final["pm_h"],
+        error_order=final["pm_q"],
+        error_worst_state=final["pm_worst"],
     )
     if save_steps > 0:
         buf = final["saved"]["tyf"]

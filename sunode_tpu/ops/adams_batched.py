@@ -194,15 +194,14 @@ def adams_solve_batched(
     DF0 = jnp.zeros((KAB, nz, B), dtype).at[0].set(fz0)
 
     save_steps = int(options.save_steps)
+    thinning = bool(options.checkpoint_thinning)
     if save_steps > 0:
+        from sunode_tpu.ops._recording import init_saved_batched
+
         row0 = jnp.concatenate([t0_b[None, :], y0, f0])
         buf0 = jnp.full((save_steps, 1 + 2 * n, B), jnp.inf, dtype)
         buf0 = buf0.at[:, 1:, :].set(0.0).at[0].set(row0)
-        saved0 = {
-            "tyf": buf0,
-            "n_saved": jnp.ones((B,), jnp.int32),
-            "overflow": jnp.zeros((B,), bool),
-        }
+        saved0 = init_saved_batched(buf0, thinning)
     else:
         saved0 = None
 
@@ -229,6 +228,11 @@ def adams_solve_batched(
         nniters=zeros_i,
         n_err_fails=zeros_i,
         n_conv_fails=zeros_i,
+        # per-lane post-mortem snapshot of the fatal attempt (ref error_*)
+        pm_t=jnp.full((B,), jnp.nan, dtype),
+        pm_h=jnp.full((B,), jnp.nan, dtype),
+        pm_q=jnp.full((B,), -1, jnp.int32),
+        pm_worst=jnp.full((B,), -1, jnp.int32),
         it=jnp.asarray(0, jnp.int32),
         i_ev=zeros_i,
         saved=saved0,
@@ -432,29 +436,17 @@ def adams_solve_batched(
 
         i_out, zs = lax.while_loop(emit_cond, emit_body, (c["i_out"], c["zs"]))
 
-        # ---- checkpoint recording ----------------------------------------
+        # ---- checkpoint recording (see ops/_recording.py) -----------------
         if save_steps > 0:
-            sv = c["saved"]
+            from sunode_tpu.ops._recording import record_step_batched
+
             row = jnp.concatenate([t_new[None, :], y_new, fz_new[sl_y]])
             pad = jnp.concatenate(
                 [jnp.full((1, B), jnp.inf, dtype), jnp.zeros((2 * n, B), dtype)]
             )
             row = jnp.where(accept[None, :], row, pad)
-            slot = jnp.minimum(c["it"] + 1, save_steps - 1)
-            # once the shared counter clamps to the last slot, a REJECTED
-            # attempt must not pad over a lane's previously-written row
-            # (that row may be the lane's final valid checkpoint)
-            clamped = c["it"] + 1 >= save_steps
-            old_row = lax.dynamic_index_in_dim(sv["tyf"], slot, 0, keepdims=False)
-            row = jnp.where((clamped & ~accept)[None, :], old_row, row)
-            buf = lax.dynamic_update_index_in_dim(sv["tyf"], row, slot, 0)
-            # overflow only when a VALID row would be overwritten: the first
-            # write to the last slot (it+1 == save_steps-1) is still valid
-            overflow = sv["overflow"] | (accept & clamped)
-            sv = dict(
-                tyf=buf,
-                n_saved=sv["n_saved"] + accept.astype(jnp.int32),
-                overflow=overflow,
+            sv = record_step_batched(
+                c["saved"], c["it"], accept, row, save_steps, thinning
             )
         else:
             sv = c["saved"]
@@ -561,6 +553,20 @@ def adams_solve_batched(
         )
         status = jnp.where((status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status)
 
+        # per-lane post-mortem: snapshot (t, attempted h, order, worst state)
+        # on the attempt where a lane's status turns fatal (ref
+        # symode/problem.py:150-158 error_* analog)
+        fatal_now = (c["status"] == -1) & (status != -1)
+        e_err = jnp.abs(err_rows[0, sl_y]) * w_z[sl_y]
+        e_newt = jnp.abs((z_new - z_pred)[sl_y]) * w_z[sl_y]
+        worst = jnp.argmax(
+            jnp.where(conv[None, :], e_err, e_newt), axis=0
+        ).astype(jnp.int32)
+        pm_t = jnp.where(fatal_now, c["t"], c["pm_t"])
+        pm_h = jnp.where(fatal_now, h_use, c["pm_h"])
+        pm_q = jnp.where(fatal_now, p, c["pm_q"]).astype(jnp.int32)
+        pm_worst = jnp.where(fatal_now, worst, c["pm_worst"]).astype(jnp.int32)
+
         return dict(
             t=t_next,
             z=z_next_carry,
@@ -578,6 +584,10 @@ def adams_solve_batched(
             nniters=c["nniters"] + niter,
             n_err_fails=c["n_err_fails"] + err_reject.astype(jnp.int32),
             n_conv_fails=c["n_conv_fails"] + (active & ~conv).astype(jnp.int32),
+            pm_t=pm_t,
+            pm_h=pm_h,
+            pm_q=pm_q,
+            pm_worst=pm_worst,
             it=c["it"] + 1,
             i_ev=i_ev_next if with_inject else c["i_ev"],
             saved=sv,
@@ -633,22 +643,19 @@ def adams_solve_batched(
         final_step_size=final["h"],
         final_time=final["t"],
         n_attempts=final["it"],
+        # where each fatal lane died (NaN / -1 on success); see body()
+        error_time=final["pm_t"],
+        error_step_size=final["pm_h"],
+        error_order=final["pm_q"],
+        error_worst_state=final["pm_worst"],
         # final carried state (leading batch): the fused backward pass reads
         # lambda/quad from here (post-injection), not from the emissions
         final_state=final["z"].T,
     )
     if save_steps > 0:
-        buf = final["saved"]["tyf"]
-        order = jnp.argsort(buf[:, 0, :], axis=0)
-        buf = jnp.take_along_axis(buf, order[:, None, :], axis=0)
-        saved_out = {
-            "t": buf[:, 0, :],
-            "y": buf[:, 1 : n + 1, :],
-            "f": buf[:, n + 1 :, :],
-            "yf": buf[:, 1:, :],  # (S, 2n, B) y|f table: fast Hermite gathers
-            "n_saved": final["saved"]["n_saved"],
-            "overflow": final["saved"]["overflow"],
-        }
+        from sunode_tpu.ops._recording import finalize_saved_batched
+
+        saved_out = finalize_saved_batched(final["saved"], n, thinning)
     else:
         saved_out = None
 

@@ -99,14 +99,23 @@ class BDFOptions(NamedTuple):
     # sensitivity block (CVodeSetSensErrCon / CVodeSetSensParams pbar)
     sens_err_con: bool = True
     sens_pbar: Optional[Any] = None  # (k,) scaling factors; None -> 1
+    # CV_STAGGERED sequencing (16_cvodes.h:31-33; ref solver.py:360-392):
+    # the state corrector must converge AND pass its own error test before
+    # any sensitivity corrector work runs; the sensitivity block then gets
+    # its own convergence + error test.  False = CV_SIMULTANEOUS (combined).
+    sens_staggered: bool = False
     # quadrature block (CVodeSetQuadErrCon)
     quad_err_con: bool = False
     quad_atol: Optional[Any] = None  # defaults to atol-style scalar
     quad_rtol: Optional[float] = None
-    # Newton linear solver: 'dense' (LU / closed forms) or 'spgmr'
-    # (matrix-free GMRES on jvp's; reference linear_solver='spgmr')
+    # Newton linear solver: 'dense' (LU / closed forms), 'spgmr' (matrix-free
+    # GMRES on jvp's; reference linear_solver='spgmr'), or 'band' (banded LU
+    # with partial pivoting, O(n*(l+u)^2) — SUNDIALS sunlinsol_band analog;
+    # jac must then return (band_lower+band_upper+1, n) banded storage)
     linear_solver: str = "dense"
     krylov_dim: int = 5  # CVODES SUNLinSol_SPGMR default maxl
+    band_lower: int = 0  # bandwidths for linear_solver='band'
+    band_upper: int = 0
     # Adams order cap (separate from the BDF max_order so explicit low caps
     # stay expressible); default 8 — see ops/adams.py for the conditioning
     # rationale.  Hard ceiling 12 (CV_ADAMS max).
@@ -122,6 +131,11 @@ class BDFOptions(NamedTuple):
     # as a large measured correction and rejects the step).  1 = CVODES
     # behavior (full restart).
     inject_keep_order: int = 1
+    # Bounded-checkpoint recovery (CVodeAdjInit bounded-buffer analog, ref
+    # solver.py:530-588): when the recording buffer fills, keep every second
+    # row and double the recording stride instead of failing — see
+    # ops/_recording.py.  False restores the legacy clamp+overflow behavior.
+    checkpoint_thinning: bool = True
 
 
 class BDFResult(NamedTuple):
@@ -313,8 +327,15 @@ def bdf_solve(
     t_end = tvals[-1]
 
     use_spgmr = options.linear_solver == "spgmr"
-    if options.linear_solver not in ("dense", "spgmr"):
-        raise ValueError("options.linear_solver must be 'dense' or 'spgmr'")
+    use_band = options.linear_solver == "band"
+    if options.linear_solver not in ("dense", "spgmr", "band"):
+        raise ValueError(
+            "options.linear_solver must be 'dense', 'spgmr' or 'band'"
+        )
+    if use_band:
+        from sunode_tpu.ops.banded import banded_factor, banded_solve
+
+        band_l, band_u = int(options.band_lower), int(options.band_upper)
     if use_spgmr and jac_prod is None:
         # matrix-free default: jvp of the rhs
         def jac_prod(t, y, v, p):  # noqa: F811
@@ -430,17 +451,16 @@ def bdf_solve(
     D0 = D0.at[0].set(z0).at[1].set(h0 * fz0)
 
     save_steps = int(options.save_steps)
+    thinning = bool(options.checkpoint_thinning)
     if save_steps > 0:
+        from sunode_tpu.ops._recording import init_saved_single
+
         # packed (t | y | f) rows: ONE scatter per accepted step instead of 3.
         # +inf time padding so searchsorted in the adjoint works directly.
         row0 = jnp.concatenate([t0[None], y0, f0])
         buf0 = jnp.full((save_steps, 1 + 2 * n), jnp.inf, dtype)
         buf0 = buf0.at[:, 1:].set(0.0).at[0].set(row0)
-        saved0 = {
-            "tyf": buf0,
-            "n_saved": jnp.asarray(1, jnp.int32),
-            "overflow": jnp.asarray(False),
-        }
+        saved0 = init_saved_single(buf0, thinning)
     else:
         saved0 = None
 
@@ -454,6 +474,11 @@ def bdf_solve(
         # matrix-free: no Jacobian matrix, no factorization state
         factors0 = (jnp.zeros((1, 1), dtype),)
         J0 = jnp.zeros((1, 1), dtype)
+    elif use_band:
+        # identity in banded storage; jac returns (l+u+1, n) banded rows
+        eye_ab = jnp.zeros((band_l + band_u + 1, n), dtype).at[band_u].set(1.0)
+        factors0 = banded_factor(eye_ab, band_l, band_u)
+        J0 = jac(t0, y0, params)
     else:
         factors0 = factor_newton(jnp.eye(n, dtype=dtype))
         # CVODES evaluates a real Jacobian before the first BDF Newton
@@ -489,6 +514,12 @@ def bdf_solve(
         nfevS=jnp.asarray(1 if with_sens else 0, jnp.int32),
         n_err_fails=jnp.asarray(0, jnp.int32),
         n_conv_fails=jnp.asarray(0, jnp.int32),
+        # post-mortem snapshot of the fatal attempt (analog of the
+        # reference's user_data.error_* capture, ref symode/problem.py:150-158)
+        pm_t=jnp.asarray(jnp.nan, dtype),
+        pm_h=jnp.asarray(jnp.nan, dtype),
+        pm_q=jnp.asarray(-1, jnp.int32),
+        pm_worst=jnp.asarray(-1, jnp.int32),
         saved=saved0,
     )
 
@@ -569,9 +600,19 @@ def bdf_solve(
         )
         need_factor = c["need_factor"] | c_changed
 
-        def do_factor(_):
-            M = jnp.eye(n, dtype=dtype) - c_coef * c["J"]
-            return factor_newton(M), c_coef, c["nfactor"] + 1
+        if use_band:
+
+            def do_factor(_):
+                # M = I - c*J directly in banded storage (diagonal = row u)
+                M_ab = (-c_coef) * c["J"]
+                M_ab = M_ab.at[band_u].add(1.0)
+                return banded_factor(M_ab, band_l, band_u), c_coef, c["nfactor"] + 1
+
+        else:
+
+            def do_factor(_):
+                M = jnp.eye(n, dtype=dtype) - c_coef * c["J"]
+                return factor_newton(M), c_coef, c["nfactor"] + 1
 
         if use_spgmr:
             factors, c_factored, nfactor = c["factors"], c_coef, c["nfactor"]
@@ -607,6 +648,11 @@ def bdf_solve(
                     res,
                     maxl=options.krylov_dim,
                 )
+        elif use_band:
+
+            def lin_solve(res):
+                return banded_solve(factors, res, band_l, band_u)
+
         else:
             def lin_solve(res):
                 return solve_factored(factors, res)
@@ -619,11 +665,13 @@ def bdf_solve(
 
         # ----- sensitivity corrector (linear; iterate with cached M) -------
         nfevS_n = jnp.asarray(0, jnp.int32)
+        state_err_ok = jnp.asarray(True)
         if with_sens:
+            staggered = bool(options.sens_staggered)
             S_pred = z_pred[sl_S].reshape(k_sens, n)
             psi_S = psi_z[sl_S].reshape(k_sens, n)
             wS = w_z[sl_S].reshape(k_sens, n)
-            if use_spgmr:
+            if use_spgmr or use_band:
                 solve_rows = lambda _f, rows: jax.vmap(lin_solve)(rows)  # noqa: E731
             else:
                 solve_rows = jax.vmap(solve_factored, in_axes=(None, 0))
@@ -658,10 +706,32 @@ def bdf_solve(
                 jnp.asarray(False),
                 jnp.asarray(0, jnp.int32),
             )
-            _, S_new, dS_corr, _, s_conv, s_bad, nfevS_n = lax.while_loop(
-                scond, sbody, sinit
-            )
-            conv = conv & s_conv
+
+            if staggered:
+                # CV_STAGGERED (16_cvodes.h:31-33): the state must converge
+                # AND pass its own error test before any sensitivity work —
+                # a real lax.cond, so state-rejected attempts never evaluate
+                # the sensitivity RHS (the whole point of staggered mode)
+                err_y_norm = _wrms(error_const[q] * d_corr, w_z[sl_y])
+                state_err_ok = err_y_norm <= 1.0
+
+                def run_sens(_):
+                    return lax.while_loop(scond, sbody, sinit)
+
+                def skip_sens(_):
+                    return sinit
+
+                _, S_new, dS_corr, _, s_conv, s_bad, nfevS_n = lax.cond(
+                    conv & state_err_ok, run_sens, skip_sens, None
+                )
+                # a skipped sens corrector must not mask the state rejection:
+                # acceptance requires state_err_ok anyway (below)
+                conv = conv & (s_conv | ~state_err_ok)
+            else:
+                _, S_new, dS_corr, _, s_conv, s_bad, nfevS_n = lax.while_loop(
+                    scond, sbody, sinit
+                )
+                conv = conv & s_conv
             d_parts.append(dS_corr.reshape(-1))
         # quadrature corrector is explicit: d_q = c * qdot(t_n, y_n) - psi_q
         if with_quad:
@@ -709,7 +779,14 @@ def bdf_solve(
 
         # ----- error test ---------------------------------------------------
         err_norm_tot = err_norm_of(error_const[q] * d_z, w_z)
-        err_ok = err_norm_tot <= 1.0
+        if with_sens and bool(options.sens_staggered):
+            # the state's OWN error test gates acceptance (the combined
+            # block-mean norm could pass while the state block alone fails),
+            # and the step-reduction factor must see the state failure too
+            # (on a skipped sens corrector the d_z sens block is zero)
+            err_y_norm = _wrms(error_const[q] * d_corr, w_z[sl_y])
+            err_norm_tot = jnp.maximum(err_norm_tot, err_y_norm)
+        err_ok = (err_norm_tot <= 1.0) & state_err_ok
         accept = conv & err_ok & ~constraint_fail
         err_reject = conv & (~err_ok | constraint_fail)
 
@@ -741,21 +818,14 @@ def bdf_solve(
 
         i_out, zs = lax.while_loop(emit_cond, emit_body, (c["i_out"], c["zs"]))
 
-        # record accepted step for adjoint checkpointing (one packed scatter)
+        # record accepted step for adjoint checkpointing (one packed scatter;
+        # bounded-buffer thinning in ops/_recording.py)
         if save_steps > 0:
-            sv = c["saved"]
+            from sunode_tpu.ops._recording import record_step_single
+
             f_acc = rhs(t_new, y_new, params)
-            ns = sv["n_saved"]
-            slot = jnp.minimum(ns, save_steps - 1)
             row = jnp.concatenate([t_new[None], y_new, f_acc])
-            sv = dict(
-                tyf=sv["tyf"].at[slot].set(jnp.where(accept, row, sv["tyf"][slot])),
-                n_saved=jnp.where(
-                    accept, jnp.minimum(ns + 1, save_steps), ns
-                ).astype(jnp.int32),
-                # a write at ns >= save_steps overwrites a valid row
-                overflow=sv["overflow"] | (accept & (ns >= save_steps)),
-            )
+            sv = record_step_single(c["saved"], accept, row, save_steps, thinning)
         else:
             sv = c["saved"]
 
@@ -875,6 +945,20 @@ def bdf_solve(
         )
         status = jnp.where((status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status)
 
+        # post-mortem: on the attempt where the status turns fatal, snapshot
+        # where the integration died — (t, attempted h, order, worst state).
+        # Worst state = largest weighted local-error component on an error
+        # rejection, largest weighted Newton correction on a convergence
+        # failure (ref symode/problem.py:150-158 error_* analog).
+        fatal_now = (c["status"] == -1) & (status != -1)
+        e_err = jnp.abs(error_const[q] * d_z[sl_y]) * w_z[sl_y]
+        e_newt = jnp.abs(d_corr) * w_z[sl_y]
+        worst = jnp.argmax(jnp.where(conv, e_err, e_newt)).astype(jnp.int32)
+        pm_t = jnp.where(fatal_now, t, c["pm_t"])
+        pm_h = jnp.where(fatal_now, h_use, c["pm_h"])
+        pm_q = jnp.where(fatal_now, q, c["pm_q"]).astype(jnp.int32)
+        pm_worst = jnp.where(fatal_now, worst, c["pm_worst"]).astype(jnp.int32)
+
         new_c = dict(
             t=t_next,
             h=h_next,
@@ -904,6 +988,10 @@ def bdf_solve(
             n_err_fails=c["n_err_fails"] + jnp.where(err_reject, 1, 0),
             n_conv_fails=c["n_conv_fails"]
             + jnp.where(newton_failed & ~refresh_J, 1, 0),
+            pm_t=pm_t,
+            pm_h=pm_h,
+            pm_q=pm_q,
+            pm_worst=pm_worst,
             saved=sv,
         )
         return new_c
@@ -925,6 +1013,11 @@ def bdf_solve(
         final_order=final["q"],
         final_step_size=final["h"],
         final_time=final["t"],
+        # where a fatal solve died (NaN / -1 on success); see body()
+        error_time=final["pm_t"],
+        error_step_size=final["pm_h"],
+        error_order=final["pm_q"],
+        error_worst_state=final["pm_worst"],
     )
     if with_sens:
         stats["n_sens_rhs_evals"] = final["nfevS"]

@@ -183,11 +183,11 @@ class Solver(_SolverBase):
         self._linear_solver = linear_solver
         self._init_params_state()
 
-        if solver == "ADAMS" and sens_mode is not None:
-            raise NotImplementedError(
-                "forward sensitivities with solver='ADAMS' are not implemented; "
-                "use solver='BDF' (CVODES-style) for sensitivity solves"
-            )
+        # forward sensitivities with solver='ADAMS' run as an augmented state
+        # [y; vec(S)] through the functional-iteration Adams core (CVODES
+        # supports sens with CV_ADAMS the same way: the sens equations are
+        # just more ODE components to the corrector; 16_cvodes.h:275-323 is
+        # method-agnostic).  See _solver_fn.
         if options is None:
             options = BDFOptions(
                 rtol=1e-10 if reltol is None else reltol,
@@ -195,6 +195,7 @@ class Solver(_SolverBase):
                 max_steps=100_000 if max_steps is None else max_steps,
                 constraints=None if constraints is None else np.asarray(constraints),
                 sens_pbar=scaling_factors,
+                sens_staggered=(sens_mode == "staggered"),
             )
             if solver == "ADAMS":
                 from sunode_tpu.ops.adams import adams_options
@@ -213,6 +214,10 @@ class Solver(_SolverBase):
                 raise ValueError(
                     f"Pass {bad} inside options=BDFOptions(...) — they are "
                     "ignored when an explicit options object is given"
+                )
+            if sens_mode is not None:
+                options = options._replace(
+                    sens_staggered=(sens_mode == "staggered")
                 )
         self._options = options
 
@@ -235,8 +240,12 @@ class Solver(_SolverBase):
                     "linear_solver='band' requires linear_solver_kwargs with "
                     "'lower_bandwidth' and 'upper_bandwidth'"
                 )
-            jacfn = problem.make_banded_jac_dense(
-                int(kw["lower_bandwidth"]), int(kw["upper_bandwidth"])
+            lb, ub = int(kw["lower_bandwidth"]), int(kw["upper_bandwidth"])
+            # banded-storage Jacobian + true banded LU in the Newton solve:
+            # O(n*(l+u)^2) instead of dense O(n^3)
+            jacfn = problem.make_banded_jac(lb, ub)
+            self._options = self._options._replace(
+                linear_solver="band", band_lower=lb, band_upper=ub
             )
         elif linear_solver in ("spgmr", "spgmr_finitediff"):
             jacfn = problem.make_jac_dense()  # unused by the spgmr path
@@ -285,6 +294,46 @@ class Solver(_SolverBase):
             return y_vals, sens_vals
         return y_vals
 
+    def _adams_sens_setup(self):
+        """Augmented-state setup for solver='ADAMS' + sensitivities:
+        integrate [y; vec(S)] through the functional-iteration core (the
+        sensitivity equations are additional ODE components; the coupling is
+        triangular, so functional iteration converges exactly as for y)."""
+        opts = self._options
+        n = self._problem.n_states
+        k = self._problem.n_params
+        rhs, sens_rhs = self._rhs, self._sens_rhs
+
+        atol = np.broadcast_to(np.asarray(opts.atol, np.float64), (n,))
+        pbar = (
+            np.ones(k)
+            if opts.sens_pbar is None
+            else np.broadcast_to(np.asarray(opts.sens_pbar, np.float64), (k,))
+        )
+        if opts.sens_err_con:
+            # CVodeSensEEtolerances: atol_S[k] = atol / pbar_k
+            atol_S = (atol[None, :] / pbar[:, None]).reshape(-1)
+        else:
+            # excluded from error control: effectively infinite tolerance
+            atol_S = np.full(k * n, 1e12)
+        atol_aug = np.concatenate([atol, atol_S])
+        cons = opts.constraints
+        cons_aug = (
+            None
+            if cons is None
+            else np.concatenate(
+                [np.broadcast_to(np.asarray(cons, np.float64), (n,)), np.zeros(k * n)]
+            )
+        )
+        opts_aug = opts._replace(atol=jnp.asarray(atol_aug), constraints=cons_aug)
+
+        def rhs_aug(t, y_aug, p):
+            y = y_aug[:n]
+            S = y_aug[n:].reshape(k, n)
+            return jnp.concatenate([rhs(t, y, p), sens_rhs(t, y, S, p).reshape(-1)])
+
+        return rhs_aug, opts_aug
+
     def _solver_fn(self, n_t: int, batched: bool):
         key = (n_t, batched)
         if key not in self._jit_cache:
@@ -295,6 +344,8 @@ class Solver(_SolverBase):
             k = self._problem.n_params
 
             solver_kind = self._solver_kind
+            if solver_kind == "ADAMS" and self._compute_sens:
+                rhs_aug, opts_aug = self._adams_sens_setup()
 
             if batched and opts.linear_solver == "dense":
                 # batch-native structure-of-arrays cores: the fast path for
@@ -304,6 +355,17 @@ class Solver(_SolverBase):
 
                 def run(t0, y0, params, tvals, sens0):
                     if solver_kind == "ADAMS":
+                        if self._compute_sens:
+                            B = y0.shape[0]
+                            y0_aug = jnp.concatenate(
+                                [y0, sens0.reshape(B, -1)], axis=1
+                            )
+                            res = adams_solve_batched(
+                                rhs_aug, t0, y0_aug, params, tvals, opts_aug
+                            )
+                            ys = res.ys[:, :, :n]
+                            sens = res.ys[:, :, n:].reshape(B, n_t, k, n)
+                            return ys, sens, res.status, res.stats
                         res = adams_solve_batched(rhs, t0, y0, params, tvals, opts)
                         return res.ys, None, res.status, res.stats
                     if self._compute_sens:
@@ -322,6 +384,12 @@ class Solver(_SolverBase):
                 if solver_kind == "ADAMS":
                     from sunode_tpu.ops.adams import adams_solve
 
+                    if self._compute_sens:
+                        y0_aug = jnp.concatenate([y0, sens0.reshape(-1)])
+                        res = adams_solve(rhs_aug, t0, y0_aug, params, tvals, opts_aug)
+                        ys = res.ys[:, :n]
+                        sens = res.ys[:, n:].reshape(n_t, k, n)
+                        return ys, sens, res.status, res.stats
                     res = adams_solve(rhs, t0, y0, params, tvals, opts)
                     return res.ys, None, res.status, res.stats
                 if self._compute_sens:
@@ -397,7 +465,11 @@ class AdjointSolver(_SolverBase):
         abstol: float = 1e-10,
         reltol: float = 1e-10,
         checkpoint_n: int = 500_000,
-        interpolation: str = "polynomial",
+        # the reference defaults to CV_POLYNOMIAL (ref solver.py:530-541);
+        # here the native scheme is Hermite checkpointing, so the default is
+        # the thing that actually runs — passing 'polynomial' explicitly
+        # aliases to Hermite with a RuntimeWarning (docs/limitations.md)
+        interpolation: str = "hermite",
         constraints: Optional[np.ndarray] = None,
         solver: str = "BDF",
         adjoint_solver: str = "BDF",
@@ -405,14 +477,31 @@ class AdjointSolver(_SolverBase):
         adjoint_abstol: float = 1e-10,
         adjoint_reltol: float = 1e-10,
     ):
-        if solver != "BDF" or adjoint_solver != "BDF":
-            raise NotImplementedError("Only BDF is supported for adjoint solves")
+        if solver not in ("BDF", "ADAMS") or adjoint_solver not in ("BDF", "ADAMS"):
+            raise ValueError("solver/adjoint_solver must be 'BDF' or 'ADAMS'")
+        if adjoint_solver == "ADAMS" and solver != "ADAMS":
+            raise NotImplementedError(
+                "adjoint_solver='ADAMS' requires solver='ADAMS'"
+            )
         if interpolation not in ("polynomial", "hermite"):
             raise ValueError("interpolation must be 'polynomial' or 'hermite'")
+        if interpolation == "polynomial":
+            import warnings
+
+            warnings.warn(
+                "interpolation='polynomial' (CV_POLYNOMIAL) is approximated "
+                "by cubic Hermite (CV_HERMITE) checkpoints in this "
+                "implementation; pass interpolation='hermite' to silence "
+                "this warning (docs/limitations.md)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         # CV_HERMITE-style (y, f) checkpointing is implemented; CVODES's
         # variable-degree polynomial interpolation is approximated by the same
         # scheme (both interpolate the recorded forward trajectory).
         self._problem = problem
+        self._solver_kind = solver
+        self._adjoint_solver_kind = adjoint_solver
         self._interpolation = interpolation
         self._checkpoint_n = int(checkpoint_n)
         self._init_params_state()
@@ -481,9 +570,18 @@ class AdjointSolver(_SolverBase):
         if key not in self._jit_cache:
             rhs, jac, opts = self._rhs, self._jac, self._options
 
-            def run(t0, y0, params, tvals):
-                res = bdf_solve(rhs, jac, t0, y0, params, tvals, opts)
-                return res.ys, res.status, res.saved, res.stats
+            if self._solver_kind == "ADAMS":
+                from sunode_tpu.ops.adams import adams_solve
+
+                def run(t0, y0, params, tvals):
+                    res = adams_solve(rhs, t0, y0, params, tvals, opts)
+                    return res.ys, res.status, res.saved, res.stats
+
+            else:
+
+                def run(t0, y0, params, tvals):
+                    res = bdf_solve(rhs, jac, t0, y0, params, tvals, opts)
+                    return res.ys, res.status, res.saved, res.stats
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
@@ -495,12 +593,40 @@ class AdjointSolver(_SolverBase):
             n_deriv = self._problem.n_params
             opts = self._adjoint_options
 
-            def run(saved, t0, tvals, grads, params):
-                adj = adjoint_backward(
-                    aj_rhs, aj_jac, q_rhs, saved, t0, tvals, grads, params,
-                    n_deriv, opts,
-                )
-                return adj.lamda, adj.quad, adj.status, adj.stats
+            if self._adjoint_solver_kind == "ADAMS":
+                # fused single-loop Adams backward (in-loop cotangent
+                # injections) via the batch-native path at B=1 — the same
+                # machinery the 10k-chain fast path uses
+                from sunode_tpu.adjoint import adjoint_backward_batched
+
+                def run(saved, t0, tvals, grads, params):
+                    saved_b = {
+                        "t": saved["t"][:, None],
+                        "y": saved["y"][:, :, None],
+                        "f": saved["f"][:, :, None],
+                        "n_saved": saved["n_saved"][None],
+                        "overflow": saved["overflow"][None],
+                    }
+                    adj = adjoint_backward_batched(
+                        aj_rhs, aj_jac, q_rhs, saved_b, t0, tvals,
+                        grads[None], params[None], n_deriv, opts,
+                        method="ADAMS",
+                    )
+                    return (
+                        adj.lamda[0],
+                        adj.quad[0],
+                        adj.status[0],
+                        jax.tree_util.tree_map(lambda v: v[0] if getattr(v, "ndim", 0) else v, adj.stats),
+                    )
+
+            else:
+
+                def run(saved, t0, tvals, grads, params):
+                    adj = adjoint_backward(
+                        aj_rhs, aj_jac, q_rhs, saved, t0, tvals, grads, params,
+                        n_deriv, opts,
+                    )
+                    return adj.lamda, adj.quad, adj.status, adj.stats
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]

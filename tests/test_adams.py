@@ -124,9 +124,9 @@ def test_solver_class_adams():
     out_a = s_adams.solve(0.0, tv, np.array([10.0, 2.0]))
     out_b = s_bdf.solve(0.0, tv, np.array([10.0, 2.0]))
     np.testing.assert_allclose(out_a, out_b, rtol=1e-6)
-    # sens with ADAMS should raise
-    with pytest.raises(NotImplementedError):
-        Solver(prob, solver="ADAMS", sens_mode="simultaneous")
+    # sens with ADAMS runs as an augmented state (tests/test_solver_modes.py
+    # checks the values against finite differences)
+    Solver(prob, solver="ADAMS", sens_mode="simultaneous")
 
 
 def test_failure_poisoning():

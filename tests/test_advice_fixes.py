@@ -81,8 +81,11 @@ def test_no_silent_grad_poisoning_near_checkpoint_clamp():
     opts = BDFOptions(rtol=1e-8, atol=1e-8)
 
     def run(save_steps):
+        # legacy clamp semantics under test (checkpoint_thinning=True never
+        # overflows here — covered by tests/test_checkpoint_thinning.py)
         res = bdf_solve_batched(
-            rhs, jac, 0.0, y0, p, tvals, opts._replace(save_steps=save_steps)
+            rhs, jac, 0.0, y0, p, tvals,
+            opts._replace(save_steps=save_steps, checkpoint_thinning=False),
         )
         assert np.asarray(res.status == 0).all()
         adj = adjoint_backward_batched(

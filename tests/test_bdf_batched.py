@@ -128,8 +128,12 @@ def test_failure_lane_isolated():
 
 
 def test_overflow_flag():
+    # legacy clamp semantics (checkpoint_thinning=True instead thins in
+    # place and keeps gradients finite — tests/test_checkpoint_thinning.py)
     y0s, ps = _batch_inputs()
-    opts = BDFOptions(rtol=1e-8, atol=1e-8, save_steps=32)
+    opts = BDFOptions(
+        rtol=1e-8, atol=1e-8, save_steps=32, checkpoint_thinning=False
+    )
     rb = jax.jit(
         lambda y0, p: bdf_solve_batched(lv_rhs, lv_jac, 0.0, y0, p, TVALS, opts)
     )(y0s, ps)

@@ -78,17 +78,22 @@ def test_exactly_full_checkpoint_buffer_not_overflow():
         BDFOptions(rtol=1e-8, atol=1e-10, save_steps=512),
     )
     ns = int(probe.saved["n_saved"])
-    # rerun with a buffer of exactly that size
+    # rerun with a buffer of exactly that size (legacy clamp semantics;
+    # thinning never overflows — tests/test_checkpoint_thinning.py)
     res = bdf_solve(
         rhs, jac, 0.0, jnp.array([1.0]), jnp.zeros(0), jnp.array([2.0]),
-        BDFOptions(rtol=1e-8, atol=1e-10, save_steps=ns),
+        BDFOptions(
+            rtol=1e-8, atol=1e-10, save_steps=ns, checkpoint_thinning=False
+        ),
     )
     assert int(res.saved["n_saved"]) == ns
     assert not bool(res.saved["overflow"])
     # one smaller must overflow
     res2 = bdf_solve(
         rhs, jac, 0.0, jnp.array([1.0]), jnp.zeros(0), jnp.array([2.0]),
-        BDFOptions(rtol=1e-8, atol=1e-10, save_steps=ns - 1),
+        BDFOptions(
+            rtol=1e-8, atol=1e-10, save_steps=ns - 1, checkpoint_thinning=False
+        ),
     )
     assert bool(res2.saved["overflow"])
 

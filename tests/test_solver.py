@@ -103,9 +103,10 @@ def test_invalid_args(problem):
         Solver(problem, linear_solver="magic")
 
 
-def test_adams_sens_not_implemented(problem):
-    with pytest.raises(NotImplementedError):
-        Solver(problem, solver="ADAMS", sens_mode="simultaneous")
+def test_adams_sens_constructs(problem):
+    # Adams forward sensitivities run as an augmented state; value checks
+    # live in tests/test_solver_modes.py
+    Solver(problem, solver="ADAMS", sens_mode="simultaneous")
 
 
 def test_batched_solve(problem):
