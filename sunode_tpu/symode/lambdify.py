@@ -35,6 +35,8 @@ __all__ = [
     "CardinalBSpline",
     "interpolate_spline",
     "logsumexp_2terms_opt",
+    "explog_opt",
+    "stabilize_exp_products",
     "DEFAULT_OPTIMS",
 ]
 
@@ -149,6 +151,71 @@ logsumexp_2terms_opt = sympy.codegen.rewriting.ReplaceOptim(
 DEFAULT_OPTIMS = (sympy.codegen.rewriting.log1p_opt, logsumexp_2terms_opt)
 
 
+# --- exp-product stabilization (reference lambdify.py:362-432 analog) -------
+def _is_exp_sum(e):
+    """exp(a) or a 2-term sum of exps (the logaddexp-rewritable shape)."""
+    if isinstance(e, sy.exp):
+        return True
+    return (
+        isinstance(e, sy.Add)
+        and len(e.args) == 2
+        and all(isinstance(a, sy.exp) for a in e.args)
+    )
+
+
+def _is_exp_like_factor(e):
+    if _is_exp_sum(e):
+        return True
+    if isinstance(e, sy.Pow) and _is_exp_sum(e.args[0]):
+        return True
+    if isinstance(e, sy.Mul):
+        return any(_is_exp_like_factor(a) for a in e.args)
+    return False
+
+
+def _has_multiple_exp_factors(e):
+    return isinstance(e, sy.Mul) and sum(
+        bool(_is_exp_like_factor(a)) for a in e.args
+    ) > 1
+
+
+def stabilize_exp_products(expr, optims=None):
+    """Rewrite sign-definite products/quotients of exp-sums through log space:
+    ``exp(c2)/(exp(c1)+exp(c2))`` becomes ``exp(c2 - logaddexp(c1, c2))`` —
+    overflow-safe softmax-style expressions (reference
+    ``simplify_multiple_exp_sum``, lambdify.py:404-424)."""
+    from sympy.assumptions import Q, ask
+
+    if optims is None:
+        optims = DEFAULT_OPTIMS
+    pos = ask(Q.positive(expr))
+    neg = False if pos else ask(Q.negative(expr))
+    if not (pos or neg):
+        if expr.args:
+            return expr.func(
+                *[stabilize_exp_products(a, optims) for a in expr.args]
+            )
+        return expr
+    sign = sy.S.One if pos else sy.S.NegativeOne
+    log_expr = sy.expand_log(sy.log(sign * expr), force=True)
+    log_expr = sympy.codegen.rewriting.optimize(log_expr, optims)
+    return sign * sy.exp(log_expr, evaluate=False)
+
+
+# opt-in (pass via lambdify_jax(optims=DEFAULT_OPTIMS + (explog_opt,)) or
+# SympyProblem rewrite options); matches the reference, which defines but
+# does not enable it by default (reference lambdify.py:427-432)
+def _explog_filter(l):
+    from sympy.assumptions import Q, ask
+
+    return (ask(Q.positive(l)) or ask(Q.negative(l))) and _has_multiple_exp_factors(l)
+
+
+explog_opt = sympy.codegen.rewriting.ReplaceOptim(
+    _explog_filter, stabilize_exp_products
+)
+
+
 # ---------------------------------------------------------------------------
 # Printer
 # ---------------------------------------------------------------------------
@@ -207,8 +274,17 @@ class _JaxExprPrinter(NumPyPrinter):
     def _print_CardinalBSpline(self, expr):
         return self._print(expr.as_piecewise())
 
+    def _print__safe_where(self, expr):
+        cond, val, safe = expr.args
+        return (
+            f"jnp.where({self._print(cond)}, {self._print(val)}, "
+            f"{self._print(safe)})"
+        )
+
     def _print_Piecewise(self, expr):
-        # Chain of jnp.where; final condition may be True.
+        # Chain of jnp.where; final condition may be True.  Singular operands
+        # inside pieces were already clamped by _apply_piecewise_guards
+        # (safe-where) before CSE.
         result = None
         for e, c in reversed(expr.args):
             body = self._print(e)
@@ -217,6 +293,73 @@ class _JaxExprPrinter(NumPyPrinter):
             else:
                 result = f"jnp.where({self._print(c)}, {body}, {result})"
         return result
+
+
+class _safe_where(sy.Function):
+    """Opaque clamp ``_safe_where(cond, val, safe)`` -> where(cond, val, safe).
+
+    A plain Piecewise guard would be re-evaluated (and sometimes folded away)
+    by CSE's tree rebuilding; an undefined Function passes through sympy
+    machinery untouched and is printed directly as jnp.where."""
+
+    nargs = (3,)
+
+
+def _apply_piecewise_guards(expr):
+    """Safe-where pass over every Piecewise in ``expr`` (run BEFORE CSE so a
+    hoisted common subexpression can't escape its guard).
+
+    Piecewise lowers to jnp.where, and both branches of a where ALWAYS
+    evaluate under XLA (no real branching as in the reference's numba
+    codegen), so a domain-guarded piece like
+    ``Piecewise((log(x), x > 0), (0, True))`` would produce spurious NaN
+    values/gradients at x <= 0.  Each piece's singular operands are clamped
+    via _guard_singular under the condition that selects the piece."""
+    if not expr.has(sy.Piecewise):
+        return expr
+
+    def xform(pw):
+        args = list(pw.args)
+        conds = [c for _, c in args]
+        new_args = []
+        for i, (e, c) in enumerate(args):
+            if c == sy.true:
+                # default piece: selected where no earlier condition held
+                earlier = [cc for cc in conds[:i] if cc != sy.true]
+                guard = sy.Not(sy.Or(*earlier)) if earlier else None
+            else:
+                guard = c
+            new_args.append((_guard_singular(e, guard), c))
+        return sy.Piecewise(*new_args, evaluate=False)
+
+    return expr.replace(lambda e: isinstance(e, sy.Piecewise), xform)
+
+
+def _guard_singular(expr, guard):
+    """Safe-where: inside a Piecewise branch used only where ``guard`` holds,
+    clamp operands of singular functions (log, x**negative, x**fractional,
+    asin/acos/atanh) to an in-domain constant on the lanes where the guard is
+    false.  Those lanes' outputs are discarded by the surrounding jnp.where
+    and their cotangents zeroed by its VJP, so this removes spurious NaNs
+    from values and gradients without changing the selected result."""
+    if guard is None or expr.is_Atom:
+        return expr
+
+    def rec(e):
+        if e.is_Atom:
+            return e
+        args = tuple(rec(a) for a in e.args)
+        if isinstance(e, sy.log):
+            return sy.log(_safe_where(guard, args[0], sy.S.One), evaluate=False)
+        if isinstance(e, sy.Pow):
+            b, ex = args
+            if ex.is_number and (ex.is_negative or ex.is_integer is False):
+                return sy.Pow(_safe_where(guard, b, sy.S.One), ex, evaluate=False)
+        if isinstance(e, (sy.asin, sy.acos, sy.atanh)):
+            return e.func(_safe_where(guard, args[0], sy.S.Zero), evaluate=False)
+        return e.func(*args)
+
+    return rec(expr)
 
 
 _module_counter = itertools.count()
@@ -275,6 +418,7 @@ def lambdify_jax(
     if optims:
         flat = [sympy.codegen.rewriting.optimize(e, optims) for e in flat]
     flat = [_expand_special(e) for e in flat]
+    flat = [_apply_piecewise_guards(e) for e in flat]
 
     cse_symbols = sy.numbered_symbols("_x")
     replacements, reduced = sy.cse(flat, symbols=cse_symbols, order="none")

@@ -314,3 +314,23 @@ def test_jax_problem_matches_sympy(lv_problem):
         ),
         rtol=1e-13,
     )
+
+
+def test_explog_opt_stabilizes_softmax():
+    """Opt-in explog rewrite (reference lambdify.py:362-432 analog):
+    sign-definite exp-sum quotients go through log space so softmax-style
+    expressions cannot overflow."""
+    import sympy.codegen.rewriting as rw
+
+    from sunode_tpu.symode.lambdify import DEFAULT_OPTIMS, explog_opt, lambdify_jax
+
+    c1, c2 = sy.symbols("c1 c2", real=True)
+    e = sy.exp(c2) / (sy.exp(c1) + sy.exp(c2))
+    opt = rw.optimize(e, DEFAULT_OPTIMS + (explog_opt,))
+    assert "logaddexp" in str(opt)
+    f = lambdify_jax(
+        ["_a", "_b"], np.array(opt, dtype=object), {"c1": "_a", "c2": "_b"},
+        optims=(),
+    )
+    out = float(f(jnp.asarray(1000.0), jnp.asarray(1001.0)))
+    assert np.isclose(out, 1 / (1 + np.exp(-1.0)))
