@@ -191,6 +191,31 @@ class Problem:
 
         return jac
 
+    def make_banded_jac(self, lower: int, upper: int) -> Callable:
+        """df/dy in (lower+upper+1, n) banded storage (ab[u+i-j, j] = J[i,j])
+        from lower+upper+1 striped jvp sweeps — the input format of
+        ops/banded.banded_factor, so a banded Newton solve never touches a
+        dense matrix (SUNDIALS sunlinsol_band analog)."""
+        rhs = self.make_rhs()
+        n = self.n_states
+        w = lower + upper + 1
+
+        def jac(t, y, p):
+            f = lambda yy: rhs(t, yy, p)  # noqa: E731
+
+            def stripe(s):
+                seed = (jnp.arange(n) % w == s).astype(y.dtype)
+                return jax.jvp(f, (y,), (seed,))[1]
+
+            cols = jax.vmap(stripe)(jnp.arange(w))  # (w, n): cols[s, i]
+            j = jnp.arange(n)[None, :]
+            r = jnp.arange(w)[:, None]
+            i = j + r - upper
+            valid = (i >= 0) & (i < n)
+            return jnp.where(valid, cols[j % w, jnp.clip(i, 0, n - 1)], 0.0)
+
+        return jac
+
     def make_dfdp(self) -> Callable:
         """df/dp_subset with shape (n_states, n_deriv_params)."""
         rhs = self.make_rhs()

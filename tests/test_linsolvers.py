@@ -123,3 +123,63 @@ def test_banded_jac_values(heat):
     np.testing.assert_allclose(
         np.asarray(jac_b(0.0, y, p)), np.asarray(jac_d(0.0, y, p)), rtol=1e-12
     )
+
+
+def test_banded_storage_jac_values(heat):
+    """make_banded_jac returns (l+u+1, n) banded storage matching the dense
+    Jacobian (input format of ops/banded.banded_factor)."""
+    from sunode_tpu.ops.banded import banded_to_dense
+
+    jac_ab = heat.make_banded_jac(1, 1)
+    jac_d = heat.make_jac_dense()
+    y = jnp.linspace(0.5, 1.5, 24)
+    p = jnp.array([3.0])
+    ab = jac_ab(0.0, y, p)
+    assert ab.shape == (3, 24)
+    np.testing.assert_allclose(
+        np.asarray(banded_to_dense(ab, 1, 1)),
+        np.asarray(jac_d(0.0, y, p)),
+        rtol=1e-12,
+    )
+
+
+def test_band_large_n_accuracy():
+    """True banded Newton solve at n = 768 (the 3R scale of the SIR-256
+    config): O(n*w^2) per factorization where dense would be O(n^3)."""
+    n = 768
+    prob = _heat_problem(n)
+    y0 = np.sin(np.pi * np.arange(n) / (n - 1)) + 0.5
+    tvals = np.array([0.02, 0.1])
+    k = float(n * n) / 100.0  # grid-refined diffusion: stiff
+    band = Solver(
+        prob,
+        abstol=1e-10,
+        reltol=1e-8,
+        linear_solver="band",
+        linear_solver_kwargs=dict(lower_bandwidth=1, upper_bandwidth=1),
+    )
+    band.set_params_dict({"k": k})
+    out = band.solve(0.0, tvals, y0)
+    ref = _heat_ref(n, k, tvals, y0)
+    assert np.abs(out - ref).max() < 1e-5
+
+
+def test_band_batched_vmap(heat):
+    n = 24
+    B = 3
+    y0 = np.stack(
+        [np.sin(np.pi * np.arange(n) / (n - 1)) + 0.5 + 0.1 * b for b in range(B)]
+    )
+    tvals = np.array([0.05, 0.2])
+    band = Solver(
+        heat,
+        abstol=1e-10,
+        reltol=1e-8,
+        linear_solver="band",
+        linear_solver_kwargs=dict(lower_bandwidth=1, upper_bandwidth=1),
+    )
+    band.set_params_dict({"k": 100.0})
+    out = band.solve(0.0, tvals, y0)
+    for b in range(B):
+        ref = _heat_ref(n, 100.0, tvals, y0[b])
+        assert np.abs(np.asarray(out)[b] - ref).max() < 1e-5
