@@ -1,0 +1,105 @@
+"""BASELINE config 5 at scale: SIR 1000-region adjoint gradients, one chip.
+
+Measures the largest (regions x chains) configuration that fits a single
+TPU v5e and the achieved gradient throughput, for the three adjoint modes:
+
+  * hermite    — checkpointed (S, 1+2n, B) f64 buffer: HBM-bound
+  * resolve    — re-integrates y backward with lambda: NO checkpoints
+  * (transition is n^2-state: wrong family at n = 3000, excluded by design)
+
+Run on the real chip:  python scripts/bench_sir_scale.py [R] [B ...]
+Results are recorded in docs/performance.md.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sunode_tpu.ops.bdf import BDFOptions
+from sunode_tpu.problem import JaxProblem
+from sunode_tpu.wrappers.as_jax import make_batched_solve_fn
+
+R = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+BS = [int(b) for b in sys.argv[2:]] or [64, 256, 1024]
+
+
+def rhs(t, y, p):
+    I_eff = y.I + p.mix * (jnp.roll(y.I, 1) + jnp.roll(y.I, -1))
+    inf = p.beta * y.S * I_eff
+    rec = p.gamma * y.I
+    return {"S": -inf, "I": inf - rec, "R": rec}
+
+
+problem = JaxProblem(
+    params={"beta": (), "gamma": (), "mix": ()},
+    states={"S": (R,), "I": (R,), "R": (R,)},
+    rhs=rhs,
+    derivative_params=[("beta",), ("gamma",)],
+)
+
+tvals = jnp.linspace(5.0, 60.0, 12)
+p_fix = jnp.asarray([0.05])
+
+
+def build(mode, checkpoint_n=1024):
+    return make_batched_solve_fn(
+        problem,
+        derivatives="adjoint",
+        options=BDFOptions(rtol=1e-8, atol=1e-10),
+        adjoint_options=BDFOptions(rtol=1e-8, atol=1e-10),
+        checkpoint_n=checkpoint_n,
+        method="ADAMS",
+        adjoint_interpolation=mode,
+    )
+
+
+def run(mode, B):
+    solve = build(mode)
+    rng = np.random.default_rng(0)
+    S0 = 0.99 + 0.005 * rng.standard_normal((B, R))
+    I0 = 0.01 * np.abs(1 + 0.1 * rng.standard_normal((B, R)))
+    y0 = jnp.asarray(np.concatenate([S0, I0, np.zeros((B, R))], axis=1))
+    psub = jnp.asarray(
+        np.stack(
+            [0.4 * (1 + 0.05 * rng.standard_normal(B)),
+             0.15 * (1 + 0.05 * rng.standard_normal(B))],
+            axis=1,
+        )
+    )
+
+    def loss(psub):
+        ys = solve(0.0, y0, psub, p_fix, tvals)
+        return jnp.sum(ys[:, :, R : 2 * R] ** 2)
+
+    gfn = jax.jit(jax.grad(loss))
+    g = gfn(psub)
+    g.block_until_ready()
+    assert bool(jnp.isfinite(g).all()), f"non-finite gradients ({mode}, B={B})"
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        g = gfn(psub)
+    g.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    print(
+        f"mode={mode:10s} R={R} B={B:6d}: {dt*1e3:8.1f} ms/grad-batch "
+        f"= {B/dt:9.1f} grad solves/s"
+    )
+    return B / dt
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices())
+    for mode in ("resolve", "hermite"):
+        for B in BS:
+            try:
+                run(mode, B)
+            except Exception as e:  # OOM etc: record and continue
+                print(f"mode={mode:10s} R={R} B={B:6d}: FAILED ({type(e).__name__}: {e})")
+                break

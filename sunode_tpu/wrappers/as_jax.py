@@ -99,18 +99,19 @@ def make_solve_fn(
         def solve_bwd(residuals, g):
             t0, y0, p_sub, p_fix, tvals, saved, status = residuals
             p = _combine(p_sub, p_fix)
-            adj = adjoint_backward(
-                adjoint_rhs,
-                adjoint_jac,
-                quad_rhs,
-                saved,
-                t0,
-                tvals,
-                g,
-                p,
-                n_deriv,
-                adjoint_options,
-            )
+            with jax.named_scope("sunode_backward"):
+                adj = adjoint_backward(
+                    adjoint_rhs,
+                    adjoint_jac,
+                    quad_rhs,
+                    saved,
+                    t0,
+                    tvals,
+                    g,
+                    p,
+                    n_deriv,
+                    adjoint_options,
+                )
             bad = (status != 0) | (adj.status != 0)
             lam = jnp.where(bad, jnp.nan, adj.lamda)
             quad = jnp.where(bad, jnp.nan, adj.quad)
@@ -221,9 +222,12 @@ def make_batched_solve_fn(
     n_deriv = problem.n_params
 
     def _forward(t0, y0, p, tvals, opts):
-        if method == "ADAMS":
-            return adams_solve_batched(rhs, t0, y0, p, tvals, opts)
-        return bdf_solve_batched(rhs, jac, t0, y0, p, tvals, opts)
+        # named_scope -> profiler/HLO-metadata annotation: the forward and
+        # backward integrations show up as separate blocks in a JAX trace
+        with jax.named_scope("sunode_forward"):
+            if method == "ADAMS":
+                return adams_solve_batched(rhs, t0, y0, p, tvals, opts)
+            return bdf_solve_batched(rhs, jac, t0, y0, p, tvals, opts)
 
     if adjoint_options is None:
         adjoint_options = BDFOptions(rtol=1e-10, atol=1e-10)
@@ -284,38 +288,39 @@ def make_batched_solve_fn(
         t0, y0, p_sub, p_fix, tvals, saved, status, ys_fwd = residuals
         B = y0.shape[0]
         p = _combine(p_sub, p_fix)
-        if adjoint_interpolation == "transition":
-            from sunode_tpu.adjoint import adjoint_backward_transition_batched
+        with jax.named_scope("sunode_backward"):
+            if adjoint_interpolation == "transition":
+                from sunode_tpu.adjoint import adjoint_backward_transition_batched
 
-            adj = adjoint_backward_transition_batched(
-                rhs,
-                adjoint_jac,
-                dfdp,
-                t0,
-                tvals,
-                g,
-                p,
-                n_deriv,
-                ys_fwd[:, -1, :],
-                adjoint_options,
-            )
-        else:
-            adj = adjoint_backward_batched(
-                adjoint_rhs,
-                adjoint_jac,
-                quad_rhs,
-                saved,
-                t0,
-                tvals,
-                g,
-                p,
-                n_deriv,
-                adjoint_options,
-                method=method,
-                interpolation=adjoint_interpolation,
-                rhs=rhs if resolve else None,
-                y_end=ys_fwd[:, -1, :] if resolve else None,
-            )
+                adj = adjoint_backward_transition_batched(
+                    rhs,
+                    adjoint_jac,
+                    dfdp,
+                    t0,
+                    tvals,
+                    g,
+                    p,
+                    n_deriv,
+                    ys_fwd[:, -1, :],
+                    adjoint_options,
+                )
+            else:
+                adj = adjoint_backward_batched(
+                    adjoint_rhs,
+                    adjoint_jac,
+                    quad_rhs,
+                    saved,
+                    t0,
+                    tvals,
+                    g,
+                    p,
+                    n_deriv,
+                    adjoint_options,
+                    method=method,
+                    interpolation=adjoint_interpolation,
+                    rhs=rhs if resolve else None,
+                    y_end=ys_fwd[:, -1, :] if resolve else None,
+                )
         bad = (status != 0) | (adj.status != 0)
         lam = jnp.where(bad[:, None], jnp.nan, adj.lamda)  # (B, n)
         quad = jnp.where(bad[:, None], jnp.nan, adj.quad)  # (B, k)
