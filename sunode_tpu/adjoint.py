@@ -581,6 +581,7 @@ def adjoint_backward_batched(
             status=res.status.astype(jnp.int32),
             stats=dict(
                 n_backward_steps=res.stats["n_steps"],
+                n_attempts=res.stats["n_attempts"],
                 # reconstruction quality indicator: the backward-resolved
                 # y(t0) is an independent re-computation of the initial state
                 y0_resolved=y_back,
