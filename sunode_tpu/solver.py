@@ -161,6 +161,7 @@ class Solver(_SolverBase):
         linear_solver: str = "dense",
         linear_solver_kwargs: Optional[dict] = None,
         max_steps: Optional[int] = None,
+        max_retries: int = 5,
         options: Optional[BDFOptions] = None,
     ):
         # reference defaults: abstol=1e-10, reltol=1e-10 (solver.py:242-254)
@@ -181,6 +182,7 @@ class Solver(_SolverBase):
         self._sens_mode = sens_mode
         self._compute_sens = sens_mode is not None
         self._linear_solver = linear_solver
+        self._max_retries = int(max_retries)
         self._init_params_state()
 
         # forward sensitivities with solver='ADAMS' run as an augmented state
@@ -294,12 +296,13 @@ class Solver(_SolverBase):
             return y_vals, sens_vals
         return y_vals
 
-    def _adams_sens_setup(self):
+    def _adams_sens_setup(self, opts=None):
         """Augmented-state setup for solver='ADAMS' + sensitivities:
         integrate [y; vec(S)] through the functional-iteration core (the
         sensitivity equations are additional ODE components; the coupling is
         triangular, so functional iteration converges exactly as for y)."""
-        opts = self._options
+        if opts is None:
+            opts = self._options
         n = self._problem.n_states
         k = self._problem.n_params
         rhs, sens_rhs = self._rhs, self._sens_rhs
@@ -334,10 +337,12 @@ class Solver(_SolverBase):
 
         return rhs_aug, opts_aug
 
-    def _solver_fn(self, n_t: int, batched: bool):
-        key = (n_t, batched)
+    def _solver_fn(self, n_t: int, batched: bool, max_steps_mult: int = 1):
+        key = (n_t, batched, max_steps_mult)
         if key not in self._jit_cache:
             opts = self._options
+            if max_steps_mult != 1:
+                opts = opts._replace(max_steps=opts.max_steps * max_steps_mult)
             rhs, jac, sens_rhs = self._rhs, self._jac, self._sens_rhs
             jac_prod = self._jac_prod
             n = self._problem.n_states
@@ -345,7 +350,7 @@ class Solver(_SolverBase):
 
             solver_kind = self._solver_kind
             if solver_kind == "ADAMS" and self._compute_sens:
-                rhs_aug, opts_aug = self._adams_sens_setup()
+                rhs_aug, opts_aug = self._adams_sens_setup(opts)
 
             if batched and opts.linear_solver == "dense":
                 # batch-native structure-of-arrays cores: the fast path for
@@ -427,14 +432,26 @@ class Solver(_SolverBase):
                 k, n = self._problem.n_params, self._problem.n_states
                 shape = (y0_flat.shape[0], k, n) if batched else (k, n)
                 sens0 = np.zeros(shape)
-        fn = self._solver_fn(len(tvals), batched)
-        ys, sens, status, stats = fn(
+        args = (
             jnp.asarray(t0, jnp.float64),
             jnp.asarray(y0_flat),
             jnp.asarray(params),
             jnp.asarray(tvals, jnp.float64),
             None if sens0 is None else jnp.asarray(sens0),
         )
+        ys, sens, status, stats = self._solver_fn(len(tvals), batched)(*args)
+        # CV_TOO_MUCH_WORK bounded-retry parity (ref solver.py:510-519,
+        # max_retries=5): a MAX_STEPS interruption re-runs with a doubled
+        # step budget — CVode resumes in place instead, but a functional
+        # re-run with 2^k the budget covers the same total work envelope
+        retry = 0
+        while (
+            np.any(np.asarray(status) == 1) and retry < self._max_retries
+        ):
+            retry += 1
+            ys, sens, status, stats = self._solver_fn(
+                len(tvals), batched, max_steps_mult=2**retry
+            )(*args)
         self.last_stats = {k_: np.asarray(v) for k_, v in stats.items()}
         ys = np.asarray(ys)
         if y_out is not None:

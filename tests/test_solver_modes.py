@@ -132,3 +132,24 @@ def test_polynomial_interpolation_warns(lv_problem):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         AdjointSolver(lv_problem, interpolation="hermite")
+
+
+def test_max_steps_retry_recovers(lv_problem):
+    """CV_TOO_MUCH_WORK bounded-retry parity (ref solver.py:510-519): a
+    max_steps budget too small for one pass succeeds after retries with a
+    doubled budget instead of raising."""
+    s = Solver(lv_problem, reltol=1e-10, abstol=1e-10, max_steps=40)
+    s.set_params_dict(PARAMS)
+    out = s.solve(0.0, TVALS, np.array([10.0, 2.0]))  # needs ~200+ steps
+    ref = Solver(lv_problem, reltol=1e-10, abstol=1e-10)
+    ref.set_params_dict(PARAMS)
+    np.testing.assert_allclose(out, ref.solve(0.0, TVALS, np.array([10.0, 2.0])),
+                               rtol=1e-8)
+
+    from sunode_tpu.solver import SolverError
+
+    s0 = Solver(lv_problem, reltol=1e-10, abstol=1e-10, max_steps=40,
+                max_retries=0)
+    s0.set_params_dict(PARAMS)
+    with pytest.raises(SolverError, match="max_steps"):
+        s0.solve(0.0, TVALS, np.array([10.0, 2.0]))
