@@ -491,6 +491,7 @@ class AdjointSolver(_SolverBase):
         solver: str = "BDF",
         adjoint_solver: str = "BDF",
         max_steps: int = 100_000,
+        max_retries: int = 5,
         adjoint_abstol: float = 1e-10,
         adjoint_reltol: float = 1e-10,
     ):
@@ -521,6 +522,7 @@ class AdjointSolver(_SolverBase):
         self._adjoint_solver_kind = adjoint_solver
         self._interpolation = interpolation
         self._checkpoint_n = int(checkpoint_n)
+        self._max_retries = int(max_retries)
         self._init_params_state()
 
         self._options = BDFOptions(
@@ -603,12 +605,14 @@ class AdjointSolver(_SolverBase):
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
-    def _backward_fn(self, n_t: int):
-        key = ("bwd", n_t)
+    def _backward_fn(self, n_t: int, max_steps_mult: int = 1):
+        key = ("bwd", n_t, max_steps_mult)
         if key not in self._jit_cache:
             aj_rhs, aj_jac, q_rhs = self._adjoint_rhs, self._adjoint_jac, self._quad_rhs
             n_deriv = self._problem.n_params
             opts = self._adjoint_options
+            if max_steps_mult != 1:
+                opts = opts._replace(max_steps=opts.max_steps * max_steps_mult)
 
             if self._adjoint_solver_kind == "ADAMS":
                 # fused single-loop Adams backward (in-loop cotangent
@@ -676,14 +680,22 @@ class AdjointSolver(_SolverBase):
         if self._last_forward is None:
             raise SolverError("solve_backward called before solve_forward")
         fwd = self._last_forward
-        fn = self._backward_fn(len(tvals))
-        lam, quad, status, stats = fn(
+        args = (
             fwd["saved"],
             jnp.asarray(tend, jnp.float64),
             jnp.asarray(tvals, jnp.float64),
             jnp.asarray(grads, jnp.float64),
             jnp.asarray(fwd["params"]),
         )
+        lam, quad, status, stats = self._backward_fn(len(tvals))(*args)
+        # bounded backward retries on step-budget exhaustion (the reference
+        # retries CVodeB up to 50 times, solver.py:759-768)
+        retry = 0
+        while np.any(np.asarray(status) == 1) and retry < self._max_retries:
+            retry += 1
+            lam, quad, status, stats = self._backward_fn(
+                len(tvals), max_steps_mult=2**retry
+            )(*args)
         lam = np.asarray(lam)
         quad = np.asarray(quad)
         # reference returns lamda with the opposite sign convention
