@@ -101,3 +101,76 @@ def test_solver_tolerance_scaling(seed):
         exact = 2.0 * np.exp(-k * np.asarray(tvals))
         errs.append(np.abs(np.asarray(res.ys[:, 0]) - exact).max())
     assert errs[1] <= errs[0] * 1.5 + 1e-12
+
+
+@given(
+    n=st.integers(2, 20),
+    lower=st.integers(0, 4),
+    upper=st.integers(0, 4),
+    seed=st.integers(0, 10_000),
+)
+@settings(max_examples=40, deadline=None)
+def test_banded_lu_solves_random_systems(n, lower, upper, seed):
+    """banded_factor/banded_solve match the dense solution for random
+    banded systems of every bandwidth combination (incl. pure lower/upper
+    triangular bands), with partial pivoting handling weak diagonals."""
+    from sunode_tpu.ops.banded import banded_factor, banded_solve, dense_to_banded
+
+    lower = min(lower, n - 1)
+    upper = min(upper, n - 1)
+    rng = np.random.default_rng(seed)
+    A = np.zeros((n, n))
+    for i in range(n):
+        for j in range(max(0, i - lower), min(n, i + upper + 1)):
+            A[i, j] = rng.standard_normal()
+    A += np.eye(n) * (0.25 if (lower or upper) else 1.0)
+    if abs(np.linalg.det(A)) < 1e-8:
+        A += np.eye(n)
+    b = rng.standard_normal(n)
+    ab = dense_to_banded(jnp.asarray(A), lower, upper)
+    x = banded_solve(banded_factor(ab, lower, upper), jnp.asarray(b), lower, upper)
+    ref = np.linalg.solve(A, b)
+    cond = np.linalg.cond(A)
+    np.testing.assert_allclose(
+        np.asarray(x), ref, rtol=1e-8 * max(1.0, cond), atol=1e-10 * max(1.0, cond)
+    )
+
+
+@given(
+    save_steps=st.integers(8, 40),
+    n_rows=st.integers(10, 200),
+    seed=st.integers(0, 1000),
+)
+@settings(max_examples=25, deadline=None)
+def test_recording_thinning_invariants(save_steps, n_rows, seed):
+    """In-loop thinning (ops/_recording.py, single-instance layout): after
+    recording n_rows accepted steps with strictly increasing times into a
+    save_steps buffer, the finite rows are a sorted subsequence of the
+    input times that always includes the FIRST row, never overflows within
+    capacity save_steps * 2^MAX_THIN, and has n_saved matching the count."""
+    from sunode_tpu.ops._recording import (
+        MAX_THIN,
+        init_saved_single,
+        record_step_single,
+    )
+
+    rng = np.random.default_rng(seed)
+    ts = np.cumsum(0.1 + rng.random(n_rows + 1))
+    W = 3  # 1 + 2n with n=1
+    buf0 = jnp.full((save_steps, W), jnp.inf)
+    row0 = jnp.asarray([ts[0], 1.0, -1.0])
+    buf0 = buf0.at[:, 1:].set(0.0).at[0].set(row0)
+    sv = init_saved_single(buf0, True)
+    for t in ts[1:]:
+        row = jnp.asarray([t, 1.0, -1.0])
+        sv = record_step_single(sv, jnp.asarray(True), row, save_steps, True)
+    assert n_rows + 1 <= save_steps * 2**MAX_THIN
+    assert not bool(sv["overflow"])
+    ns = int(sv["n_saved"])
+    times = np.asarray(sv["tyf"][:, 0])
+    finite = times[np.isfinite(times)]
+    assert len(finite) == ns
+    assert (np.diff(finite) > 0).all()
+    assert finite[0] == ts[0]
+    # every kept time is one of the recorded times
+    assert np.isin(finite, ts).all()
