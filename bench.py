@@ -133,38 +133,73 @@ def bench_lv_forward(args):
 
 
 def bench_lv_sens(args):
-    """Forward sensitivities (sens_mode='simultaneous', d/dalpha d/dbeta)."""
+    """Forward sensitivities (sens_mode='simultaneous', d/dalpha d/dbeta).
+
+    Runs the augmented state [y; vec(S)] through the functional-iteration
+    Adams core — CV_ADAMS + CV_SIMULTANEOUS, the method a CVODES user would
+    pick for non-stiff LV (the sensitivity equations are just more ODE
+    components; the class API uses the same path).  The first 16 lanes are
+    pinned to the committed golden fixture (scipy rtol=1e-12 + central FD)
+    and tolerance-checked, so the number is only reported for a correct
+    solve.
+    """
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from sunode_tpu.ops.bdf import BDFOptions
-    from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+    from sunode_tpu.ops.adams_batched import adams_solve_batched
 
     problem = _lv_problem()
-    rhs, jac = problem.make_rhs(), problem.make_jac_dense()
+    rhs = problem.make_rhs()
     sens_rhs = problem.make_sensitivity_rhs()
+    n, k = 2, 2
     tvals = jnp.linspace(0.0, 10.0, 21)
     rng = np.random.default_rng(42)
     B = args.batch
-    y0s = jnp.asarray(np.array([10.0, 2.0]) * (1 + 0.05 * rng.standard_normal((B, 2))))
-    ps = jnp.asarray(
-        np.array([1.0, 0.3, 1.0, 0.4]) * (1 + 0.05 * rng.standard_normal((B, 4)))
+    y0s = np.array([10.0, 2.0]) * (1 + 0.05 * rng.standard_normal((B, 2)))
+    ps = np.array([1.0, 0.3, 1.0, 0.4]) * (
+        1 + 0.05 * rng.standard_normal((B, 4))
     )
-    S0 = jnp.zeros((B, 2, 2))
-    opts = BDFOptions(rtol=args.rtol, atol=args.rtol)
-    run = jax.jit(
-        lambda y, p: bdf_solve_batched(
-            rhs, jac, 0.0, y, p, tvals, opts, sens_rhs=sens_rhs, S0=S0
-        )
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "lv_sens.npz"
     )
-    r = run(y0s, ps)
+    golden = np.load(golden_path) if os.path.exists(golden_path) else None
+    if golden is not None and B >= 16:
+        y0s[:16] = golden["y0s"]
+        ps[:16] = golden["ps"]
+        tvals = jnp.asarray(golden["tvals"])
+
+    def rhs_aug(t, z, p):
+        y = z[:n]
+        S = z[n:].reshape(k, n)
+        return jnp.concatenate([rhs(t, y, p), sens_rhs(t, y, S, p).reshape(-1)])
+
+    y0_aug = jnp.asarray(
+        np.concatenate([y0s, np.zeros((B, k * n))], axis=1)
+    )
+    ps = jnp.asarray(ps)
+    # adams_max_order=6: same measured throughput knob as the north-star
+    # config (docs/performance.md)
+    opts = BDFOptions(rtol=args.rtol, atol=args.rtol, adams_max_order=6)
+    run = jax.jit(lambda y, p: adams_solve_batched(rhs_aug, 0.0, y, p, tvals, opts))
+    r = run(y0_aug, ps)
     jax.block_until_ready(r.ys)
     assert int((r.status == 0).sum()) == B
+    if golden is not None and B >= 16:
+        sens = np.asarray(r.ys[:16, :, n:]).reshape(16, len(tvals), k, n)
+        # bench solves at rtol=1e-8 (vs the golden test's 1e-9 run): global
+        # error accumulation over [0, 10] reaches ~1e-6 relative
+        np.testing.assert_allclose(
+            np.asarray(r.ys[:16, :, :n]), golden["ys"], rtol=5e-6, atol=1e-8
+        )
+        np.testing.assert_allclose(sens, golden["sens"], rtol=2e-4, atol=5e-4)
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        r = run(y0s, ps)
+        r = run(y0_aug, ps)
         jax.block_until_ready(r.ys)
         times.append(time.perf_counter() - t0)
     throughput = B / min(times)
