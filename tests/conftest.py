@@ -22,3 +22,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: many tests build fresh Solver objects whose
+# jitted programs have IDENTICAL HLO (e.g. finite-difference reference loops
+# construct one Solver per sample).  Without this, each instance recompiles
+# from scratch — tens of seconds per compile on a small CI host.
+jax.config.update("jax_compilation_cache_dir", "/tmp/sunode_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
