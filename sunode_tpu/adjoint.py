@@ -530,7 +530,11 @@ def adjoint_backward_batched(
         if rhs is None or y_end is None:
             raise ValueError("interpolation='resolve' requires rhs and y_end")
         B, n_t_g, n = grads.shape
-        n_t = tvals.shape[0]
+        if n_t_g != tvals.shape[0]:
+            raise ValueError(
+                f"grads has {n_t_g} observation rows but tvals has "
+                f"{tvals.shape[0]} times"
+            )
         tvals = jnp.asarray(tvals, dtype)
         t0 = jnp.asarray(t0, dtype)
         params_t = jnp.asarray(params, dtype)

@@ -12,6 +12,13 @@ that the gradient tolerance absorbs for realistic levels; after ``MAX_THIN``
 levels (capacity = save_steps * 2^MAX_THIN steps, far past any max_steps)
 recording stops and the lane is flagged ``overflow`` -> NaN by contract.
 
+A strided recording would leave the FINAL accepted steps (those after the
+last stride-aligned record) unrepresented, and the Hermite evaluator would
+hold y constant over that tail — exactly where the backward solve starts.
+So each lane also carries a rolling ``tail`` row holding its most recent
+accepted-but-unrecorded step; the finalizers append it, so the recording
+always ends at the last accepted step.
+
 Two layouts:
   batched  — tyf (S, W, B), shared attempt-counter slots, +inf pads for
              rejected attempts, sorted by t afterwards.
@@ -35,6 +42,9 @@ def init_saved_batched(buf0, thinning: bool):
     if thinning:
         sv["w_ptr"] = jnp.asarray(1, jnp.int32)
         sv["shift"] = jnp.asarray(0, jnp.int32)
+        # rolling most-recent accepted-but-unrecorded row per lane
+        pad = jnp.full(buf0.shape[1:], jnp.inf, buf0.dtype)
+        sv["tail"] = pad.at[1:].set(0.0)
     return sv
 
 
@@ -91,6 +101,16 @@ def record_step_batched(sv, it, accept, row, save_steps: int, thinning: bool):
     old_row = lax.dynamic_index_in_dim(buf, slot, 0, keepdims=False)
     wrow = jnp.where(do_write, row, old_row)
     buf = lax.dynamic_update_index_in_dim(buf, wrow, slot, 0)
+    # rolling tail: an accepted step that was NOT regularly recorded becomes
+    # the lane's tail; a regularly recorded one clears it (the buffer now
+    # ends at this step)
+    written = do_write & accept
+    pad = jnp.full(row.shape, jnp.inf, row.dtype).at[1:].set(0.0)
+    tail = jnp.where(
+        (accept & ~do_write)[None, :],
+        row,
+        jnp.where(written[None, :], pad, sv["tail"]),
+    )
     return dict(
         tyf=buf,
         n_saved=sv["n_saved"] + accept.astype(jnp.int32),
@@ -101,6 +121,7 @@ def record_step_batched(sv, it, accept, row, save_steps: int, thinning: bool):
         overflow=sv["overflow"] | (accept & rec & full),
         w_ptr=w_ptr + jnp.int32(do_write),
         shift=shift,
+        tail=tail,
     )
 
 
@@ -109,9 +130,12 @@ def finalize_saved_batched(sv, n: int, thinning: bool):
     evaluator consumes.  Under thinning, n_saved = per-lane finite-row count
     (recorded rows), not the accepted-step count."""
     buf = sv["tyf"]
+    if thinning:
+        # append each lane's rolling tail so the recording ends at the last
+        # accepted step (sorted into place below; stale pads sort last)
+        buf = jnp.concatenate([buf, sv["tail"][None]], axis=0)
     order = jnp.argsort(buf[:, 0, :], axis=0)
     buf = jnp.take_along_axis(buf, order[:, None, :], axis=0)
-    W = buf.shape[1]
     n_rows = (
         jnp.sum(jnp.isfinite(buf[:, 0, :]), axis=0).astype(jnp.int32)
         if thinning
@@ -136,6 +160,7 @@ def init_saved_single(buf0, thinning: bool):
     if thinning:
         sv["shift"] = jnp.asarray(0, jnp.int32)
         sv["k"] = jnp.asarray(0, jnp.int32)  # accepted-step counter
+        sv["tail"] = jnp.full(buf0.shape[1:], jnp.inf, buf0.dtype).at[1:].set(0.0)
     return sv
 
 
@@ -182,10 +207,33 @@ def record_step_single(sv, accept, row, save_steps: int, thinning: bool):
     do_write = rec & ~full
     slot = jnp.minimum(ns, save_steps - 1)
     buf = buf.at[slot].set(jnp.where(do_write, row, buf[slot]))
+    pad = jnp.full(row.shape, jnp.inf, row.dtype).at[1:].set(0.0)
+    tail = jnp.where(
+        accept & ~do_write, row, jnp.where(do_write, pad, sv["tail"])
+    )
     return dict(
         tyf=buf,
         n_saved=(ns + jnp.int32(do_write)).astype(jnp.int32),
         overflow=sv["overflow"] | (rec & full),
         shift=shift,
         k=k_new,
+        tail=tail,
     )
+
+
+def finalize_saved_single(sv, thinning: bool):
+    """(tyf, n_saved, overflow) with the rolling tail appended (thinning).
+
+    The returned buffer has one extra row of capacity so the tail always
+    fits; rows stay strictly time-ordered (the tail, when present, is more
+    recent than every recorded row by construction)."""
+    buf, ns = sv["tyf"], sv["n_saved"]
+    if not thinning:
+        return buf, ns, sv["overflow"]
+    pad = jnp.full((1,) + buf.shape[1:], jnp.inf, buf.dtype).at[:, 1:].set(0.0)
+    buf = jnp.concatenate([buf, pad], axis=0)
+    tail = sv["tail"]
+    fresh = jnp.isfinite(tail[0])
+    slot = jnp.minimum(ns, buf.shape[0] - 1)
+    buf = buf.at[slot].set(jnp.where(fresh, tail, buf[slot]))
+    return buf, ns + fresh.astype(jnp.int32), sv["overflow"]

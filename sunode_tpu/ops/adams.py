@@ -513,13 +513,15 @@ def adams_solve(
         error_worst_state=final["pm_worst"],
     )
     if save_steps > 0:
-        buf = final["saved"]["tyf"]
+        from sunode_tpu.ops._recording import finalize_saved_single
+
+        buf, n_saved, overflow = finalize_saved_single(final["saved"], thinning)
         saved_out = {
             "t": buf[:, 0],
             "y": buf[:, 1 : n + 1],
             "f": buf[:, n + 1 :],
-            "n_saved": final["saved"]["n_saved"],
-            "overflow": final["saved"]["overflow"],
+            "n_saved": n_saved,
+            "overflow": overflow,
         }
     else:
         saved_out = None

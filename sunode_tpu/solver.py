@@ -313,13 +313,24 @@ class Solver(_SolverBase):
             if opts.sens_pbar is None
             else np.broadcast_to(np.asarray(opts.sens_pbar, np.float64), (k,))
         )
+        rtol_aug = opts.rtol
         if opts.sens_err_con:
             # CVodeSensEEtolerances: atol_S[k] = atol / pbar_k
             atol_S = (atol[None, :] / pbar[:, None]).reshape(-1)
+            atol_y = atol
         else:
-            # excluded from error control: effectively infinite tolerance
+            # excluded from error control: effectively infinite tolerance on
+            # the sens rows.  The core's WRMS still averages over ALL
+            # (1+k)*n components, so the ~zero-weighted sens terms would
+            # dilute the state norm by sqrt(1+k); scaling the y-row scales
+            # (atol AND rtol) by 1/sqrt(1+k) makes the augmented mean equal
+            # the state-only mean exactly (CVODES errconS=FALSE norms over
+            # y alone).
             atol_S = np.full(k * n, 1e12)
-        atol_aug = np.concatenate([atol, atol_S])
+            f = 1.0 / np.sqrt(1.0 + k)
+            atol_y = atol * f
+            rtol_aug = float(opts.rtol) * f
+        atol_aug = np.concatenate([atol_y, atol_S])
         cons = opts.constraints
         cons_aug = (
             None
@@ -328,7 +339,9 @@ class Solver(_SolverBase):
                 [np.broadcast_to(np.asarray(cons, np.float64), (n,)), np.zeros(k * n)]
             )
         )
-        opts_aug = opts._replace(atol=jnp.asarray(atol_aug), constraints=cons_aug)
+        opts_aug = opts._replace(
+            atol=jnp.asarray(atol_aug), rtol=rtol_aug, constraints=cons_aug
+        )
 
         def rhs_aug(t, y_aug, p):
             y = y_aug[:n]
@@ -352,9 +365,17 @@ class Solver(_SolverBase):
             if solver_kind == "ADAMS" and self._compute_sens:
                 rhs_aug, opts_aug = self._adams_sens_setup(opts)
 
-            if batched and opts.linear_solver == "dense":
-                # batch-native structure-of-arrays cores: the fast path for
-                # chain batches (see ops/bdf_batched.py for the rationale)
+            # batch-native structure-of-arrays cores: the fast path for chain
+            # batches (see ops/bdf_batched.py for the rationale).  The batched
+            # BDF core has no staggered sequencing — CV_STAGGERED requests
+            # route through vmap(bdf_solve), whose per-lane gating honors the
+            # flag (slower, but the requested semantics).
+            use_batch_native = (
+                batched
+                and opts.linear_solver == "dense"
+                and not (self._compute_sens and opts.sens_staggered)
+            )
+            if use_batch_native:
                 from sunode_tpu.ops.adams_batched import adams_solve_batched
                 from sunode_tpu.ops.bdf_batched import bdf_solve_batched
 
@@ -625,6 +646,12 @@ class AdjointSolver(_SolverBase):
                         "t": saved["t"][:, None],
                         "y": saved["y"][:, :, None],
                         "f": saved["f"][:, :, None],
+                        # (S, 2n, B) y|f table: make_hermite_eval_batched
+                        # dispatches on this key to the fast two-row-gather
+                        # variant instead of six strided gathers
+                        "yf": jnp.concatenate([saved["y"], saved["f"]], axis=1)[
+                            :, :, None
+                        ],
                         "n_saved": saved["n_saved"][None],
                         "overflow": saved["overflow"][None],
                     }

@@ -95,6 +95,11 @@ class DisconnectedGrad:
     __repr__ = __str__
 
 
+class NullTypeGradError(TypeError):
+    """Requested gradient is undefined (pytensor.gradient.NullTypeGradError
+    analog): raised instead of silently returning zeros."""
+
+
 class NullGrad:
     """Result of ``grad_not_implemented``: using it in a requested gradient
     is an error; it is silently dropped otherwise."""
@@ -598,11 +603,24 @@ def grad(cost, wrt, **kwargs):
             )
         for inp, gi in zip(node.inputs, igrads):
             if _is_missing(gi):
+                # remember NullGrad (grad_not_implemented): pytensor's null
+                # contaminates — a variable reached by any null path raises
+                # NullTypeGradError when requested, never silent zeros
+                if isinstance(gi, NullGrad):
+                    gmap[inp] = gi
                 continue
-            gmap[inp] = gi if inp not in gmap else Elemwise("add")(gmap[inp], gi)
+            prev = gmap.get(inp)
+            if isinstance(prev, NullGrad):
+                continue  # null dominates
+            gmap[inp] = gi if prev is None else Elemwise("add")(prev, gi)
     outs = []
     for w in wrt_list:
         g = gmap.get(w)
+        if isinstance(g, NullGrad):
+            raise NullTypeGradError(
+                f"grad of the requested variable is undefined "
+                f"(grad_not_implemented): {g!r}"
+            )
         outs.append(ZerosLike()(w) if g is None else g)
     return outs[0] if single else outs
 

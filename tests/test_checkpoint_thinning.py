@@ -138,3 +138,33 @@ def test_legacy_mode_still_overflows(lv_problem):
     res, adj = _run_batched(lv_problem, 16, thinning=False)
     assert np.asarray(res.saved["overflow"]).all()
     assert np.isnan(np.asarray(adj.lamda)).all()
+
+
+def test_thinning_records_final_step(lv_problem):
+    """The recording must end at the last accepted step: the rolling tail
+    row covers the steps after the last stride-aligned record, where the
+    backward solve starts (code-review round 2)."""
+    rhs = lv_problem.make_rhs()
+    jac = lv_problem.make_jac_dense()
+    y0 = jnp.asarray([10.0, 2.0])
+    p = jnp.asarray([1.0, 0.3, 1.0, 0.4])
+    for save_steps in (16, 32, 64):
+        opts = BDFOptions(rtol=1e-8, atol=1e-8, save_steps=save_steps)
+        res = bdf_solve(rhs, jac, 0.0, y0, p, TVALS, opts)
+        assert int(res.status) == 0
+        ns = int(res.saved["n_saved"])
+        t_last = float(res.saved["t"][ns - 1])
+        assert t_last == float(res.stats["final_time"])
+
+    # batched: each lane's sorted recording ends at its own final time
+    B = 3
+    y0b = jnp.asarray(np.array([10.0, 2.0]) * (1 + 0.1 * np.arange(B))[:, None])
+    pb = jnp.tile(p, (B, 1))
+    res = bdf_solve_batched(
+        rhs, jac, 0.0, y0b, pb, TVALS,
+        BDFOptions(rtol=1e-8, atol=1e-8, save_steps=24),
+    )
+    for b in range(B):
+        ns = int(np.asarray(res.saved["n_saved"])[b])
+        t_last = float(np.asarray(res.saved["t"])[ns - 1, b])
+        assert t_last == float(np.asarray(res.stats["final_time"])[b])

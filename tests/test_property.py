@@ -154,6 +154,8 @@ def test_recording_thinning_invariants(save_steps, n_rows, seed):
         record_step_single,
     )
 
+    from sunode_tpu.ops._recording import finalize_saved_single
+
     rng = np.random.default_rng(seed)
     ts = np.cumsum(0.1 + rng.random(n_rows + 1))
     W = 3  # 1 + 2n with n=1
@@ -166,11 +168,16 @@ def test_recording_thinning_invariants(save_steps, n_rows, seed):
         sv = record_step_single(sv, jnp.asarray(True), row, save_steps, True)
     assert n_rows + 1 <= save_steps * 2**MAX_THIN
     assert not bool(sv["overflow"])
-    ns = int(sv["n_saved"])
-    times = np.asarray(sv["tyf"][:, 0])
+    buf, ns_arr, _ = finalize_saved_single(sv, True)
+    ns = int(ns_arr)
+    times = np.asarray(buf[:, 0])
     finite = times[np.isfinite(times)]
     assert len(finite) == ns
     assert (np.diff(finite) > 0).all()
     assert finite[0] == ts[0]
+    # the recording must END at the LAST accepted step (the rolling tail):
+    # a strided recording that stops earlier would leave the start of the
+    # backward adjoint solve interpolating a stale constant state
+    assert finite[-1] == ts[-1]
     # every kept time is one of the recorded times
     assert np.isin(finite, ts).all()

@@ -205,3 +205,15 @@ def test_nan_poisoning_through_op():
     assert np.isfinite(l_ok) and np.isfinite(g_ok)
     l_bad, g_bad = f(np.nan)  # a diverged sampler proposal
     assert np.isnan(l_bad) and np.isnan(g_bad)
+
+
+def test_nullgrad_raises_not_zero():
+    """grad through an op whose input gradient is grad_not_implemented must
+    raise (pytensor NullTypeGradError semantics), never silently return
+    zeros (code-review round 2)."""
+    from sunode_tpu.wrappers.pt_shim import NullTypeGradError
+
+    x = pt.dscalar("x")
+    e = pt.as_tensor_variable(np.asarray(2.0)) ** x  # d/d(exponent): null
+    with pytest.raises(NullTypeGradError):
+        pytensor.grad(e, x)

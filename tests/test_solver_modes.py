@@ -153,3 +153,46 @@ def test_max_steps_retry_recovers(lv_problem):
     s0.set_params_dict(PARAMS)
     with pytest.raises(SolverError, match="max_steps"):
         s0.solve(0.0, TVALS, np.array([10.0, 2.0]))
+
+
+def test_batched_staggered_matches_single(lv_problem):
+    """Batched staggered solves route through vmap(bdf_solve) (the batched
+    core has no staggered sequencing) and must match per-lane single
+    staggered solves exactly (code-review round 2)."""
+    s = Solver(lv_problem, sens_mode="staggered")
+    s.set_params_dict(PARAMS)
+    B = 3
+    y0b = np.tile(np.array([10.0, 2.0]), (B, 1)) * np.linspace(0.95, 1.05, B)[:, None]
+    ys_b, sens_b = s.solve(0.0, TVALS, y0b)
+    for b in range(B):
+        ys_1, sens_1 = s.solve(0.0, TVALS, y0b[b])
+        np.testing.assert_allclose(np.asarray(ys_b)[b], ys_1, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(sens_b)[b], sens_1, rtol=1e-12)
+
+
+def test_adams_sens_err_con_off_does_not_dilute(lv_problem):
+    """sens_err_con=False must EXCLUDE the sens rows from error control, not
+    dilute the state norm by sqrt(1+k): the augmented solve's step count
+    stays close to the plain solve's (code-review round 2)."""
+    from sunode_tpu.ops.bdf import BDFOptions
+
+    plain = Solver(lv_problem, solver="ADAMS", reltol=1e-8, abstol=1e-8)
+    plain.set_params_dict(PARAMS)
+    plain.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    steps_plain = int(plain.last_stats["n_steps"])
+
+    s = Solver(
+        lv_problem,
+        solver="ADAMS",
+        sens_mode="simultaneous",
+        options=BDFOptions(rtol=1e-8, atol=1e-8, sens_err_con=False),
+    )
+    s.set_params_dict(PARAMS)
+    y_out, sens_out = s.make_output_buffers(TVALS)
+    s.solve(0.0, TVALS, np.array([10.0, 2.0]), y_out, sens_out=sens_out)
+    steps_aug = int(s.last_stats["n_steps"])
+    # with the old diluted norm (atol_S=1e12 averaged in) the augmented
+    # solve took ~sqrt(1+k) looser steps — markedly FEWER than plain
+    assert steps_aug >= steps_plain * 0.9
+    fd = _sens_fd(lv_problem, TVALS)
+    np.testing.assert_allclose(sens_out[:, :2, :], fd, rtol=1e-3, atol=1e-4)
