@@ -148,7 +148,7 @@ def adams_pece_attempt_pallas(
         oel[:] = err.lo
 
     out_shape = [jax.ShapeDtypeStruct((n, B), jnp.float32) for _ in range(6)]
-    specs = [pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)] * 7
+    specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
     return pl.pallas_call(
         kernel,
