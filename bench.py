@@ -95,7 +95,13 @@ def bench_lv_adjoint(args):
 
 
 def bench_lv_forward(args):
-    """README config: LV forward solve at rtol=1e-10 (reference ~200us/solve)."""
+    """README config: LV forward solve at rtol=1e-10 (reference ~200us/solve).
+
+    ``--batch 1`` measures the single-chain class-API path (the literal
+    README workload): ``Solver.solve`` routes B=1 through the native C++
+    integrator, so a naively migrated single-chain script keeps
+    reference-class latency instead of paying whole-batch jit machinery.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -104,6 +110,30 @@ def bench_lv_forward(args):
     from sunode_tpu.ops.adams_batched import adams_solve_batched
 
     problem = _lv_problem()
+
+    if args.batch == 1:
+        from sunode_tpu.solver import Solver
+
+        solver = Solver(problem, reltol=1e-10, abstol=1e-10)
+        solver.set_params_dict(
+            {"alpha": 1.0, "beta": 0.3, "gamma": 1.0, "delta": 0.4}
+        )
+        tvals = np.linspace(0.0, 10.0, 50)
+        y0 = np.array([10.0, 2.0])
+        out = solver.solve(0.0, tvals, y0)  # warm up (native codegen)
+        assert np.isfinite(out).all()
+        times = []
+        for _ in range(max(args.repeats, 50)):
+            t0 = time.perf_counter()
+            solver.solve(0.0, tvals, y0)
+            times.append(time.perf_counter() - t0)
+        per_solve = min(times)
+        return {
+            "metric": "lv_forward_single_solve_wallclock",
+            "value": round(per_solve * 1e6, 2),
+            "unit": "us/solve (B=1, native host path)",
+            "vs_baseline": round(REFERENCE_LV_FORWARD_SEC / per_solve, 3),
+        }
     rhs = problem.make_rhs()
     tvals = jnp.linspace(0.0, 10.0, 50)
     rng = np.random.default_rng(42)

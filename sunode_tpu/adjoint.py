@@ -39,20 +39,40 @@ from sunode_tpu.ops.bdf import BDFOptions, BDFResult, bdf_solve
 
 __all__ = [
     "make_hermite_eval",
+    "make_polynomial_eval",
     "adjoint_backward",
     "AdjointResult",
 ]
 
 
+def _quintic_basis(tau):
+    """Two-point quintic Hermite basis at tau in [0, 1]: weights for
+    (y0, h f0, h^2 fd0, y1, h f1, h^2 fd1)."""
+    t2 = tau * tau
+    t3 = t2 * tau
+    t4 = t3 * tau
+    t5 = t4 * tau
+    H0 = 1 - 10 * t3 + 15 * t4 - 6 * t5
+    H1 = tau - 6 * t3 + 8 * t4 - 3 * t5
+    H2 = 0.5 * t2 - 1.5 * t3 + 1.5 * t4 - 0.5 * t5
+    H3 = 10 * t3 - 15 * t4 + 6 * t5
+    H4 = -4 * t3 + 7 * t4 - 3 * t5
+    H5 = 0.5 * t3 - t4 + 0.5 * t5
+    return H0, H1, H2, H3, H4, H5
+
+
 def make_hermite_eval(saved: dict) -> Callable:
-    """Cubic Hermite evaluator over a recorded forward trajectory.
+    """Hermite evaluator over a recorded forward trajectory.
 
     ``saved`` is the ``BDFResult.saved`` dict: t (N,) padded with +inf,
-    y (N, n), f (N, n), n_saved.  This is CVODES's CV_HERMITE interpolation
+    y (N, n), f (N, n), n_saved — plus fd (N, n) when the core recorded
+    quintic rows (hermite_order=5, the default: O(h^6) reconstruction).
+    Without fd this is CVODES's cubic CV_HERMITE interpolation
     (include/cvodes/16_cvodes.h:40-41); the reference defaults to polynomial
     interpolation but supports both (solver.py:531-585).
     """
     ts, ys, fs, n_saved = saved["t"], saved["y"], saved["f"], saved["n_saved"]
+    fds = saved.get("fd")
 
     def y_at(t):
         # bracketing interval [i, i+1]; ts padded with +inf so searchsorted
@@ -65,11 +85,117 @@ def make_hermite_eval(saved: dict) -> Callable:
         tau = jnp.clip((t - t0) / h, 0.0, 1.0)
         y0, y1 = ys[i], ys[i + 1]
         f0, f1 = fs[i], fs[i + 1]
+        if fds is not None:
+            H0, H1, H2, H3, H4, H5 = _quintic_basis(tau)
+            fd0, fd1 = fds[i], fds[i + 1]
+            h2 = h * h
+            return (
+                H0 * y0
+                + H1 * h * f0
+                + H2 * h2 * fd0
+                + H3 * y1
+                + H4 * h * f1
+                + H5 * h2 * fd1
+            )
         h00 = (1 + 2 * tau) * (1 - tau) ** 2
         h10 = tau * (1 - tau) ** 2
         h01 = tau**2 * (3 - 2 * tau)
         h11 = tau**2 * (tau - 1)
         return h00 * y0 + h10 * h * f0 + h01 * y1 + h11 * h * f1
+
+    return y_at
+
+
+POLY_K = 6  # polynomial interpolation window (degree POLY_K-1, ~O(h^6))
+
+
+def make_polynomial_eval(saved: dict) -> Callable:
+    """Variable-degree polynomial dense output over the recorded steps —
+    the true CV_POLYNOMIAL analog (include/cvodes/16_cvodes.h:40-41; the
+    reference's *default* interpolation, solver.py:530-585).
+
+    CVODES interpolates the checkpointed solution with a Newton polynomial
+    through the stored step values; here a barycentric Lagrange interpolant
+    of degree POLY_K-1 through the POLY_K recorded (t, y) rows bracketing
+    the evaluation point (window clamped at the trajectory edges; degree
+    reduces automatically when fewer than POLY_K rows were recorded).
+    Uses only y rows — no derivative storage, unlike Hermite."""
+    ts, ys, n_saved = saved["t"], saved["y"], saved["n_saved"]
+    S = ts.shape[0]
+    K = min(POLY_K, S)
+
+    def y_at(t):
+        idx = jnp.searchsorted(ts, t, side="right") - 1
+        i = jnp.clip(idx, 0, n_saved - 2)
+        # window of K rows around the bracketing interval
+        s = jnp.clip(i - (K // 2 - 1), 0, jnp.maximum(n_saved - K, 0))
+        off = jnp.arange(K)
+        jdx = jnp.clip(s + off, 0, S - 1)
+        valid = (s + off) < n_saved  # (K,)
+        tj = ts[jdx]  # (K,)
+        yj = ys[jdx]  # (K, n)
+        # barycentric weights over the VALID nodes only (pad rows carry
+        # t=+inf; excluding them from the products reduces the degree)
+        diff = tj[:, None] - tj[None, :]
+        offd = off[:, None] != off[None, :]
+        prods = jnp.prod(
+            jnp.where(offd & valid[None, :], diff, 1.0), axis=1
+        )
+        w = jnp.where(valid, 1.0 / prods, 0.0)
+        d = t - tj
+        exact = jnp.abs(d) <= 1e-14 * (1.0 + jnp.abs(t))
+        any_exact = jnp.any(exact & valid)
+        c = w / jnp.where(exact, 1.0, d)
+        c = jnp.where(exact, 0.0, c)
+        num = jnp.sum(c[:, None] * yj, axis=0)
+        den = jnp.sum(c)
+        y_interp = num / den
+        y_exact = jnp.sum(
+            jnp.where((exact & valid)[:, None], yj, 0.0), axis=0
+        )
+        return jnp.where(any_exact, y_exact, y_interp)
+
+    return y_at
+
+
+def make_polynomial_eval_batched(saved: dict) -> Callable:
+    """Trailing-batch variant of ``make_polynomial_eval``.
+
+    ``saved``: t (S, B), n_saved (B,), and the packed yf (S, 2n|3n, B) table
+    (only the y rows are read).  Returns ``y_at(t_b) -> (n, B)``."""
+    ts, n_saved = saved["t"], saved["n_saved"]
+    S, B = ts.shape
+    yf = saved["yf"]
+    quintic = "fd" in saved
+    n = yf.shape[1] // (3 if quintic else 2)
+    K = min(POLY_K, S)
+    lanes = jnp.arange(B)
+
+    def y_at(t):
+        idx = _searchsorted_b(ts, t)  # (B,)
+        i = jnp.clip(idx, 0, n_saved - 2)
+        s = jnp.clip(i - (K // 2 - 1), 0, jnp.maximum(n_saved - K, 0))
+        off = jnp.arange(K)
+        jdx = jnp.clip(s[None, :] + off[:, None], 0, S - 1)  # (K, B)
+        valid = (s[None, :] + off[:, None]) < n_saved[None, :]
+        tj = ts[jdx, lanes[None, :]]  # (K, B)
+        # K y-row gathers (n, B) each
+        yj = jnp.stack([yf[jdx[k], :n, lanes].T for k in range(K)])  # (K, n, B)
+        diff = tj[:, None, :] - tj[None, :, :]  # (K, K, B)
+        offd = (off[:, None] != off[None, :])[:, :, None]
+        prods = jnp.prod(jnp.where(offd & valid[None], diff, 1.0), axis=1)
+        w = jnp.where(valid, 1.0 / prods, 0.0)  # (K, B)
+        d = t[None, :] - tj
+        exact = jnp.abs(d) <= 1e-14 * (1.0 + jnp.abs(t))[None, :]
+        any_exact = jnp.any(exact & valid, axis=0)  # (B,)
+        c = jnp.where(exact, 0.0, w / jnp.where(exact, 1.0, d))
+        num = jnp.sum(c[:, None, :] * yj, axis=0)  # (n, B)
+        den = jnp.sum(c, axis=0)  # (B,)
+        y_interp = num / den[None, :]
+        y_exact = jnp.sum(
+            jnp.where((exact & valid)[:, None, :], yj, 0.0), axis=0
+        )
+        return jnp.where(any_exact[None, :], y_exact, y_interp)
 
     return y_at
 
@@ -93,13 +219,18 @@ def adjoint_backward(
     n_deriv: int,
     options: BDFOptions = BDFOptions(rtol=1e-10, atol=1e-10),
     lamda_end: Optional[jnp.ndarray] = None,
+    interpolation: str = "hermite",
 ) -> AdjointResult:
     """Backward adjoint solve over observation intervals.
 
     Mirrors reference ``AdjointSolver.solve_backward`` (solver.py:723-784):
     walk the observation times in reverse; at each, inject the observation
     cotangent into lambda, then integrate the adjoint system down to the next
-    one (and finally to t0).
+    one (and finally to t0).  ``interpolation`` selects the forward-
+    trajectory reconstruction: 'hermite' (CV_HERMITE; cubic or quintic
+    depending on the recorded rows) or 'polynomial' (CV_POLYNOMIAL:
+    variable-degree Lagrange through the recorded y rows — the reference's
+    default mode, solver.py:530-585).
     """
     dtype = saved["y"].dtype
     n = saved["y"].shape[-1]
@@ -108,7 +239,15 @@ def adjoint_backward(
     grads = jnp.asarray(grads, dtype)
     t0 = jnp.asarray(t0, dtype)
 
-    y_at = make_hermite_eval(saved)
+    if interpolation == "polynomial":
+        y_at = make_polynomial_eval(saved)
+    elif interpolation == "hermite":
+        y_at = make_hermite_eval(saved)
+    else:
+        raise ValueError(
+            f"interpolation must be 'hermite' or 'polynomial', got "
+            f"{interpolation!r}"
+        )
 
     # Time-reversed adjoint system: tau = -t
     def rhs_b(tau, lam, p):
@@ -330,6 +469,42 @@ def adjoint_backward_transition_batched(
     x_last = grads[:, -1, :]  # M = I at the start
     x_sum = jnp.sum(x, axis=1) + x_last  # (B, n)
 
+    # Conditioning monitor (fail-loudly contract, ref basic.py:84-103).
+    # Two cheap per-solve diagnostics, flagged as status 97 -> NaN poison
+    # downstream instead of returning silently degraded gradients:
+    #   * relative residual |M x - g| / |g| — catches elimination error in
+    #     the dense solve (~ eps * cond for unlucky g);
+    #   * growth factor ||M||_inf * ||x||_inf / ||g||_inf — the LU solve is
+    #     backward-stable (error in x ~ eps * ||M|| * ||x||), so eps * growth
+    #     bounds the relative error the superposition lam = M_end sum x_k
+    #     inherits; contracting/stiff dynamics blow ||M|| up exponentially
+    #     while x stays O(|g| / m_small), making growth ~ cond(M).
+    # Gates: rel_resid 1e-6 and growth 1e10 both correspond to ~10 lost
+    # digits in f64 — beyond any useful gradient tolerance.
+    if n_t > 1:
+        resid = jnp.einsum("bkij,bkj->bki", M_obs, x) - g_rev
+        g_mag = jnp.max(jnp.abs(g_rev), axis=2)  # (B, n_t-1)
+        rel_resid = jnp.max(
+            jnp.max(jnp.abs(resid), axis=2) / (g_mag + 1e-300), axis=1
+        )
+        growth = jnp.max(
+            jnp.max(jnp.abs(M_obs), axis=(2, 3))
+            * jnp.max(jnp.abs(x), axis=2)
+            / (g_mag + 1e-300),
+            axis=1,
+        )
+    else:
+        rel_resid = jnp.zeros((B,), dtype)
+        growth = jnp.ones((B,), dtype)
+    # M_end enters every lane's composition even when n_t == 1
+    growth = jnp.maximum(
+        growth,
+        jnp.max(jnp.abs(M_end), axis=(1, 2))
+        * jnp.max(jnp.abs(x_sum), axis=1)
+        / (jnp.max(jnp.abs(grads), axis=(1, 2)) + 1e-300),
+    )
+    ill = (rel_resid > 1e-6) | (growth > 1e10)
+
     lam = jnp.einsum("bij,bj->bi", M_end, x_sum)
     # dL/dp = sum_k x_k^T (W_end - W_k); for the last obs W_k = 0
     dW = W_end[:, None] - W_obs  # (B, n_t-1, n, n_deriv)
@@ -337,13 +512,21 @@ def adjoint_backward_transition_batched(
         "bi,bij->bj", x_last, W_end
     )
 
+    ok = ok & ~ill
+    status = jnp.where(
+        ill & (res.status == 0), jnp.asarray(97, jnp.int32), res.status
+    )
     lam = jnp.where(ok[:, None], lam, jnp.nan)
     q = jnp.where(ok[:, None], q, jnp.nan)
     return AdjointResult(
         lamda=lam,
         quad=q,
-        status=res.status.astype(jnp.int32),
-        stats=dict(n_backward_steps=res.stats["n_steps"]),
+        status=status.astype(jnp.int32),
+        stats=dict(
+            n_backward_steps=res.stats["n_steps"],
+            transition_rel_residual=rel_resid,
+            transition_growth=growth,
+        ),
     )
 
 
@@ -393,11 +576,12 @@ def make_hermite_eval_batched(saved: dict) -> Callable:
 
     if "yf" in saved:
         # fastest measured variant on v5e: two wide row-gathers from the
-        # (S, 2n, B) y|f table + two scalar gathers from ts (1.6x over six
-        # strided gathers; packing t INTO the rows tiles worse)
+        # (S, 2n|3n, B) y|f[|fd] table + two scalar gathers from ts (1.6x
+        # over six strided gathers; packing t INTO the rows tiles worse)
         yf = saved["yf"]
         S, W, B = yf.shape
-        n = W // 2
+        quintic = "fd" in saved
+        n = W // 3 if quintic else W // 2
         lanes = jnp.arange(B)
 
         def y_at(t):
@@ -405,12 +589,24 @@ def make_hermite_eval_batched(saved: dict) -> Callable:
             i = jnp.clip(idx, 0, n_saved - 2)
             t0 = ts[i, lanes]
             t1 = ts[i + 1, lanes]
-            r0 = yf[i, :, lanes].T  # (2n, B)
+            r0 = yf[i, :, lanes].T  # (W-1, B)
             r1 = yf[i + 1, :, lanes].T
-            y0, f0 = r0[:n], r0[n:]
-            y1, f1 = r1[:n], r1[n:]
+            y0, f0 = r0[:n], r0[n : 2 * n]
+            y1, f1 = r1[:n], r1[n : 2 * n]
             h = t1 - t0
             tau = jnp.clip((t - t0) / h, 0.0, 1.0)
+            if quintic:
+                fd0, fd1 = r0[2 * n :], r1[2 * n :]
+                H0, H1, H2, H3, H4, H5 = _quintic_basis(tau)
+                h2 = h * h
+                return (
+                    H0[None] * y0
+                    + (H1 * h)[None] * f0
+                    + (H2 * h2)[None] * fd0
+                    + H3[None] * y1
+                    + (H4 * h)[None] * f1
+                    + (H5 * h2)[None] * fd1
+                )
             h00 = (1 + 2 * tau) * (1 - tau) ** 2
             h10 = tau * (1 - tau) ** 2
             h01 = tau**2 * (3 - 2 * tau)
@@ -600,7 +796,15 @@ def adjoint_backward_batched(
     t0 = jnp.asarray(t0, dtype)
     params_t = jnp.asarray(params, dtype)  # (B, n_p) leading; core transposes
 
-    y_at = make_hermite_eval_batched(saved)
+    if interpolation == "polynomial":
+        y_at = make_polynomial_eval_batched(saved)
+    elif interpolation == "hermite":
+        y_at = make_hermite_eval_batched(saved)
+    else:
+        raise ValueError(
+            f"interpolation must be 'hermite', 'polynomial' or 'resolve', "
+            f"got {interpolation!r}"
+        )
     aj_rhs_b = jax.vmap(adjoint_rhs, in_axes=(0, 1, 1, 1), out_axes=1)
     aj_jac_b = jax.vmap(adjoint_jac, in_axes=(0, 1, 1, 1), out_axes=2)
     q_rhs_b = jax.vmap(quad_rhs, in_axes=(0, 1, 1, 1), out_axes=1)

@@ -27,10 +27,21 @@ Two layouts:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 MAX_THIN = 10
+
+
+def fdot(rhs, t, y, f, params):
+    """Total time derivative of the RHS along the trajectory:
+    d f(t, y(t)) / dt = J f + f_t, via one jvp.  Used for quintic Hermite
+    checkpoint rows (hermite_order=5); works for both single-instance
+    (t scalar, y (n,)) and trailing-batch (t (B,), y (n, B)) signatures."""
+    return jax.jvp(
+        lambda tt, yy: rhs(tt, yy, params), (t, y), (jnp.ones_like(t), f)
+    )[1]
 
 
 def init_saved_batched(buf0, thinning: bool):
@@ -99,17 +110,26 @@ def record_step_batched(sv, it, accept, row, save_steps: int, thinning: bool):
 
     slot = jnp.minimum(w_ptr, save_steps - 1)
     old_row = lax.dynamic_index_in_dim(buf, slot, 0, keepdims=False)
-    wrow = jnp.where(do_write, row, old_row)
+    # Per-lane candidate at a record event: an accepted lane records its new
+    # step; a lane that REJECTED this attempt records its fresh rolling tail
+    # (its most recent accepted-but-unrecorded step) instead of losing the
+    # record opportunity to a +inf pad.  Without this, desynchronized lanes
+    # see effective checkpoint spacing well beyond the nominal 2^shift.
+    tail_fresh = jnp.isfinite(sv["tail"][0])  # (B,)
+    cand = jnp.where(
+        accept[None, :], row, jnp.where(tail_fresh[None, :], sv["tail"], row)
+    )
+    wrow = jnp.where(do_write, cand, old_row)
     buf = lax.dynamic_update_index_in_dim(buf, wrow, slot, 0)
     # rolling tail: an accepted step that was NOT regularly recorded becomes
-    # the lane's tail; a regularly recorded one clears it (the buffer now
-    # ends at this step)
-    written = do_write & accept
+    # the lane's tail; a recorded row (new step or old tail) clears it (the
+    # recording now ends at that lane's latest accepted step)
+    recorded = do_write & (accept | tail_fresh)
     pad = jnp.full(row.shape, jnp.inf, row.dtype).at[1:].set(0.0)
     tail = jnp.where(
         (accept & ~do_write)[None, :],
         row,
-        jnp.where(written[None, :], pad, sv["tail"]),
+        jnp.where(recorded[None, :], pad, sv["tail"]),
     )
     return dict(
         tyf=buf,
@@ -141,14 +161,18 @@ def finalize_saved_batched(sv, n: int, thinning: bool):
         if thinning
         else sv["n_saved"]
     )
-    return {
+    out = {
         "t": buf[:, 0, :],
         "y": buf[:, 1 : n + 1, :],
-        "f": buf[:, n + 1 :, :],
-        "yf": buf[:, 1:, :],  # (S, 2n, B) y|f table: fast Hermite gathers
+        "f": buf[:, n + 1 : 2 * n + 1, :],
+        # (S, 2n|3n, B) y|f[|fd] table: fast Hermite row gathers
+        "yf": buf[:, 1:, :],
         "n_saved": n_rows,
         "overflow": sv["overflow"],
     }
+    if buf.shape[1] == 1 + 3 * n:  # quintic rows carry fdot
+        out["fd"] = buf[:, 2 * n + 1 :, :]
+    return out
 
 
 def init_saved_single(buf0, thinning: bool):

@@ -209,11 +209,15 @@ def adams_solve(
 
     save_steps = int(options.save_steps)
     thinning = bool(options.checkpoint_thinning)
+    rec_fd = save_steps > 0 and options.hermite_order == 5
     if save_steps > 0:
-        from sunode_tpu.ops._recording import init_saved_single
+        from sunode_tpu.ops._recording import fdot, init_saved_single
 
-        row0 = jnp.concatenate([t0[None], y0, f0])
-        buf0 = jnp.full((save_steps, 1 + 2 * n), jnp.inf, dtype)
+        row_parts0 = [t0[None], y0, f0]
+        if rec_fd:
+            row_parts0.append(fdot(rhs, t0, y0, f0, params))
+        row0 = jnp.concatenate(row_parts0)
+        buf0 = jnp.full((save_steps, row0.shape[0]), jnp.inf, dtype)
         buf0 = buf0.at[:, 1:].set(0.0).at[0].set(row0)
         saved0 = init_saved_single(buf0, thinning)
     else:
@@ -365,9 +369,12 @@ def adams_solve(
         i_out, ys = lax.while_loop(emit_cond, emit_body, (c["i_out"], c["ys"]))
 
         if save_steps > 0:
-            from sunode_tpu.ops._recording import record_step_single
+            from sunode_tpu.ops._recording import fdot, record_step_single
 
-            row = jnp.concatenate([t_new[None], y_new, f_new])
+            row_parts_r = [t_new[None], y_new, f_new]
+            if rec_fd:
+                row_parts_r.append(fdot(rhs, t_new, y_new, f_new, params))
+            row = jnp.concatenate(row_parts_r)
             sv = record_step_single(c["saved"], accept, row, save_steps, thinning)
         else:
             sv = c["saved"]
@@ -506,6 +513,8 @@ def adams_solve(
         final_order=final["p"],
         final_step_size=final["h"],
         final_time=final["t"],
+        # state at final_time — resume-in-place support (see bdf.py)
+        final_state=final["y"],
         # where a fatal solve died (NaN / -1 on success); see body()
         error_time=final["pm_t"],
         error_step_size=final["pm_h"],
@@ -515,14 +524,19 @@ def adams_solve(
     if save_steps > 0:
         from sunode_tpu.ops._recording import finalize_saved_single
 
+        stats["checkpoint_thinning_levels"] = (
+            final["saved"]["shift"] if thinning else jnp.asarray(0, jnp.int32)
+        )
         buf, n_saved, overflow = finalize_saved_single(final["saved"], thinning)
         saved_out = {
             "t": buf[:, 0],
             "y": buf[:, 1 : n + 1],
-            "f": buf[:, n + 1 :],
+            "f": buf[:, n + 1 : 2 * n + 1],
             "n_saved": n_saved,
             "overflow": overflow,
         }
+        if rec_fd:
+            saved_out["fd"] = buf[:, 2 * n + 1 :]
     else:
         saved_out = None
     return BDFResult(

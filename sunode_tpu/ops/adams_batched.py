@@ -61,7 +61,8 @@ def adams_solve_batched(
     dtype = jnp.result_type(y0.dtype, jnp.float32)
     y0 = jnp.asarray(y0, dtype).T  # (n, B)
     n, B = y0.shape
-    t0 = jnp.asarray(t0, dtype)
+    # t0 may be per-lane (B,) — resume-in-place support (see bdf_batched)
+    t0 = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
     tvals = jnp.asarray(tvals, dtype)
     n_t = tvals.shape[0]
     t_end = tvals[-1]
@@ -155,7 +156,7 @@ def adams_solve_batched(
         10 * jnp.finfo(dtype).eps / rtol, jnp.minimum(0.03, jnp.sqrt(rtol))
     )
 
-    t0_b = jnp.full((B,), t0, dtype)
+    t0_b = t0
     stage0 = stage_fn(t0_b) if with_stage else None
     if with_stage:
         f0 = rhs_b(t0_b, y0, params, stage0)
@@ -195,20 +196,28 @@ def adams_solve_batched(
 
     save_steps = int(options.save_steps)
     thinning = bool(options.checkpoint_thinning)
+    # fdot rows need a stage-free rhs; recording is a forward-solve feature
+    # and the staged rhs only appears in the (non-recording) backward pass
+    rec_fd = save_steps > 0 and options.hermite_order == 5 and not with_stage
     if save_steps > 0:
-        from sunode_tpu.ops._recording import init_saved_batched
+        from sunode_tpu.ops._recording import fdot, init_saved_batched
 
-        row0 = jnp.concatenate([t0_b[None, :], y0, f0])
-        buf0 = jnp.full((save_steps, 1 + 2 * n, B), jnp.inf, dtype)
+        row_parts0 = [t0_b[None, :], y0, f0]
+        if rec_fd:
+            row_parts0.append(
+                fdot(lambda tt, yy, pp: rhs_b(tt, yy, pp), t0_b, y0, f0, params)
+            )
+        row0 = jnp.concatenate(row_parts0)
+        buf0 = jnp.full((save_steps, row0.shape[0], B), jnp.inf, dtype)
         buf0 = buf0.at[:, 1:, :].set(0.0).at[0].set(row0)
         saved0 = init_saved_batched(buf0, thinning)
     else:
         saved0 = None
 
     zs0 = jnp.full((n_t, nz, B), jnp.nan, dtype)
-    emit_mask0 = tvals <= t0
-    zs0 = jnp.where(emit_mask0[:, None, None], z0[None], zs0)
-    i_out0 = jnp.full((B,), jnp.sum(emit_mask0), jnp.int32)
+    emit_mask0 = tvals[:, None] <= t0[None, :]  # (n_t, B) per-lane
+    zs0 = jnp.where(emit_mask0[:, None, :], z0[None], zs0)
+    i_out0 = jnp.sum(emit_mask0, axis=0).astype(jnp.int32)
 
     zeros_i = jnp.zeros((B,), jnp.int32)
     carry0 = dict(
@@ -438,11 +447,22 @@ def adams_solve_batched(
 
         # ---- checkpoint recording (see ops/_recording.py) -----------------
         if save_steps > 0:
-            from sunode_tpu.ops._recording import record_step_batched
+            from sunode_tpu.ops._recording import fdot, record_step_batched
 
-            row = jnp.concatenate([t_new[None, :], y_new, fz_new[sl_y]])
+            row_parts_r = [t_new[None, :], y_new, fz_new[sl_y]]
+            if rec_fd:
+                row_parts_r.append(
+                    fdot(
+                        lambda tt, yy, pp: rhs_b(tt, yy, pp),
+                        t_new, y_new, fz_new[sl_y], params,
+                    )
+                )
+            row = jnp.concatenate(row_parts_r)
             pad = jnp.concatenate(
-                [jnp.full((1, B), jnp.inf, dtype), jnp.zeros((2 * n, B), dtype)]
+                [
+                    jnp.full((1, B), jnp.inf, dtype),
+                    jnp.zeros((row.shape[0] - 1, B), dtype),
+                ]
             )
             row = jnp.where(accept[None, :], row, pad)
             sv = record_step_batched(
@@ -655,6 +675,9 @@ def adams_solve_batched(
     if save_steps > 0:
         from sunode_tpu.ops._recording import finalize_saved_batched
 
+        stats["checkpoint_thinning_levels"] = (
+            final["saved"]["shift"] if thinning else jnp.asarray(0, jnp.int32)
+        )
         saved_out = finalize_saved_batched(final["saved"], n, thinning)
     else:
         saved_out = None

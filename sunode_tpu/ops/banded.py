@@ -61,10 +61,15 @@ def banded_to_dense(ab: jnp.ndarray, lower: int, upper: int) -> jnp.ndarray:
 
 
 def banded_factor(ab: jnp.ndarray, lower: int, upper: int):
-    """Partial-pivoted LU of banded A.  Returns (lu, piv).
+    """Partial-pivoted LU of banded A.  Returns (lu, piv, sing).
 
     lu: (2l+u+1, n + l + u) working storage (right-padded columns), piv: (n,)
-    int32 pivot offsets in [0, l].
+    int32 pivot offsets in [0, l], sing: scalar bool — True when some pivot
+    was (near-)zero, i.e. the matrix is numerically singular.  A singular
+    factorization must not yield enormous-but-finite garbage corrections
+    that only the Newton convergence-rate test can catch, so
+    ``banded_solve`` poisons its solution with NaN when ``sing`` is set and
+    the Newton loop's isfinite check rejects the step deterministically.
     """
     l, u = lower, upper
     w = l + u  # combined off-diagonal width of the factored U
@@ -85,7 +90,7 @@ def banded_factor(ab: jnp.ndarray, lower: int, upper: int):
     tgt_rows = w + d_idx[:, None] - c_idx[None, :]  # (l, w+1) rows k+d
 
     def col_step(k, state):
-        abe, piv = state
+        abe, piv, sing = state
         W = lax.dynamic_slice(abe, (0, k), (2 * l + u + 1, w + 1))
 
         # ---- pivot selection over rows k..k+l of column k ----------------
@@ -105,6 +110,7 @@ def banded_factor(ab: jnp.ndarray, lower: int, upper: int):
 
         # ---- eliminate ----------------------------------------------------
         pivot = W[w, 0]
+        sing = sing | (jnp.abs(pivot) <= _TINY)
         pivot = jnp.where(jnp.abs(pivot) > _TINY, pivot, _TINY)
         mult = W[w + d_idx, 0] / pivot  # (l,)
         urow = W[row_k, c_idx]  # (w+1,) pivot row of U
@@ -117,16 +123,18 @@ def banded_factor(ab: jnp.ndarray, lower: int, upper: int):
         )
 
         abe = lax.dynamic_update_slice(abe, W, (0, k))
-        return abe, piv.at[k].set(p)
+        return abe, piv.at[k].set(p), sing
 
     piv0 = jnp.zeros((n,), jnp.int32)
-    lu, piv = lax.fori_loop(0, n, col_step, (abe, piv0))
-    return lu, piv
+    lu, piv, sing = lax.fori_loop(
+        0, n, col_step, (abe, piv0, jnp.asarray(False))
+    )
+    return lu, piv, sing
 
 
 def banded_solve(factors, b: jnp.ndarray, lower: int, upper: int) -> jnp.ndarray:
-    """Solve A x = b given banded_factor output."""
-    lu, piv = factors
+    """Solve A x = b given banded_factor output (NaN when singular)."""
+    lu, piv, sing = factors
     l, u = lower, upper
     w = l + u
     n = b.shape[0]
@@ -160,7 +168,7 @@ def banded_solve(factors, b: jnp.ndarray, lower: int, upper: int) -> jnp.ndarray
         return xp.at[k].set(s / diag)
 
     xp = lax.fori_loop(0, n, bwd, xp)
-    return xp[:n]
+    return jnp.where(sing, jnp.nan, xp[:n])
 
 
 def banded_factor_b(ab_b: jnp.ndarray, lower: int, upper: int):
@@ -170,6 +178,6 @@ def banded_factor_b(ab_b: jnp.ndarray, lower: int, upper: int):
 
 def banded_solve_b(factors_b, b_b: jnp.ndarray, lower: int, upper: int):
     """Batched variant: b_b (B, n)."""
-    return jax.vmap(lambda f0, f1, bb: banded_solve((f0, f1), bb, lower, upper))(
-        factors_b[0], factors_b[1], b_b
-    )
+    return jax.vmap(
+        lambda f0, f1, f2, bb: banded_solve((f0, f1, f2), bb, lower, upper)
+    )(factors_b[0], factors_b[1], factors_b[2], b_b)

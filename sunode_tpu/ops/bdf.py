@@ -109,13 +109,19 @@ class BDFOptions(NamedTuple):
     quad_atol: Optional[Any] = None  # defaults to atol-style scalar
     quad_rtol: Optional[float] = None
     # Newton linear solver: 'dense' (LU / closed forms), 'spgmr' (matrix-free
-    # GMRES on jvp's; reference linear_solver='spgmr'), or 'band' (banded LU
+    # GMRES on jvp's; reference linear_solver='spgmr'), 'band' (banded LU
     # with partial pivoting, O(n*(l+u)^2) — SUNDIALS sunlinsol_band analog;
-    # jac must then return (band_lower+band_upper+1, n) banded storage)
+    # jac must then return (band_lower+band_upper+1, n) banded storage), or
+    # 'sparse' (KLU analog: jac returns the RCM-PERMUTED banded storage from
+    # colored jvp sweeps — ops/sparsity.py — and the Newton solve permutes
+    # residuals through sparse_perm around the banded LU)
     linear_solver: str = "dense"
     krylov_dim: int = 5  # CVODES SUNLinSol_SPGMR default maxl
-    band_lower: int = 0  # bandwidths for linear_solver='band'
+    band_lower: int = 0  # bandwidths for linear_solver='band'/'sparse'
     band_upper: int = 0
+    # static RCM permutation (permuted index -> original index) for
+    # linear_solver='sparse'; None = identity
+    sparse_perm: Optional[Any] = None
     # Adams order cap (separate from the BDF max_order so explicit low caps
     # stay expressible); default 8 — see ops/adams.py for the conditioning
     # rationale.  Hard ceiling 12 (CV_ADAMS max).
@@ -136,6 +142,12 @@ class BDFOptions(NamedTuple):
     # row and double the recording stride instead of failing — see
     # ops/_recording.py.  False restores the legacy clamp+overflow behavior.
     checkpoint_thinning: bool = True
+    # Hermite checkpoint degree: 5 records (t, y, f, fdot) per accepted step
+    # (fdot = J f + f_t, one extra jvp per step) and the adjoint interpolates
+    # with QUINTIC Hermite — O(h^6) reconstruction error vs cubic O(h^4),
+    # closing the accuracy gap to the resolve/transition adjoint modes while
+    # staying stiff-safe.  3 = CVODES CV_HERMITE parity (t, y, f only).
+    hermite_order: int = 5
 
 
 class BDFResult(NamedTuple):
@@ -327,15 +339,22 @@ def bdf_solve(
     t_end = tvals[-1]
 
     use_spgmr = options.linear_solver == "spgmr"
-    use_band = options.linear_solver == "band"
-    if options.linear_solver not in ("dense", "spgmr", "band"):
+    use_sparse = options.linear_solver == "sparse"
+    use_band = options.linear_solver == "band" or use_sparse
+    if options.linear_solver not in ("dense", "spgmr", "band", "sparse"):
         raise ValueError(
-            "options.linear_solver must be 'dense', 'spgmr' or 'band'"
+            "options.linear_solver must be 'dense', 'spgmr', 'band' or "
+            "'sparse'"
         )
     if use_band:
         from sunode_tpu.ops.banded import banded_factor, banded_solve
 
         band_l, band_u = int(options.band_lower), int(options.band_upper)
+        if use_sparse and options.sparse_perm is not None:
+            sp_perm = jnp.asarray(np.asarray(options.sparse_perm), jnp.int32)
+            sp_inv = jnp.asarray(np.argsort(options.sparse_perm), jnp.int32)
+        else:
+            sp_perm = sp_inv = None
     if use_spgmr and jac_prod is None:
         # matrix-free default: jvp of the rhs
         def jac_prod(t, y, v, p):  # noqa: F811
@@ -452,13 +471,19 @@ def bdf_solve(
 
     save_steps = int(options.save_steps)
     thinning = bool(options.checkpoint_thinning)
+    if options.hermite_order not in (3, 5):
+        raise ValueError("options.hermite_order must be 3 or 5")
+    rec_fd = save_steps > 0 and options.hermite_order == 5
     if save_steps > 0:
-        from sunode_tpu.ops._recording import init_saved_single
+        from sunode_tpu.ops._recording import fdot, init_saved_single
 
-        # packed (t | y | f) rows: ONE scatter per accepted step instead of 3.
+        # packed (t | y | f [| fdot]) rows: ONE scatter per accepted step.
         # +inf time padding so searchsorted in the adjoint works directly.
-        row0 = jnp.concatenate([t0[None], y0, f0])
-        buf0 = jnp.full((save_steps, 1 + 2 * n), jnp.inf, dtype)
+        row_parts = [t0[None], y0, f0]
+        if rec_fd:
+            row_parts.append(fdot(rhs, t0, y0, f0, params))
+        row0 = jnp.concatenate(row_parts)
+        buf0 = jnp.full((save_steps, row0.shape[0]), jnp.inf, dtype)
         buf0 = buf0.at[:, 1:].set(0.0).at[0].set(row0)
         saved0 = init_saved_single(buf0, thinning)
     else:
@@ -649,9 +674,16 @@ def bdf_solve(
                     maxl=options.krylov_dim,
                 )
         elif use_band:
+            if use_sparse and sp_perm is not None:
+                # solve in RCM-permuted space: z = P delta, M_p z = P res
+                def lin_solve(res):
+                    z = banded_solve(factors, res[sp_perm], band_l, band_u)
+                    return z[sp_inv]
 
-            def lin_solve(res):
-                return banded_solve(factors, res, band_l, band_u)
+            else:
+
+                def lin_solve(res):
+                    return banded_solve(factors, res, band_l, band_u)
 
         else:
             def lin_solve(res):
@@ -821,10 +853,13 @@ def bdf_solve(
         # record accepted step for adjoint checkpointing (one packed scatter;
         # bounded-buffer thinning in ops/_recording.py)
         if save_steps > 0:
-            from sunode_tpu.ops._recording import record_step_single
+            from sunode_tpu.ops._recording import fdot, record_step_single
 
             f_acc = rhs(t_new, y_new, params)
-            row = jnp.concatenate([t_new[None], y_new, f_acc])
+            row_parts_r = [t_new[None], y_new, f_acc]
+            if rec_fd:
+                row_parts_r.append(fdot(rhs, t_new, y_new, f_acc, params))
+            row = jnp.concatenate(row_parts_r)
             sv = record_step_single(c["saved"], accept, row, save_steps, thinning)
         else:
             sv = c["saved"]
@@ -1013,6 +1048,11 @@ def bdf_solve(
         final_order=final["q"],
         final_step_size=final["h"],
         final_time=final["t"],
+        # full combined state [y | vec(S) | q] at final_time — enables
+        # resume-in-place on MAX_STEPS (CVode-resume semantics,
+        # ref solver.py:510-519): restart a fresh solve from here with
+        # first_step=final_step_size instead of re-running from t0
+        final_state=final["D"][0],
         # where a fatal solve died (NaN / -1 on success); see body()
         error_time=final["pm_t"],
         error_step_size=final["pm_h"],
@@ -1024,14 +1064,22 @@ def bdf_solve(
     if save_steps > 0:
         from sunode_tpu.ops._recording import finalize_saved_single
 
+        # surface silent degradation: >0 means the checkpoint buffer filled
+        # and the recording was compacted (interpolation spacing grew
+        # 2^levels; cubic-Hermite error ~16x per level — see ops/_recording)
+        stats["checkpoint_thinning_levels"] = (
+            final["saved"]["shift"] if thinning else jnp.asarray(0, jnp.int32)
+        )
         buf, n_saved, overflow = finalize_saved_single(final["saved"], thinning)
         saved_out = {
             "t": buf[:, 0],
             "y": buf[:, 1 : n + 1],
-            "f": buf[:, n + 1 :],
+            "f": buf[:, n + 1 : 2 * n + 1],
             "n_saved": n_saved,
             "overflow": overflow,
         }
+        if rec_fd:
+            saved_out["fd"] = buf[:, 2 * n + 1 :]
     else:
         saved_out = None
     zs = final["zs"]

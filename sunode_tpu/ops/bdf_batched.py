@@ -185,7 +185,9 @@ def bdf_solve_batched(
     dtype = jnp.result_type(y0.dtype, jnp.float32)
     y0 = jnp.asarray(y0, dtype).T  # (n, B)
     n, B = y0.shape
-    t0 = jnp.asarray(t0, dtype)
+    # t0 may be per-lane (B,) — lanes resuming an interrupted solve restart
+    # from their own final_time (resume-in-place, ref solver.py:510-519)
+    t0 = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
     tvals = jnp.asarray(tvals, dtype)
     n_t = tvals.shape[0]
     t_end = tvals[-1]
@@ -281,7 +283,7 @@ def bdf_solve_batched(
         10 * jnp.finfo(dtype).eps / rtol, jnp.minimum(0.03, jnp.sqrt(rtol))
     )
 
-    t0_b = jnp.full((B,), t0, dtype)
+    t0_b = t0
     f0 = rhs_b(t0_b, y0, params)
     bad_init = ~(jnp.all(jnp.isfinite(y0), axis=0) & jnp.all(jnp.isfinite(f0), axis=0))
 
@@ -326,21 +328,26 @@ def bdf_solve_batched(
 
     save_steps = int(options.save_steps)
     thinning = bool(options.checkpoint_thinning)
+    rec_fd = save_steps > 0 and options.hermite_order == 5
     if save_steps > 0:
-        from sunode_tpu.ops._recording import init_saved_batched
+        from sunode_tpu.ops._recording import fdot, init_saved_batched
 
-        # (slot, 1+2n, B); slot = shared attempt counter -> in-place updates
-        row0 = jnp.concatenate([t0_b[None, :], y0, f0])  # (1+2n, B)
-        buf0 = jnp.full((save_steps, 1 + 2 * n, B), jnp.inf, dtype)
+        # (slot, 1+(2|3)n, B); slot = shared attempt counter -> in-place
+        # updates; hermite_order=5 appends fdot rows for quintic Hermite
+        row_parts0 = [t0_b[None, :], y0, f0]
+        if rec_fd:
+            row_parts0.append(fdot(rhs_b, t0_b, y0, f0, params))
+        row0 = jnp.concatenate(row_parts0)  # (W, B)
+        buf0 = jnp.full((save_steps, row0.shape[0], B), jnp.inf, dtype)
         buf0 = buf0.at[:, 1:, :].set(0.0).at[0].set(row0)
         saved0 = init_saved_batched(buf0, thinning)
     else:
         saved0 = None
 
     zs0 = jnp.full((n_t, nt_tot, B), jnp.nan, dtype)
-    emit_mask0 = tvals <= t0  # shared
-    zs0 = jnp.where(emit_mask0[:, None, None], z0[None], zs0)
-    i_out0 = jnp.full((B,), jnp.sum(emit_mask0), jnp.int32)
+    emit_mask0 = tvals[:, None] <= t0[None, :]  # (n_t, B) per-lane
+    zs0 = jnp.where(emit_mask0[:, None, :], z0[None], zs0)
+    i_out0 = jnp.sum(emit_mask0, axis=0).astype(jnp.int32)
 
     J0 = jac_b(t0_b, y0, params)  # (n, n, B)
     eye_b = jnp.eye(n, dtype=dtype)[:, :, None]
@@ -616,12 +623,18 @@ def bdf_solve_batched(
 
         # ---- checkpoint recording (see ops/_recording.py) -----------------
         if save_steps > 0:
-            from sunode_tpu.ops._recording import record_step_batched
+            from sunode_tpu.ops._recording import fdot, record_step_batched
 
             f_acc = rhs_b(t_new, y_new, params)
-            row = jnp.concatenate([t_new[None, :], y_new, f_acc])  # (1+2n, B)
+            row_parts_r = [t_new[None, :], y_new, f_acc]
+            if rec_fd:
+                row_parts_r.append(fdot(rhs_b, t_new, y_new, f_acc, params))
+            row = jnp.concatenate(row_parts_r)  # (W, B)
             pad = jnp.concatenate(
-                [jnp.full((1, B), jnp.inf, dtype), jnp.zeros((2 * n, B), dtype)]
+                [
+                    jnp.full((1, B), jnp.inf, dtype),
+                    jnp.zeros((row.shape[0] - 1, B), dtype),
+                ]
             )
             row = jnp.where(accept[None, :], row, pad)
             sv = record_step_batched(
@@ -810,6 +823,8 @@ def bdf_solve_batched(
         final_order=final["q"],
         final_step_size=final["h"],
         final_time=final["t"],
+        # (B, n+kn+m) combined state at final_time; see bdf.py final_state
+        final_state=final["D"][0].T,
         n_attempts=final["it"],
         # where each fatal lane died (NaN / -1 on success); see body()
         error_time=final["pm_t"],
@@ -823,6 +838,11 @@ def bdf_solve_batched(
     if save_steps > 0:
         from sunode_tpu.ops._recording import finalize_saved_batched
 
+        # surface silent degradation (shared across lanes: the recording
+        # stride is keyed to the shared attempt counter)
+        stats["checkpoint_thinning_levels"] = (
+            final["saved"]["shift"] if thinning else jnp.asarray(0, jnp.int32)
+        )
         saved_out = finalize_saved_batched(final["saved"], n, thinning)
     else:
         saved_out = None

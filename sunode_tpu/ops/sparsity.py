@@ -1,0 +1,189 @@
+"""Structural-sparsity machinery: the TPU-first KLU analog.
+
+The reference binds SuiteSparse KLU for sparse-direct Newton solves
+(/root/reference/sunode/linear_solver_wrapper.py:99-122, matrix.py:105-200,
+problem.py:385-416 ``make_sundials_jac_sparse``).  A sparse-direct LU with
+dynamic pivoting is the wrong shape for XLA (data-dependent fill-in,
+pointer-chasing); the TPU-native equivalent exploits the SAME structural
+information differently:
+
+  * the Jacobian's structural pattern (exact, from the symbolic Jacobian —
+    the zeros sympy already proved) feeds a **greedy distance-2 coloring**
+    of the column graph, so the full Jacobian is recovered from
+    ~chromatic-number jvp sweeps of the RHS (Curtis-Powell-Reid seeding)
+    instead of n columns or an O(n^2) generated dense evaluation;
+  * a **reverse Cuthill-McKee** permutation concentrates the pattern into a
+    band, and the Newton solve runs the existing banded LU
+    (``ops/banded.py``, O(n w^2)) on the permuted system — static fill-in,
+    static shapes, jit/vmap-clean.
+
+Everything in this module is SETUP-TIME host numpy (patterns are static);
+the per-step device work is ``n_colors`` jvps + one masked gather into
+banded storage.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+__all__ = [
+    "color_columns",
+    "rcm_permutation",
+    "bandwidths",
+    "plan_sparse_jacobian",
+    "SparsePlan",
+]
+
+
+def color_columns(pattern: np.ndarray) -> np.ndarray:
+    """Greedy structurally-orthogonal column coloring.
+
+    Columns j, k may share a color iff no row has nonzeros in both
+    (Curtis-Powell-Reid).  Returns (n,) int colors, ordered by descending
+    column degree (a standard near-optimal greedy order).
+    """
+    pattern = np.asarray(pattern, bool)
+    n = pattern.shape[1]
+    colors = np.full(n, -1, np.int64)
+    order = np.argsort(-pattern.sum(axis=0), kind="stable")
+    # rows_hit[c] = union of rows covered by columns of color c
+    rows_hit: list[np.ndarray] = []
+    for j in order:
+        rows_j = pattern[:, j]
+        for c, hit in enumerate(rows_hit):
+            if not np.any(hit & rows_j):
+                colors[j] = c
+                rows_hit[c] = hit | rows_j
+                break
+        else:
+            colors[j] = len(rows_hit)
+            rows_hit.append(rows_j.copy())
+    return colors
+
+
+def rcm_permutation(pattern: np.ndarray) -> np.ndarray:
+    """Reverse Cuthill-McKee ordering of the symmetrized pattern.
+
+    Returns perm (n,) such that A[perm][:, perm] has (near-)minimal
+    bandwidth.  Plain BFS from a minimum-degree peripheral node per
+    component, neighbors visited in increasing-degree order, then reversed.
+    """
+    pattern = np.asarray(pattern, bool)
+    sym = pattern | pattern.T
+    np.fill_diagonal(sym, False)
+    n = sym.shape[0]
+    degree = sym.sum(axis=1)
+    visited = np.zeros(n, bool)
+    order: list[int] = []
+    while len(order) < n:
+        unvisited = np.flatnonzero(~visited)
+        start = unvisited[np.argmin(degree[unvisited])]
+        queue = [int(start)]
+        visited[start] = True
+        while queue:
+            v = queue.pop(0)
+            order.append(v)
+            nbrs = np.flatnonzero(sym[v] & ~visited)
+            nbrs = nbrs[np.argsort(degree[nbrs], kind="stable")]
+            for w in nbrs:
+                visited[w] = True
+                queue.append(int(w))
+    return np.asarray(order[::-1], np.int64)
+
+
+def bandwidths(pattern: np.ndarray) -> Tuple[int, int]:
+    """(lower, upper) bandwidths of a boolean pattern."""
+    idx = np.argwhere(np.asarray(pattern, bool))
+    if idx.size == 0:
+        return 0, 0
+    d = idx[:, 0] - idx[:, 1]  # i - j
+    return int(max(d.max(), 0)), int(max((-d).max(), 0))
+
+
+class SparsePlan:
+    """Static plan for colored-jvp banded Jacobian construction.
+
+    Attributes (all host numpy, fixed at setup):
+      perm        (n,) RCM permutation (permuted index -> original index)
+      inv_perm    (n,)
+      colors      (n,) color of each PERMUTED column
+      n_colors    int
+      seeds       (n_colors, n) jvp seed vectors in ORIGINAL coordinates
+      lower/upper bandwidths of the permuted pattern
+      row_gather  (w+1, n) original-row index feeding banded slot [r, j]
+      col_gather  (w+1, n) color index feeding banded slot [r, j]
+      mask        (w+1, n) validity of each banded slot
+    """
+
+    def __init__(self, pattern: np.ndarray, permute: bool = True):
+        pattern = np.asarray(pattern, bool)
+        n = pattern.shape[0]
+        self.n = n
+        if permute:
+            self.perm = rcm_permutation(pattern)
+        else:
+            self.perm = np.arange(n, dtype=np.int64)
+        self.inv_perm = np.argsort(self.perm)
+        pat_p = pattern[self.perm][:, self.perm]
+        # the Newton matrix is I - c J: the diagonal is always structurally
+        # present whatever the RHS looks like
+        np.fill_diagonal(pat_p, True)
+        self.lower, self.upper = bandwidths(pat_p)
+        self.colors = color_columns(pat_p)
+        self.n_colors = int(self.colors.max()) + 1 if n else 0
+        # seed c hits original columns {perm[j] : colors[j] == c}
+        seeds = np.zeros((self.n_colors, n))
+        for j in range(n):
+            seeds[self.colors[j], self.perm[j]] = 1.0
+        self.seeds = seeds
+        # banded gather maps: ab[r, j] = J_p[i_p, j] with i_p = r - upper + j
+        w = self.lower + self.upper
+        r_idx = np.arange(w + 1)[:, None]
+        j_idx = np.arange(n)[None, :]
+        i_p = r_idx - self.upper + j_idx
+        valid = (i_p >= 0) & (i_p < n)
+        i_p_c = np.clip(i_p, 0, n - 1)
+        self.mask = valid & pat_p[i_p_c, j_idx]
+        # J_p[i_p, j] = (J @ seed[colors[j]])[perm[i_p]]
+        self.row_gather = self.perm[i_p_c]
+        self.col_gather = np.broadcast_to(self.colors[None, :], i_p_c.shape).copy()
+
+    def density_summary(self) -> str:
+        w = self.lower + self.upper + 1
+        return (
+            f"n={self.n} nnz_band_width={w} colors={self.n_colors} "
+            f"(dense would be n={self.n} columns)"
+        )
+
+
+def plan_sparse_jacobian(pattern: np.ndarray, permute: bool = True) -> SparsePlan:
+    """Build the static plan; see :class:`SparsePlan`."""
+    return SparsePlan(pattern, permute=permute)
+
+
+def make_colored_banded_jac(rhs, plan: SparsePlan):
+    """Jacobian function returning the PERMUTED banded storage
+    ``ab[r, j] = J_p[r - upper + j, j]`` built from ``plan.n_colors`` jvp
+    sweeps of ``rhs`` (one fused gather, no dense (n, n) intermediate).
+
+    ``rhs``: (t, y, p) -> (n,) in ORIGINAL coordinates.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    seeds = jnp.asarray(plan.seeds)
+    row_g = jnp.asarray(plan.row_gather)
+    col_g = jnp.asarray(plan.col_gather)
+    mask = jnp.asarray(plan.mask)
+
+    def jac_banded(t, y, p):
+        def one_sweep(s):
+            return jax.jvp(lambda yy: rhs(t, yy, p), (y,), (s,))[1]
+
+        Jv = jax.vmap(one_sweep)(seeds)  # (n_colors, n) original rows
+        ab = jnp.where(mask, Jv[col_g, row_g], 0.0)
+        return ab.astype(y.dtype)
+
+    return jac_banded

@@ -216,6 +216,30 @@ class Problem:
 
         return jac
 
+    def jac_sparsity(self, n_probes: int = 3, seed: int = 0) -> np.ndarray:
+        """Structural (n, n) boolean pattern of df/dy.
+
+        Generic fallback: union of nonzero entries of the autodiff Jacobian
+        at ``n_probes`` random probe points (probabilistic — an entry that
+        vanishes at every probe but not identically is misclassified;
+        ``SympyProblem`` overrides this with the EXACT pattern from its
+        symbolic Jacobian).  Non-finite entries count as structurally
+        nonzero (conservative).  This is the sparsity input the reference
+        requires the user to hand to KLU (ref matrix.py:105-200); here it
+        feeds the colored-jvp banded Newton path (ops/sparsity.py).
+        """
+        jac = self.make_jac_dense()
+        n = self.n_states
+        rng = np.random.default_rng(seed)
+        pattern = np.zeros((n, n), bool)
+        for _ in range(n_probes):
+            y = jnp.asarray(0.5 + rng.uniform(0.1, 1.0, n))
+            p = jnp.asarray(0.5 + rng.uniform(0.1, 1.0, self.n_all_params))
+            t = float(rng.uniform(0.1, 1.0))
+            J = np.asarray(jac(t, y, p))
+            pattern |= ~(J == 0.0)  # NaN/inf -> True
+        return pattern
+
     def make_dfdp(self) -> Callable:
         """df/dp_subset with shape (n_states, n_deriv_params)."""
         rhs = self.make_rhs()

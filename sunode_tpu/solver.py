@@ -43,6 +43,7 @@ _STATUS_MESSAGES = {
     2: "step size underflow (CV_TOO_CLOSE/CV_CONV_FAILURE analog)",
     3: "non-finite initial condition",
     4: "repeated error-test or Newton failures",
+    97: "transition adjoint ill-conditioned (residual check failed)",
     99: "adjoint checkpoint buffer overflow",
 }
 
@@ -163,6 +164,7 @@ class Solver(_SolverBase):
         max_steps: Optional[int] = None,
         max_retries: int = 5,
         options: Optional[BDFOptions] = None,
+        native_single: bool = True,
     ):
         # reference defaults: abstol=1e-10, reltol=1e-10 (solver.py:242-254)
         if solver not in ("BDF", "ADAMS"):
@@ -173,7 +175,14 @@ class Solver(_SolverBase):
             raise ValueError(
                 'sens_mode must be one of "simultaneous" and "staggered"'
             )
-        known_linsol = ("dense", "dense_finitediff", "band", "spgmr", "spgmr_finitediff")
+        known_linsol = (
+            "dense",
+            "dense_finitediff",
+            "band",
+            "sparse",
+            "spgmr",
+            "spgmr_finitediff",
+        )
         if linear_solver not in known_linsol:
             raise ValueError(f"linear_solver must be one of {known_linsol}")
 
@@ -224,6 +233,12 @@ class Solver(_SolverBase):
         self._options = options
 
         self._linear_solver_kwargs = dict(linear_solver_kwargs or {})
+        # B=1 host fast path: a single plain BDF solve routes through the
+        # native C++ integrator (native/cvbdf.cpp, ~300us for README LV)
+        # instead of paying the jitted whole-batch machinery — the
+        # README-parity single-chain workload (ref README.md:128-130).
+        # Falls back silently when the problem can't codegen to C.
+        self._native_single_enabled = bool(native_single)
         self._init_derived()
         self._jit_cache: dict = {}
         self.last_stats: Optional[dict] = None
@@ -248,6 +263,32 @@ class Solver(_SolverBase):
             jacfn = problem.make_banded_jac(lb, ub)
             self._options = self._options._replace(
                 linear_solver="band", band_lower=lb, band_upper=ub
+            )
+        elif linear_solver == "sparse":
+            # KLU analog (ref linear_solver_wrapper.py:99-122): exact
+            # structural sparsity (symbolic Jacobian zeros) -> RCM
+            # permutation -> colored-jvp banded Jacobian -> banded LU; see
+            # ops/sparsity.py.  Newton cost scales with the permuted
+            # bandwidth (nnz structure), not n^2/n^3.
+            from sunode_tpu.ops.sparsity import (
+                SparsePlan,
+                make_colored_banded_jac,
+            )
+
+            kw = self._linear_solver_kwargs
+            pattern = (
+                np.asarray(kw["sparsity"], bool)
+                if "sparsity" in kw
+                else problem.jac_sparsity()
+            )
+            plan = SparsePlan(pattern, permute=kw.get("permute", True))
+            self._sparse_plan = plan
+            jacfn = make_colored_banded_jac(rhs, plan)
+            self._options = self._options._replace(
+                linear_solver="sparse",
+                band_lower=plan.lower,
+                band_upper=plan.upper,
+                sparse_perm=plan.perm,
             )
         elif linear_solver in ("spgmr", "spgmr_finitediff"):
             jacfn = problem.make_jac_dense()  # unused by the spgmr path
@@ -276,7 +317,15 @@ class Solver(_SolverBase):
     # rebuilds its C state the same way, solver.py:304-324) ---------------
     def __getstate__(self):
         state = self.__dict__.copy()
-        for key in ("_rhs", "_jac", "_sens_rhs", "_jac_prod", "_jit_cache", "last_stats"):
+        for key in (
+            "_rhs",
+            "_jac",
+            "_sens_rhs",
+            "_jac_prod",
+            "_jit_cache",
+            "last_stats",
+            "_native_solver",
+        ):
             state.pop(key, None)
         return state
 
@@ -350,12 +399,49 @@ class Solver(_SolverBase):
 
         return rhs_aug, opts_aug
 
-    def _solver_fn(self, n_t: int, batched: bool, max_steps_mult: int = 1):
-        key = (n_t, batched, max_steps_mult)
+    def _native_eligible(self) -> bool:
+        o = self._options
+        return (
+            self._native_single_enabled
+            and self._solver_kind == "BDF"
+            and not self._compute_sens
+            and self._linear_solver == "dense"
+            and o.constraints is None
+            and o.first_step is None
+            and o.max_order == MAX_ORDER
+            and not np.isfinite(o.max_step)
+            and o.min_step == 0.0
+            and not o.use_ndf
+            and o.save_steps == 0
+        )
+
+    def _native_single(self):
+        """Lazily-built native CpuSolver for the B=1 fast path (None when
+        the problem can't be compiled to C)."""
+        if not hasattr(self, "_native_solver"):
+            try:
+                from sunode_tpu.native.cpu_solver import CpuSolver
+
+                self._native_solver = CpuSolver(
+                    self._problem,
+                    abstol=np.asarray(self._options.atol),
+                    reltol=float(self._options.rtol),
+                    max_steps=int(self._options.max_steps)
+                    * 2**self._max_retries,
+                )
+            except Exception:
+                self._native_solver = None
+        return self._native_solver
+
+    def _solver_fn(self, n_t: int, batched: bool):
+        """Jitted solve fn with TRACED (t0, first_step, max_steps): retries
+        and resume-in-place reuse the one compiled executable (the reference
+        CVode call resumes with a fresh mxstep budget, solver.py:510-519;
+        here the resumed call passes per-lane t0=final_time,
+        y0=final_state, first_step=final_step_size)."""
+        key = (n_t, batched)
         if key not in self._jit_cache:
             opts = self._options
-            if max_steps_mult != 1:
-                opts = opts._replace(max_steps=opts.max_steps * max_steps_mult)
             rhs, jac, sens_rhs = self._rhs, self._jac, self._sens_rhs
             jac_prod = self._jac_prod
             n = self._problem.n_states
@@ -379,58 +465,87 @@ class Solver(_SolverBase):
                 from sunode_tpu.ops.adams_batched import adams_solve_batched
                 from sunode_tpu.ops.bdf_batched import bdf_solve_batched
 
-                def run(t0, y0, params, tvals, sens0):
+                def run(t0, y0, params, tvals, sens0, max_steps, first_step):
                     if solver_kind == "ADAMS":
                         if self._compute_sens:
+                            o = opts_aug._replace(max_steps=max_steps)
                             B = y0.shape[0]
                             y0_aug = jnp.concatenate(
                                 [y0, sens0.reshape(B, -1)], axis=1
                             )
                             res = adams_solve_batched(
-                                rhs_aug, t0, y0_aug, params, tvals, opts_aug
+                                rhs_aug, t0, y0_aug, params, tvals, o,
+                                first_step=first_step,
                             )
                             ys = res.ys[:, :, :n]
                             sens = res.ys[:, :, n:].reshape(B, n_t, k, n)
                             return ys, sens, res.status, res.stats
-                        res = adams_solve_batched(rhs, t0, y0, params, tvals, opts)
+                        o = opts._replace(max_steps=max_steps)
+                        res = adams_solve_batched(
+                            rhs, t0, y0, params, tvals, o, first_step=first_step
+                        )
                         return res.ys, None, res.status, res.stats
+                    o = opts._replace(max_steps=max_steps)
                     if self._compute_sens:
                         res = bdf_solve_batched(
-                            rhs, jac, t0, y0, params, tvals, opts,
-                            sens_rhs=sens_rhs, S0=sens0,
+                            rhs, jac, t0, y0, params, tvals, o,
+                            sens_rhs=sens_rhs, S0=sens0, first_step=first_step,
                         )
                         return res.ys, res.sens, res.status, res.stats
-                    res = bdf_solve_batched(rhs, jac, t0, y0, params, tvals, opts)
+                    res = bdf_solve_batched(
+                        rhs, jac, t0, y0, params, tvals, o, first_step=first_step
+                    )
                     return res.ys, None, res.status, res.stats
 
                 self._jit_cache[key] = jax.jit(run)
                 return self._jit_cache[key]
 
-            def run(t0, y0, params, tvals, sens0):
+            def run(t0, y0, params, tvals, sens0, max_steps, first_step):
                 if solver_kind == "ADAMS":
                     from sunode_tpu.ops.adams import adams_solve
 
                     if self._compute_sens:
+                        o = opts_aug._replace(max_steps=max_steps)
                         y0_aug = jnp.concatenate([y0, sens0.reshape(-1)])
-                        res = adams_solve(rhs_aug, t0, y0_aug, params, tvals, opts_aug)
+                        res = adams_solve(
+                            rhs_aug, t0, y0_aug, params, tvals, o,
+                            first_step=first_step,
+                        )
                         ys = res.ys[:, :n]
                         sens = res.ys[:, n:].reshape(n_t, k, n)
                         return ys, sens, res.status, res.stats
-                    res = adams_solve(rhs, t0, y0, params, tvals, opts)
+                    o = opts._replace(max_steps=max_steps)
+                    res = adams_solve(
+                        rhs, t0, y0, params, tvals, o, first_step=first_step
+                    )
                     return res.ys, None, res.status, res.stats
+                o = opts._replace(max_steps=max_steps)
                 if self._compute_sens:
                     res = bdf_solve(
-                        rhs, jac, t0, y0, params, tvals, opts,
+                        rhs, jac, t0, y0, params, tvals, o,
                         sens_rhs=sens_rhs, S0=sens0, jac_prod=jac_prod,
+                        first_step=first_step,
                     )
                     return res.ys, res.sens, res.status, res.stats
                 res = bdf_solve(
-                    rhs, jac, t0, y0, params, tvals, opts, jac_prod=jac_prod
+                    rhs, jac, t0, y0, params, tvals, o, jac_prod=jac_prod,
+                    first_step=first_step,
                 )
                 return res.ys, None, res.status, res.stats
 
             if batched:
-                run = jax.vmap(run, in_axes=(None, 0, 0, None, 0 if self._compute_sens else None))
+                run = jax.vmap(
+                    run,
+                    in_axes=(
+                        0,
+                        0,
+                        0,
+                        None,
+                        0 if self._compute_sens else None,
+                        None,
+                        0,
+                    ),
+                )
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
@@ -448,32 +563,102 @@ class Solver(_SolverBase):
         if batched and params.ndim == 1:
             params = np.broadcast_to(params, (y0_flat.shape[0], params.size))
 
+        if not batched and self._native_eligible():
+            ns = self._native_single()
+            if ns is not None:
+                ns._params = np.ascontiguousarray(self._params, np.float64)
+                ys = ns.solve(t0, np.asarray(tvals, np.float64), y0_flat)
+                self.last_stats = dict(ns.last_stats)
+                if y_out is not None:
+                    y_out[...] = ys
+                    return y_out
+                return ys
+
         if self._compute_sens:
             if sens0 is None:
                 k, n = self._problem.n_params, self._problem.n_states
                 shape = (y0_flat.shape[0], k, n) if batched else (k, n)
                 sens0 = np.zeros(shape)
-        args = (
-            jnp.asarray(t0, jnp.float64),
+        B = y0_flat.shape[0] if batched else None
+        t0_arr = (
+            np.full((B,), t0, np.float64) if batched else np.float64(t0)
+        )
+        fs0 = np.full((B,), -1.0) if batched else np.float64(-1.0)  # auto h0
+        fn = self._solver_fn(len(tvals), batched)
+        max_steps = jnp.asarray(self._options.max_steps, jnp.int32)
+        tv = jnp.asarray(tvals, jnp.float64)
+        ys, sens, status, stats = fn(
+            jnp.asarray(t0_arr),
             jnp.asarray(y0_flat),
             jnp.asarray(params),
-            jnp.asarray(tvals, jnp.float64),
+            tv,
             None if sens0 is None else jnp.asarray(sens0),
+            max_steps,
+            jnp.asarray(fs0),
         )
-        ys, sens, status, stats = self._solver_fn(len(tvals), batched)(*args)
         # CV_TOO_MUCH_WORK bounded-retry parity (ref solver.py:510-519,
-        # max_retries=5): a MAX_STEPS interruption re-runs with a doubled
-        # step budget — CVode resumes in place instead, but a functional
-        # re-run with 2^k the budget covers the same total work envelope
+        # max_retries=5) with CVode-RESUME semantics: a MAX_STEPS
+        # interruption continues from (final_time, final_state) with a fresh
+        # budget and a warm step size — total work ~ sum of budgets (plus a
+        # short order-1 ramp per resume), not 2^k full re-runs, and the one
+        # compiled executable is reused (t0/first_step/max_steps are traced).
         retry = 0
-        while (
-            np.any(np.asarray(status) == 1) and retry < self._max_retries
-        ):
+        n = self._problem.n_states
+        k = self._problem.n_params
+        total_steps = np.asarray(stats["n_steps"]).copy()
+        while np.any(np.asarray(status) == 1) and retry < self._max_retries:
             retry += 1
-            ys, sens, status, stats = self._solver_fn(
-                len(tvals), batched, max_steps_mult=2**retry
-            )(*args)
+            status_np = np.asarray(status)
+            resume = status_np == 1
+            t_res = np.where(
+                resume, np.asarray(stats["final_time"]), np.asarray(tvals)[-1]
+            )
+            z_res = np.asarray(stats["final_state"])
+            y_res = z_res[..., :n]
+            sens_res = (
+                jnp.asarray(z_res[..., n : n + k * n]).reshape(
+                    (-1, k, n) if batched else (k, n)
+                )
+                if self._compute_sens
+                else None
+            )
+            h_res = np.asarray(stats["final_step_size"])
+            # fresh budget per resumed segment, doubled per retry so the
+            # total envelope still grows like the reference's bounded
+            # retries — but only ACTUAL remaining steps are consumed
+            ms_retry = jnp.asarray(
+                self._options.max_steps * 2**retry, jnp.int32
+            )
+            ys2, sens2, status2, stats2 = fn(
+                jnp.asarray(t_res if batched else np.float64(t_res)),
+                jnp.asarray(y_res),
+                jnp.asarray(params),
+                tv,
+                sens_res,
+                ms_retry,
+                jnp.asarray(h_res),
+            )
+            # merge: keep previously-emitted outputs (tvals <= resume time)
+            # and non-resuming lanes' results
+            tva = np.asarray(tvals)
+            tol_t = 1e-14 * (1.0 + np.abs(t_res))
+            if batched:
+                emitted = tva[None, :] <= (t_res + tol_t)[:, None]  # (B, n_t)
+                keep_old = (~resume[:, None]) | emitted  # (B, n_t)
+            else:
+                emitted = tva <= t_res + tol_t  # (n_t,)
+                keep_old = emitted | ~resume
+            ys = np.where(keep_old[..., None], np.asarray(ys), np.asarray(ys2))
+            if self._compute_sens:
+                sens = np.where(
+                    keep_old[..., None, None], np.asarray(sens), np.asarray(sens2)
+                )
+            status = np.where(resume, np.asarray(status2), status_np)
+            stats = stats2
+            total_steps = total_steps + np.asarray(stats2["n_steps"])
         self.last_stats = {k_: np.asarray(v) for k_, v in stats.items()}
+        self.last_stats["n_steps_total"] = total_steps
+        self.last_stats["n_resumes"] = retry
         ys = np.asarray(ys)
         if y_out is not None:
             y_out[...] = ys
@@ -503,10 +688,10 @@ class AdjointSolver(_SolverBase):
         abstol: float = 1e-10,
         reltol: float = 1e-10,
         checkpoint_n: int = 500_000,
-        # the reference defaults to CV_POLYNOMIAL (ref solver.py:530-541);
-        # here the native scheme is Hermite checkpointing, so the default is
-        # the thing that actually runs — passing 'polynomial' explicitly
-        # aliases to Hermite with a RuntimeWarning (docs/limitations.md)
+        # both CVODES interpolation schemes are real here: 'hermite'
+        # (CV_HERMITE; quintic rows by default — BDFOptions.hermite_order)
+        # and 'polynomial' (CV_POLYNOMIAL, the reference default
+        # solver.py:530-541: variable-degree Lagrange through recorded rows)
         interpolation: str = "hermite",
         constraints: Optional[np.ndarray] = None,
         solver: str = "BDF",
@@ -524,20 +709,6 @@ class AdjointSolver(_SolverBase):
             )
         if interpolation not in ("polynomial", "hermite"):
             raise ValueError("interpolation must be 'polynomial' or 'hermite'")
-        if interpolation == "polynomial":
-            import warnings
-
-            warnings.warn(
-                "interpolation='polynomial' (CV_POLYNOMIAL) is approximated "
-                "by cubic Hermite (CV_HERMITE) checkpoints in this "
-                "implementation; pass interpolation='hermite' to silence "
-                "this warning (docs/limitations.md)",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-        # CV_HERMITE-style (y, f) checkpointing is implemented; CVODES's
-        # variable-degree polynomial interpolation is approximated by the same
-        # scheme (both interpolate the recorded forward trajectory).
         self._problem = problem
         self._solver_kind = solver
         self._adjoint_solver_kind = adjoint_solver
@@ -626,14 +797,14 @@ class AdjointSolver(_SolverBase):
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
-    def _backward_fn(self, n_t: int, max_steps_mult: int = 1):
-        key = ("bwd", n_t, max_steps_mult)
+    def _backward_fn(self, n_t: int):
+        """max_steps is a traced argument: backward retries with a doubled
+        budget reuse the one compiled executable."""
+        key = ("bwd", n_t)
         if key not in self._jit_cache:
             aj_rhs, aj_jac, q_rhs = self._adjoint_rhs, self._adjoint_jac, self._quad_rhs
             n_deriv = self._problem.n_params
-            opts = self._adjoint_options
-            if max_steps_mult != 1:
-                opts = opts._replace(max_steps=opts.max_steps * max_steps_mult)
+            base_opts = self._adjoint_options
 
             if self._adjoint_solver_kind == "ADAMS":
                 # fused single-loop Adams backward (in-loop cotangent
@@ -641,24 +812,29 @@ class AdjointSolver(_SolverBase):
                 # machinery the 10k-chain fast path uses
                 from sunode_tpu.adjoint import adjoint_backward_batched
 
-                def run(saved, t0, tvals, grads, params):
+                def run(saved, t0, tvals, grads, params, max_steps):
+                    opts = base_opts._replace(max_steps=max_steps)
+                    yf_parts = [saved["y"], saved["f"]]
+                    if "fd" in saved:
+                        yf_parts.append(saved["fd"])
                     saved_b = {
                         "t": saved["t"][:, None],
                         "y": saved["y"][:, :, None],
                         "f": saved["f"][:, :, None],
-                        # (S, 2n, B) y|f table: make_hermite_eval_batched
-                        # dispatches on this key to the fast two-row-gather
-                        # variant instead of six strided gathers
-                        "yf": jnp.concatenate([saved["y"], saved["f"]], axis=1)[
-                            :, :, None
-                        ],
+                        # (S, 2n|3n, B) y|f[|fd] table:
+                        # make_hermite_eval_batched dispatches on this key to
+                        # the fast two-row-gather variant
+                        "yf": jnp.concatenate(yf_parts, axis=1)[:, :, None],
                         "n_saved": saved["n_saved"][None],
                         "overflow": saved["overflow"][None],
                     }
+                    if "fd" in saved:
+                        saved_b["fd"] = saved["fd"][:, :, None]
                     adj = adjoint_backward_batched(
                         aj_rhs, aj_jac, q_rhs, saved_b, t0, tvals,
                         grads[None], params[None], n_deriv, opts,
                         method="ADAMS",
+                        interpolation=self._interpolation,
                     )
                     return (
                         adj.lamda[0],
@@ -669,10 +845,12 @@ class AdjointSolver(_SolverBase):
 
             else:
 
-                def run(saved, t0, tvals, grads, params):
+                def run(saved, t0, tvals, grads, params, max_steps):
+                    opts = base_opts._replace(max_steps=max_steps)
                     adj = adjoint_backward(
                         aj_rhs, aj_jac, q_rhs, saved, t0, tvals, grads, params,
                         n_deriv, opts,
+                        interpolation=self._interpolation,
                     )
                     return adj.lamda, adj.quad, adj.status, adj.stats
 
@@ -692,6 +870,19 @@ class AdjointSolver(_SolverBase):
         )
         self._last_forward = dict(saved=saved, t0=float(t0), params=self._params.copy())
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
+        thin = int(np.max(self.last_stats.get("checkpoint_thinning_levels", 0)))
+        if thin > 0:
+            import warnings
+
+            warnings.warn(
+                f"adjoint checkpoint buffer filled: the recording was "
+                f"thinned {thin}x (interpolation spacing grew 2^{thin}; "
+                f"Hermite error grows ~16x per level).  Gradients remain "
+                f"usable but degraded — increase checkpoint_n "
+                f"(stats['checkpoint_thinning_levels'])",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         ys = np.asarray(ys)
         if y_out is not None:
             y_out[...] = ys
@@ -714,15 +905,18 @@ class AdjointSolver(_SolverBase):
             jnp.asarray(grads, jnp.float64),
             jnp.asarray(fwd["params"]),
         )
-        lam, quad, status, stats = self._backward_fn(len(tvals))(*args)
+        fn = self._backward_fn(len(tvals))
+        base_ms = self._adjoint_options.max_steps
+        lam, quad, status, stats = fn(*args, jnp.asarray(base_ms, jnp.int32))
         # bounded backward retries on step-budget exhaustion (the reference
-        # retries CVodeB up to 50 times, solver.py:759-768)
+        # retries CVodeB up to 50 times, solver.py:759-768); the budget is a
+        # traced argument, so retries reuse the compiled executable
         retry = 0
         while np.any(np.asarray(status) == 1) and retry < self._max_retries:
             retry += 1
-            lam, quad, status, stats = self._backward_fn(
-                len(tvals), max_steps_mult=2**retry
-            )(*args)
+            lam, quad, status, stats = fn(
+                *args, jnp.asarray(base_ms * 2**retry, jnp.int32)
+            )
         lam = np.asarray(lam)
         quad = np.asarray(quad)
         # reference returns lamda with the opposite sign convention

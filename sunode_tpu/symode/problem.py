@@ -219,6 +219,18 @@ class SympyProblem(problem_mod.Problem):
         """Generated df/dy (reference symode/problem.py:342-371)."""
         return self._lower("jac_dense", ["_t", "_y", "_p"], self._sym_dydt_jac)
 
+    def jac_sparsity(self, **_ignored) -> np.ndarray:
+        """EXACT structural pattern from the symbolic Jacobian — the zeros
+        sympy already proved (the information the reference makes the user
+        hand to KLU, ref matrix.py:105-200).  Feeds the colored-jvp banded
+        Newton path (linear_solver='sparse', ops/sparsity.py)."""
+        n = self.n_states
+        pattern = np.zeros((n, n), bool)
+        for i in range(n):
+            for j in range(n):
+                pattern[i, j] = self._sym_dydt_jac[i, j] != 0
+        return pattern
+
     def make_dfdp(self, *, debug: bool = False) -> Callable:
         """Generated df/dp_subset, shape (n_states, n_deriv)."""
         return self._lower("dfdp", ["_t", "_y", "_p"], self._sym_dydp)

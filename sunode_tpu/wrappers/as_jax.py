@@ -48,6 +48,7 @@ def make_solve_fn(
     options: BDFOptions = BDFOptions(),
     adjoint_options: Optional[BDFOptions] = None,
     checkpoint_n: int = 4096,
+    adjoint_interpolation: str = "hermite",
 ) -> Callable:
     """Build ``solve(t0, y0_flat, params_subset, params_fixed, tvals) -> ys``.
 
@@ -111,6 +112,7 @@ def make_solve_fn(
                     p,
                     n_deriv,
                     adjoint_options,
+                    interpolation=adjoint_interpolation,
                 )
             bad = (status != 0) | (adj.status != 0)
             lam = jnp.where(bad, jnp.nan, adj.lamda)
@@ -205,9 +207,12 @@ def make_batched_solve_fn(
     'adjoint' and None gradient modes for now.
 
     ``adjoint_interpolation``: 'hermite' (CVODES CV_HERMITE checkpoint
-    analog; any stiffness) or 'resolve' (backsolve adjoint re-integrating
-    y(t) backward; non-stiff + ADAMS only — smooth backward RHS, no
-    checkpoint table; see ``adjoint_backward_batched``).
+    analog; any stiffness; quintic rows by default — options.hermite_order),
+    'polynomial' (CVODES CV_POLYNOMIAL analog: variable-degree Lagrange
+    through the recorded y rows, the reference's default mode), or
+    'resolve' (backsolve adjoint re-integrating y(t) backward; non-stiff +
+    ADAMS only — smooth backward RHS, no checkpoint table; see
+    ``adjoint_backward_batched``).
     """
     from sunode_tpu.adjoint import adjoint_backward_batched, make_hermite_eval_batched
     from sunode_tpu.ops.adams_batched import adams_solve_batched
@@ -253,10 +258,10 @@ def make_batched_solve_fn(
     if derivatives != "adjoint":
         raise NotImplementedError("batched solver supports derivatives='adjoint' or None")
 
-    if adjoint_interpolation not in ("hermite", "resolve", "transition"):
+    if adjoint_interpolation not in ("hermite", "polynomial", "resolve", "transition"):
         raise ValueError(
-            f"adjoint_interpolation must be 'hermite', 'resolve' or "
-            f"'transition', got {adjoint_interpolation!r}"
+            f"adjoint_interpolation must be 'hermite', 'polynomial', "
+            f"'resolve' or 'transition', got {adjoint_interpolation!r}"
         )
     if adjoint_interpolation in ("resolve", "transition") and method != "ADAMS":
         raise ValueError(

@@ -1,0 +1,230 @@
+"""Regression tests for the round-3 advisor/judge findings (ADVICE.md r2):
+
+1. checkpoint thinning must be loud: the thinning level is surfaced in solve
+   stats and ``AdjointSolver`` warns when it is > 0 (ADVICE medium).
+2. batched thinning records a lane's rolling tail at a record event the lane
+   happened to reject, so desynchronized lanes keep ~2^shift spacing
+   (ADVICE low, _recording.py:74).
+3. the transition adjoint flags ill-conditioned fundamental-matrix solves
+   (status 97 -> NaN) instead of returning degraded gradients with status 0
+   (ADVICE low, adjoint.py:329).
+4. a singular banded factorization poisons its solves with NaN so the Newton
+   isfinite check rejects deterministically (ADVICE low, banded.py:108).
+"""
+
+import warnings
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sunode_tpu.ops.bdf import BDFOptions, bdf_solve
+from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+from sunode_tpu.symode import SympyProblem
+
+
+@pytest.fixture(scope="module")
+def lv_problem():
+    return SympyProblem(
+        params={"alpha": (), "beta": (), "gamma": (), "delta": ()},
+        states={"hares": (), "lynx": ()},
+        rhs_sympy=lambda t, y, p: {
+            "hares": p.alpha * y.hares - p.beta * y.lynx * y.hares,
+            "lynx": p.delta * y.hares * y.lynx - p.gamma * y.lynx,
+        },
+        derivative_params=[("alpha",), ("beta",)],
+    )
+
+
+TVALS = jnp.linspace(1.0, 12.0, 5)
+Y0 = jnp.asarray([10.0, 2.0])
+P = jnp.asarray([1.0, 0.3, 1.0, 0.4])
+
+
+def test_thinning_level_in_stats_single(lv_problem):
+    rhs, jac = lv_problem.make_rhs(), lv_problem.make_jac_dense()
+    res_big = bdf_solve(
+        rhs, jac, 0.0, Y0, P, TVALS,
+        BDFOptions(rtol=1e-8, atol=1e-8, save_steps=4096),
+    )
+    assert int(res_big.stats["checkpoint_thinning_levels"]) == 0
+    n_steps = int(res_big.stats["n_steps"])
+    res_small = bdf_solve(
+        rhs, jac, 0.0, Y0, P, TVALS,
+        BDFOptions(rtol=1e-8, atol=1e-8, save_steps=max(8, n_steps // 4)),
+    )
+    assert int(res_small.status) == 0
+    assert int(res_small.stats["checkpoint_thinning_levels"]) >= 1
+
+
+def test_thinning_level_in_stats_batched(lv_problem):
+    rhs, jac = lv_problem.make_rhs(), lv_problem.make_jac_dense()
+    y0 = jnp.broadcast_to(Y0, (3, 2))
+    p = jnp.broadcast_to(P, (3, 4))
+    res = bdf_solve_batched(
+        rhs, jac, 0.0, y0, p, TVALS,
+        BDFOptions(rtol=1e-8, atol=1e-8, save_steps=16),
+    )
+    assert np.asarray(res.status == 0).all()
+    assert int(res.stats["checkpoint_thinning_levels"]) >= 1
+
+
+def test_adjoint_solver_warns_on_thinning(lv_problem):
+    from sunode_tpu.solver import AdjointSolver
+
+    solver = AdjointSolver(
+        lv_problem, abstol=1e-8, reltol=1e-8, checkpoint_n=16
+    )
+    solver.set_params_dict(
+        {"alpha": 1.0, "beta": 0.3, "gamma": 1.0, "delta": 0.4}
+    )
+    with pytest.warns(RuntimeWarning, match="thinned"):
+        solver.solve_forward(0.0, np.asarray(TVALS), np.asarray(Y0))
+    assert int(np.max(solver.last_stats["checkpoint_thinning_levels"])) >= 1
+
+    # an adequately sized buffer must stay silent
+    solver2 = AdjointSolver(
+        lv_problem, abstol=1e-8, reltol=1e-8, checkpoint_n=4096
+    )
+    solver2.set_params_dict(
+        {"alpha": 1.0, "beta": 0.3, "gamma": 1.0, "delta": 0.4}
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        solver2.solve_forward(0.0, np.asarray(TVALS), np.asarray(Y0))
+    assert int(np.max(solver2.last_stats["checkpoint_thinning_levels"])) == 0
+
+
+def test_batched_thinning_desynced_lane_spacing(lv_problem):
+    """A lane whose accepts desynchronize from the shared attempt counter
+    must still get ~uniform checkpoint coverage: with the rolling tail
+    recorded at rejected record events, the worst per-lane gap between
+    consecutive recorded rows stays bounded by a small multiple of the mean
+    gap (before the fix a desynced lane could lose every other record)."""
+    rhs, jac = lv_problem.make_rhs(), lv_problem.make_jac_dense()
+    B = 6
+    rng = np.random.default_rng(3)
+    # widely varying difficulty -> lanes reject at different attempts
+    y0 = jnp.asarray(
+        np.array([10.0, 2.0]) * (1 + 0.3 * rng.standard_normal((B, 2)))
+    )
+    p = jnp.asarray(
+        np.array([1.0, 0.3, 1.0, 0.4])
+        * (1 + 0.5 * np.abs(rng.standard_normal((B, 4))))
+    )
+    res = bdf_solve_batched(
+        rhs, jac, 0.0, y0, p, TVALS,
+        BDFOptions(rtol=1e-8, atol=1e-8, save_steps=32),
+    )
+    assert np.asarray(res.status == 0).all()
+    assert not np.asarray(res.saved["overflow"]).any()
+    ts = np.asarray(res.saved["t"])
+    n_saved = np.asarray(res.saved["n_saved"])
+    for b in range(B):
+        col = ts[: n_saved[b], b]
+        assert np.isfinite(col).all()
+        assert (np.diff(col) > 0).all()
+        gaps = np.diff(col)
+        # bounded worst-case spacing relative to the lane's own mean gap
+        assert gaps.max() <= 6 * gaps.mean(), (b, gaps.max(), gaps.mean())
+
+
+def test_transition_adjoint_flags_illconditioned():
+    """Strongly contracting dynamics make the backward fundamental matrix M
+    blow up exponentially; cond(M) >> 1/eps must set status 97 and NaN the
+    gradients rather than silently returning garbage."""
+    from sunode_tpu.adjoint import adjoint_backward_transition_batched
+
+    # y' = diag(-a, -b) y with a >> b: M(tau) ~ diag(e^{a t}, e^{b t})
+    def rhs(t, y, p):
+        return jnp.array([-p[0] * y[0], -p[1] * y[1]])
+
+    def adjoint_jac(t, y, lam, p):  # -J^T
+        return jnp.array([[p[0], 0.0], [0.0, p[1]]])
+
+    def dfdp(t, y, p):
+        return jnp.array([[-y[0], 0.0], [0.0, -y[1]]])
+
+    tvals = jnp.linspace(1.0, 10.0, 4)
+    B = 2
+    params = jnp.asarray([[6.0, 0.01], [0.05, 0.01]])  # lane 0 stiff, lane 1 benign
+    y0 = jnp.asarray([[1.0, 1.0], [1.0, 1.0]])
+    # forward emissions at tvals (exact solutions)
+    y_end = jnp.stack(
+        [
+            jnp.exp(-params[:, 0] * tvals[-1]),
+            jnp.exp(-params[:, 1] * tvals[-1]),
+        ],
+        axis=1,
+    )
+    grads = jnp.ones((B, tvals.shape[0], 2))
+    adj = adjoint_backward_transition_batched(
+        rhs, adjoint_jac, dfdp, 0.0, tvals, grads, params, 2, y_end,
+        BDFOptions(rtol=1e-10, atol=1e-10),
+    )
+    status = np.asarray(adj.status)
+    assert status[0] == 97, status  # ill-conditioned lane flagged
+    assert np.isnan(np.asarray(adj.lamda)[0]).all()
+    assert status[1] == 0, status  # benign lane untouched
+    assert np.isfinite(np.asarray(adj.lamda)[1]).all()
+    growth = np.asarray(adj.stats["transition_growth"])
+    assert growth[0] > 1e10 and growth[1] < 1e10
+
+
+def test_banded_singular_factor_poisons_solve():
+    from sunode_tpu.ops.banded import banded_factor, banded_solve, dense_to_banded
+
+    A = jnp.asarray([[1.0, 1.0, 0.0], [1.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    factors = banded_factor(dense_to_banded(A, 1, 1), 1, 1)
+    assert bool(factors[2])
+    x = banded_solve(factors, jnp.ones(3), 1, 1)
+    assert np.isnan(np.asarray(x)).all()
+
+    Ag = jnp.asarray([[2.0, 1.0, 0.0], [1.0, 2.0, 1.0], [0.0, 1.0, 2.0]])
+    factors_g = banded_factor(dense_to_banded(Ag, 1, 1), 1, 1)
+    assert not bool(factors_g[2])
+    x_g = banded_solve(factors_g, jnp.ones(3), 1, 1)
+    np.testing.assert_allclose(
+        np.asarray(x_g), np.linalg.solve(np.asarray(Ag), np.ones(3)), rtol=1e-12
+    )
+
+
+def test_resume_in_place_work_bounded(lv_problem):
+    """MAX_STEPS retries resume from (final_time, final_state) with a warm
+    step size (CVode-resume semantics, ref solver.py:510-519): total step
+    work across retries must be ~ the single-shot step count plus short
+    order-1 ramps — NOT 2^k full re-runs — and outputs must match the
+    unconstrained solve."""
+    from sunode_tpu.solver import Solver
+
+    params = {"alpha": 1.0, "beta": 0.3, "gamma": 1.0, "delta": 0.4}
+    tv = np.linspace(1.0, 12.0, 6)
+    y0 = np.array([10.0, 2.0])
+
+    # native_single=False: this test measures the JAX resume machinery
+    ref = Solver(lv_problem, reltol=1e-10, abstol=1e-10, native_single=False)
+    ref.set_params_dict(params)
+    out_ref = ref.solve(0.0, tv, y0)
+    full_steps = int(ref.last_stats["n_steps"])
+    assert full_steps > 400  # needs many segments at max_steps=40
+
+    s = Solver(lv_problem, reltol=1e-10, abstol=1e-10, max_steps=40,
+               native_single=False)
+    s.set_params_dict(params)
+    out = s.solve(0.0, tv, y0)
+    np.testing.assert_allclose(out, out_ref, rtol=1e-6, atol=1e-9)
+    assert int(s.last_stats["n_resumes"]) >= 2
+    total = int(s.last_stats["n_steps_total"])
+    assert total < 1.5 * full_steps, (total, full_steps)
+
+    # batched lanes resume from their own per-lane final_time
+    rng = np.random.default_rng(0)
+    y0b = y0 * (1 + 0.1 * rng.standard_normal((3, 2)))
+    sb = Solver(lv_problem, reltol=1e-10, abstol=1e-10, max_steps=40)
+    sb.set_params_dict(params)
+    outb = sb.solve(0.0, tv, y0b)
+    refb = Solver(lv_problem, reltol=1e-10, abstol=1e-10, native_single=False)
+    refb.set_params_dict(params)
+    np.testing.assert_allclose(outb, refb.solve(0.0, tv, y0b), rtol=1e-6, atol=1e-9)
+    assert (np.asarray(sb.last_stats["n_steps_total"]) < 1.5 * full_steps).all()

@@ -126,12 +126,29 @@ def test_adjoint_solver_adams_class_api(lv_problem):
     np.testing.assert_allclose(out["adams"][2], out["bdf"][2], rtol=1e-3, atol=1e-6)
 
 
-def test_polynomial_interpolation_warns(lv_problem):
-    with pytest.warns(RuntimeWarning, match="CV_POLYNOMIAL"):
-        AdjointSolver(lv_problem, interpolation="polynomial")
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")
-        AdjointSolver(lv_problem, interpolation="hermite")
+def test_polynomial_interpolation_real_mode(lv_problem):
+    """interpolation='polynomial' (CV_POLYNOMIAL, the reference default) is
+    a real distinct scheme — it must run silently and agree with the
+    Hermite-mode gradients to gradient tolerance."""
+    grads = np.ones((len(TVALS), 2))
+    out = {}
+    for interp in ("hermite", "polynomial"):
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            s = AdjointSolver(
+                lv_problem, reltol=1e-8, abstol=1e-8, interpolation=interp
+            )
+        s.set_params_dict(PARAMS)
+        y_out, grad_out, lamda_out = s.make_output_buffers(TVALS)
+        s.solve_forward(0.0, TVALS, np.array([10.0, 2.0]), y_out)
+        s.solve_backward(TVALS[-1], 0.0, TVALS, grads, grad_out, lamda_out)
+        out[interp] = (grad_out.copy(), lamda_out.copy())
+    np.testing.assert_allclose(
+        out["polynomial"][0], out["hermite"][0], rtol=1e-3, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        out["polynomial"][1], out["hermite"][1], rtol=1e-3, atol=1e-6
+    )
 
 
 def test_max_steps_retry_recovers(lv_problem):
