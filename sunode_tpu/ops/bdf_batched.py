@@ -497,11 +497,31 @@ def bdf_solve_batched(
 
         d_parts = [d_corr]
         nfevS_n = zeros_i
+        state_err_ok = jnp.ones((B,), bool)
         if with_sens:
+            staggered = bool(options.sens_staggered)
             S_pred = z_pred[sl_S].reshape(k_sens, n, B)
             psi_S = psi_z[sl_S].reshape(k_sens, n, B)
             wS = w_z[sl_S].reshape(k_sens, n, B)
             solve_rows = jax.vmap(solve_factored_b, in_axes=(None, 0))
+
+            if staggered:
+                # CV_STAGGERED (16_cvodes.h:31-33): the state must converge
+                # AND pass its OWN error test before sensitivity work.  In
+                # the lockstep batch the gate is per-lane (masked); the
+                # whole sens corrector is additionally a real lax.cond so
+                # an attempt where EVERY lane's state failed evaluates no
+                # sensitivity RHS at all.
+                err_y_only = jnp.sqrt(
+                    jnp.mean(
+                        ((error_const[q][None, :] * d_corr) * w_z[sl_y]) ** 2,
+                        axis=0,
+                    )
+                )
+                state_err_ok = conv & (err_y_only <= 1.0)
+                sens_gate = active & state_err_ok
+            else:
+                sens_gate = active
 
             def sbody(st):
                 it_s, S, dS, old, s_conv, s_bad, nfs = st
@@ -533,15 +553,36 @@ def bdf_solve_batched(
                 S_pred,
                 jnp.zeros_like(S_pred),
                 jnp.full((B,), jnp.inf, dtype),
-                ~active,
+                ~sens_gate,  # gated-out lanes sit converged (frozen)
                 jnp.zeros((B,), bool),
                 zeros_i,
             )
-            sst = sinit
-            for _ in range(SENS_MAXITER):
-                sst = sbody(sst)
+
+            if staggered:
+
+                def run_sens(_):
+                    sst = sinit
+                    for _ in range(SENS_MAXITER):
+                        sst = sbody(sst)
+                    return sst
+
+                sst = lax.cond(
+                    jnp.any(sens_gate), run_sens, lambda _: sinit, None
+                )
+            else:
+                sst = sinit
+                for _ in range(SENS_MAXITER):
+                    sst = sbody(sst)
             _, S_new, dS_corr, _, s_conv, s_bad, nfevS_n = sst
-            conv = conv & s_conv & ~s_bad
+            if staggered:
+                # a gated-off sens corrector must not mask the state
+                # rejection: acceptance requires state_err_ok anyway (below)
+                conv = conv & ((s_conv & ~s_bad) | ~state_err_ok)
+                dS_corr = jnp.where(
+                    state_err_ok[None, None, :], dS_corr, 0.0
+                )
+            else:
+                conv = conv & s_conv & ~s_bad
             d_parts.append(dS_corr.reshape(n_S, B))
         if with_quad:
             psi_Q = psi_z[sl_Q]
@@ -594,7 +635,20 @@ def bdf_solve_batched(
             jnp.sum((err_rows * w_z[None]) ** 2 * v_err[None, :, None], axis=1)
         )  # (3, B)
         err_norm_tot = err3[0]
-        err_ok = err_norm_tot <= 1.0
+        if with_sens and bool(options.sens_staggered):
+            # the state's OWN error test gates acceptance, and the
+            # step-reduction factor must see the state failure too (a gated
+            # sens corrector left the d_z sens block zero) — see bdf.py
+            err_y_only2 = jnp.sqrt(
+                jnp.mean(
+                    ((error_const[q][None, :] * d_corr) * w_z[sl_y]) ** 2,
+                    axis=0,
+                )
+            )
+            err_norm_tot = jnp.maximum(err_norm_tot, err_y_only2)
+            err_ok = (err_norm_tot <= 1.0) & state_err_ok
+        else:
+            err_ok = err_norm_tot <= 1.0
         accept = active & conv & err_ok & ~constraint_fail
         err_reject = active & conv & (~err_ok | constraint_fail)
         n_equal = jnp.where(accept, c["n_equal"] + 1, 0)

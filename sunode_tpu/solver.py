@@ -452,15 +452,11 @@ class Solver(_SolverBase):
                 rhs_aug, opts_aug = self._adams_sens_setup(opts)
 
             # batch-native structure-of-arrays cores: the fast path for chain
-            # batches (see ops/bdf_batched.py for the rationale).  The batched
-            # BDF core has no staggered sequencing — CV_STAGGERED requests
-            # route through vmap(bdf_solve), whose per-lane gating honors the
-            # flag (slower, but the requested semantics).
-            use_batch_native = (
-                batched
-                and opts.linear_solver == "dense"
-                and not (self._compute_sens and opts.sens_staggered)
-            )
+            # batches (see ops/bdf_batched.py for the rationale).
+            # CV_STAGGERED runs batch-native too: per-lane state-error gating
+            # of the sens corrector, with a real cond skipping the sens RHS
+            # when every lane's state failed.
+            use_batch_native = batched and opts.linear_solver == "dense"
             if use_batch_native:
                 from sunode_tpu.ops.adams_batched import adams_solve_batched
                 from sunode_tpu.ops.bdf_batched import bdf_solve_batched

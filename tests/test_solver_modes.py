@@ -173,18 +173,24 @@ def test_max_steps_retry_recovers(lv_problem):
 
 
 def test_batched_staggered_matches_single(lv_problem):
-    """Batched staggered solves route through vmap(bdf_solve) (the batched
-    core has no staggered sequencing) and must match per-lane single
-    staggered solves exactly (code-review round 2)."""
+    """Batched staggered solves now run BATCH-NATIVE with real CV_STAGGERED
+    sequencing (per-lane state-error gating of the sens corrector — round-3
+    upgrade of the former vmap(bdf_solve) routing) and must match per-lane
+    single staggered solves to solver tolerance."""
     s = Solver(lv_problem, sens_mode="staggered")
     s.set_params_dict(PARAMS)
     B = 3
     y0b = np.tile(np.array([10.0, 2.0]), (B, 1)) * np.linspace(0.95, 1.05, B)[:, None]
     ys_b, sens_b = s.solve(0.0, TVALS, y0b)
+    # the batch-native core is actually in use: its stats carry the shared
+    # attempt counter (vmap(bdf_solve) has none)
+    assert "n_attempts" in s.last_stats
     for b in range(B):
         ys_1, sens_1 = s.solve(0.0, TVALS, y0b[b])
-        np.testing.assert_allclose(np.asarray(ys_b)[b], ys_1, rtol=1e-12)
-        np.testing.assert_allclose(np.asarray(sens_b)[b], sens_1, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(ys_b)[b], ys_1, rtol=1e-7, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(sens_b)[b], sens_1, rtol=1e-3, atol=1e-5
+        )
 
 
 def test_adams_sens_err_con_off_does_not_dilute(lv_problem):
