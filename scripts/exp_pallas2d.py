@@ -123,8 +123,9 @@ def main():
     hh = jnp.asarray(h64, jnp.float32)
     hl = jnp.asarray(h64 - np.asarray(hh, np.float64), jnp.float32)
 
-    REPS = 100  # iterate inside one jit: the axon relay round-trip (~28 ms)
-    # otherwise swamps sub-ms kernels
+    REPS = 20  # iterate inside one jit: the axon relay round-trip (~28 ms)
+    # otherwise swamps sub-ms kernels (100 chained Mosaic kernels also
+    # compile impractically slowly)
 
     def timeit(fn, chain, *args):
         """min time per call, with REPS data-dependent calls chained inside
