@@ -41,7 +41,11 @@ problem = SympyProblem(
 tvals = np.linspace(0, 10, 21)
 
 # --- class API (reference-style) -------------------------------------------
-solver = Solver(problem, solver="BDF", abstol=1e-10, reltol=1e-10)
+# native_single=False keeps this solve on the JAX core so the native
+# C++ comparison below stays an INDEPENDENT cross-check (by default a
+# single unbatched solve routes through the native integrator itself)
+solver = Solver(problem, solver="BDF", abstol=1e-10, reltol=1e-10,
+                native_single=False)
 y0 = np.zeros((), dtype=problem.state_dtype)
 y0["hares"] = 10.0
 y0["lynx"] = 2.0

@@ -25,6 +25,7 @@ from sunode_tpu.problem import JaxProblem, Problem  # noqa: E402
 from sunode_tpu.symode import SympyProblem  # noqa: E402
 from sunode_tpu.solver import AdjointSolver, Solver, SolverError  # noqa: E402
 import sunode_tpu.solver  # noqa: E402,F401  (reference parity: `import sunode.solver`)
+from sunode_tpu.sample import nuts_sample, split_rhat, ess_bulk  # noqa: E402
 
 __all__ = [
     "ParamSpec",
@@ -35,5 +36,8 @@ __all__ = [
     "Solver",
     "AdjointSolver",
     "SolverError",
+    "nuts_sample",
+    "split_rhat",
+    "ess_bulk",
     "__version__",
 ]

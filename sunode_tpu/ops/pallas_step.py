@@ -22,15 +22,19 @@ Numerical parity with the f64 reference path is tested in
 tests/test_pallas_step.py (interpret mode on CPU; compiled on TPU when one
 is attached).
 
-Measured on v5e at B=10k (this exact PECE math):
-  - Pallas df64 kernel:        ~2.4 ms   (Mosaic codegen loses badly here)
-  - plain-XLA df64 (same DF ops): ~0.3 ms
-  - plain-XLA f64 (emulated):  ~0.15 ms  <- XLA's f64 emulation is GOOD
-So double-float is NOT a performance play against XLA's own f64 emulation;
-its value is exclusively inside Pallas (where f64 doesn't exist at all), and
-a fused Pallas integrator only pays off once Mosaic codegen for this op mix
-beats XLA — to be revisited with flatter (2-D) layouts.  The precision
-pipeline (exact EFTs on TPU) is proven either way.
+Measured on v5e at B=10k (this exact PECE math).  Round-2 single-call
+timings said Pallas ~2.4 ms vs XLA-f64 ~0.15 ms — that 10x was a
+MEASUREMENT ARTIFACT of the axon relay's ~28 ms round-trip.  Round 3
+re-measured with chained data-dependent calls inside one jit
+(scripts/exp_pallas2d.py):
+  - plain-XLA f64 (emulated):      1.431 ms
+  - Pallas df64, (K, n, B) layout: 1.585 ms
+  - Pallas df64, (K*n, B) layout:  1.550 ms
+Mosaic is within ~10% of XLA on this op mix (flat layout worth ~2%), df64
+parity 1.4e-14.  A whole-attempt fused kernel is therefore NOT blocked on
+Mosaic codegen; its upside is bounded by the kernel-boundary slice of the
+~0.46 ms/attempt machinery floor (<30%) — see docs/performance.md.  The
+precision pipeline (exact EFTs on TPU) is proven either way.
 """
 
 from __future__ import annotations

@@ -696,6 +696,14 @@ class AdjointSolver(_SolverBase):
         max_retries: int = 5,
         adjoint_abstol: float = 1e-10,
         adjoint_reltol: float = 1e-10,
+        # structure-exploiting Newton solves for BOTH directions (beyond
+        # the reference, whose AdjointSolver is dense-only,
+        # solver.py:599): 'band' (linear_solver_kwargs bandwidths) or
+        # 'sparse' (exact symbolic sparsity -> RCM + banded LU); the
+        # backward system's matrix is -J^T, so its bandwidths/pattern are
+        # the transpose's.  Requires solver='BDF', adjoint_solver='BDF'.
+        linear_solver: str = "dense",
+        linear_solver_kwargs: Optional[dict] = None,
     ):
         if solver not in ("BDF", "ADAMS") or adjoint_solver not in ("BDF", "ADAMS"):
             raise ValueError("solver/adjoint_solver must be 'BDF' or 'ADAMS'")
@@ -705,6 +713,18 @@ class AdjointSolver(_SolverBase):
             )
         if interpolation not in ("polynomial", "hermite"):
             raise ValueError("interpolation must be 'polynomial' or 'hermite'")
+        if linear_solver not in ("dense", "band", "sparse"):
+            raise ValueError(
+                "AdjointSolver linear_solver must be 'dense', 'band' or "
+                "'sparse'"
+            )
+        if linear_solver != "dense" and (solver != "BDF" or adjoint_solver != "BDF"):
+            raise ValueError(
+                f"linear_solver={linear_solver!r} requires solver='BDF' and "
+                "adjoint_solver='BDF'"
+            )
+        self._linear_solver = linear_solver
+        self._linear_solver_kwargs = dict(linear_solver_kwargs or {})
         self._problem = problem
         self._solver_kind = solver
         self._adjoint_solver_kind = adjoint_solver
@@ -733,10 +753,70 @@ class AdjointSolver(_SolverBase):
     def _init_derived(self):
         problem = self._problem
         self._rhs = problem.make_rhs()
-        self._jac = problem.make_jac_dense()
         self._adjoint_rhs = problem.make_adjoint_rhs()
-        self._adjoint_jac = problem.make_adjoint_jac_dense()
         self._quad_rhs = problem.make_adjoint_quad_rhs()
+        ls = self._linear_solver
+        aj_dense = problem.make_adjoint_jac_dense()
+        if ls == "band":
+            from sunode_tpu.ops.banded import dense_to_banded
+
+            kw = self._linear_solver_kwargs
+            if "lower_bandwidth" not in kw or "upper_bandwidth" not in kw:
+                raise ValueError(
+                    "linear_solver='band' requires linear_solver_kwargs with "
+                    "'lower_bandwidth' and 'upper_bandwidth'"
+                )
+            lb, ub = int(kw["lower_bandwidth"]), int(kw["upper_bandwidth"])
+            self._jac = problem.make_banded_jac(lb, ub)
+            self._options = self._options._replace(
+                linear_solver="band", band_lower=lb, band_upper=ub
+            )
+            # backward matrix is -J^T: bandwidths swap
+            self._adjoint_jac = lambda t, y, lam, p, _f=aj_dense: dense_to_banded(
+                _f(t, y, lam, p), ub, lb
+            )
+            self._adjoint_options = self._adjoint_options._replace(
+                linear_solver="band", band_lower=ub, band_upper=lb
+            )
+        elif ls == "sparse":
+            from sunode_tpu.ops.banded import dense_to_banded
+            from sunode_tpu.ops.sparsity import (
+                SparsePlan,
+                make_colored_banded_jac,
+            )
+
+            kw = self._linear_solver_kwargs
+            pattern = (
+                np.asarray(kw["sparsity"], bool)
+                if "sparsity" in kw
+                else problem.jac_sparsity()
+            )
+            plan_f = SparsePlan(pattern, permute=kw.get("permute", True))
+            self._sparse_plan = plan_f
+            self._jac = make_colored_banded_jac(self._rhs, plan_f)
+            self._options = self._options._replace(
+                linear_solver="sparse",
+                band_lower=plan_f.lower,
+                band_upper=plan_f.upper,
+                sparse_perm=plan_f.perm,
+            )
+            plan_b = SparsePlan(pattern.T, permute=kw.get("permute", True))
+            perm_b = jnp.asarray(plan_b.perm)
+
+            def aj_sparse(t, y, lam, p, _f=aj_dense):
+                A = _f(t, y, lam, p)[perm_b][:, perm_b]
+                return dense_to_banded(A, plan_b.lower, plan_b.upper)
+
+            self._adjoint_jac = aj_sparse
+            self._adjoint_options = self._adjoint_options._replace(
+                linear_solver="sparse",
+                band_lower=plan_b.lower,
+                band_upper=plan_b.upper,
+                sparse_perm=plan_b.perm,
+            )
+        else:
+            self._jac = problem.make_jac_dense()
+            self._adjoint_jac = aj_dense
 
     # pickling: rebuild derived functions on load (note: the REFERENCE
     # AdjointSolver cannot pickle at all — fork-only multiprocessing,

@@ -157,3 +157,37 @@ def test_colored_banded_jac_equals_autodiff():
     np.testing.assert_allclose(
         np.asarray(banded_to_dense(ab, plan.lower, plan.upper)), Jp, atol=1e-12
     )
+
+
+def test_adjoint_solver_sparse_matches_dense():
+    """AdjointSolver(linear_solver='sparse') — structure-exploiting Newton
+    solves in BOTH directions (forward J, backward -J^T with the transposed
+    pattern) — must reproduce the dense adjoint gradients."""
+    from sunode_tpu.solver import AdjointSolver
+
+    n_regions = 8
+    prob = _sir_problem(n_regions)
+    rng = np.random.default_rng(5)
+    y0 = np.concatenate(
+        [
+            0.99 + 0.005 * rng.standard_normal(n_regions),
+            0.01 * np.abs(1 + 0.1 * rng.standard_normal(n_regions)),
+            np.zeros(n_regions),
+        ]
+    )
+    params = {"beta": 0.4, "gamma": 0.15, "mix": 0.05}
+    tvals = np.linspace(5.0, 40.0, 5)
+    grads = np.ones((len(tvals), prob.n_states))
+
+    out = {}
+    for ls in ("dense", "sparse"):
+        s = AdjointSolver(
+            prob, abstol=1e-8, reltol=1e-8, checkpoint_n=4096, linear_solver=ls
+        )
+        s.set_params_dict(params)
+        y_out, grad_out, lamda_out = s.make_output_buffers(tvals)
+        s.solve_forward(0.0, tvals, y0, y_out)
+        s.solve_backward(tvals[-1], 0.0, tvals, grads, grad_out, lamda_out)
+        out[ls] = (grad_out.copy(), lamda_out.copy())
+    np.testing.assert_allclose(out["sparse"][0], out["dense"][0], rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(out["sparse"][1], out["dense"][1], rtol=1e-4, atol=1e-8)
