@@ -143,16 +143,19 @@ def make_polynomial_eval(saved: dict) -> Callable:
         )
         w = jnp.where(valid, 1.0 / prods, 0.0)
         d = t - tj
-        exact = jnp.abs(d) <= 1e-14 * (1.0 + jnp.abs(t))
-        any_exact = jnp.any(exact & valid)
+        absd = jnp.abs(d)
+        exact = (absd <= 1e-14 * (1.0 + jnp.abs(t))) & valid
+        any_exact = jnp.any(exact)
         c = w / jnp.where(exact, 1.0, d)
         c = jnp.where(exact, 0.0, c)
         num = jnp.sum(c[:, None] * yj, axis=0)
         den = jnp.sum(c)
         y_interp = num / den
-        y_exact = jnp.sum(
-            jnp.where((exact & valid)[:, None], yj, 0.0), axis=0
-        )
+        # NEAREST exact node only: two recorded rows can fall within the
+        # tolerance of each other (tiny accepted steps at large t) and a
+        # sum over all exact nodes would double-count
+        nearest = jnp.argmin(jnp.where(valid, absd, jnp.inf))
+        y_exact = yj[nearest]
         return jnp.where(any_exact, y_exact, y_interp)
 
     return y_at
@@ -186,15 +189,19 @@ def make_polynomial_eval_batched(saved: dict) -> Callable:
         prods = jnp.prod(jnp.where(offd & valid[None], diff, 1.0), axis=1)
         w = jnp.where(valid, 1.0 / prods, 0.0)  # (K, B)
         d = t[None, :] - tj
-        exact = jnp.abs(d) <= 1e-14 * (1.0 + jnp.abs(t))[None, :]
-        any_exact = jnp.any(exact & valid, axis=0)  # (B,)
+        absd = jnp.abs(d)
+        exact = (absd <= 1e-14 * (1.0 + jnp.abs(t))[None, :]) & valid
+        any_exact = jnp.any(exact, axis=0)  # (B,)
         c = jnp.where(exact, 0.0, w / jnp.where(exact, 1.0, d))
         num = jnp.sum(c[:, None, :] * yj, axis=0)  # (n, B)
         den = jnp.sum(c, axis=0)  # (B,)
         y_interp = num / den[None, :]
-        y_exact = jnp.sum(
-            jnp.where((exact & valid)[:, None, :], yj, 0.0), axis=0
-        )
+        # NEAREST exact node only (see make_polynomial_eval)
+        nearest = jnp.argmin(jnp.where(valid, absd, jnp.inf), axis=0)  # (B,)
+        y_exact = jnp.take_along_axis(
+            yj, jnp.broadcast_to(nearest[None, None, :], (1,) + yj.shape[1:]),
+            axis=0,
+        )[0]
         return jnp.where(any_exact[None, :], y_exact, y_interp)
 
     return y_at
@@ -620,38 +627,9 @@ def make_hermite_eval_batched(saved: dict) -> Callable:
 
         return y_at
 
-    if "tyf" in saved and "y" not in saved:
-        tyf = saved["tyf"]
-        S, W, B = tyf.shape
-        n = (W - 1) // 2
-
-        def row_at(i):
-            return jnp.take_along_axis(
-                tyf, jnp.broadcast_to(i[None, None, :], (1, W, B)), axis=0
-            )[0]  # (W, B)
-
-        def y_at(t):
-            idx = _searchsorted_b(ts, t)
-            i = jnp.clip(idx, 0, n_saved - 2)
-            r0 = row_at(i)
-            r1 = row_at(i + 1)
-            t0, y0, f0 = r0[0], r0[1 : n + 1], r0[n + 1 :]
-            t1, y1, f1 = r1[0], r1[1 : n + 1], r1[n + 1 :]
-            h = t1 - t0
-            tau = jnp.clip((t - t0) / h, 0.0, 1.0)
-            h00 = (1 + 2 * tau) * (1 - tau) ** 2
-            h10 = tau * (1 - tau) ** 2
-            h01 = tau**2 * (3 - 2 * tau)
-            h11 = tau**2 * (tau - 1)
-            return (
-                h00[None] * y0
-                + (h10 * h)[None] * f0
-                + h01[None] * y1
-                + (h11 * h)[None] * f1
-            )
-
-        return y_at
-
+    # (a former raw-'tyf' pre-finalize branch lived here; it assumed cubic
+    # W = 1+2n rows and would mis-slice the quintic default layout — removed
+    # as dead code rather than left silently wrong)
     ys, fs = saved["y"], saved["f"]
     S, n, B = ys.shape
     lanes = jnp.arange(B)

@@ -419,9 +419,11 @@ def nuts_sample(
             da, im = args
             n, _, m2 = welford
             var = m2 / jnp.maximum(n - 1, 1)
-            # Stan-style regularization toward unit
+            # Stan-style regularization toward unit; an (effectively) empty
+            # window (n < 2, e.g. a tiny num_warmup) must leave the mass
+            # matrix untouched rather than install the bare regularizer
             var_reg = (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
-            im_new = jnp.where(var_reg > 0, var_reg, im)
+            im_new = jnp.where((n >= 2) & (var_reg > 0), var_reg, im)
             da_new = _da_init(jnp.exp(da.log_eps))
             return da_new, im_new
 

@@ -579,7 +579,15 @@ class Solver(_SolverBase):
         t0_arr = (
             np.full((B,), t0, np.float64) if batched else np.float64(t0)
         )
-        fs0 = np.full((B,), -1.0) if batched else np.float64(-1.0)  # auto h0
+        # honor a user-configured options.first_step on the initial segment
+        # (the traced override short-circuits the in-core options fallback);
+        # -1 sentinel -> automatic Hairer-Wanner h0
+        fs_init = (
+            float(self._options.first_step)
+            if self._options.first_step is not None
+            else -1.0
+        )
+        fs0 = np.full((B,), fs_init) if batched else np.float64(fs_init)
         fn = self._solver_fn(len(tvals), batched)
         max_steps = jnp.asarray(self._options.max_steps, jnp.int32)
         tv = jnp.asarray(tvals, jnp.float64)
@@ -650,7 +658,24 @@ class Solver(_SolverBase):
                     keep_old[..., None, None], np.asarray(sens), np.asarray(sens2)
                 )
             status = np.where(resume, np.asarray(status2), status_np)
-            stats = stats2
+            # merge per-lane stats: lanes that did NOT resume keep their
+            # earlier-segment diagnostics (the rerun is a degenerate no-op
+            # for them — n_steps 0, order/iters reset)
+            merged = {}
+            for k2, new_v in stats2.items():
+                new_a = np.asarray(new_v)
+                old_a = np.asarray(stats.get(k2, new_v))
+                if (
+                    batched
+                    and new_a.shape == old_a.shape
+                    and new_a.ndim >= 1
+                    and new_a.shape[0] == resume.shape[0]
+                ):
+                    r = resume.reshape((-1,) + (1,) * (new_a.ndim - 1))
+                    merged[k2] = np.where(r, new_a, old_a)
+                else:
+                    merged[k2] = new_a
+            stats = merged
             total_steps = total_steps + np.asarray(stats2["n_steps"])
         self.last_stats = {k_: np.asarray(v) for k_, v in stats.items()}
         self.last_stats["n_steps_total"] = total_steps
@@ -740,6 +765,10 @@ class AdjointSolver(_SolverBase):
             constraints=None if constraints is None else np.asarray(constraints),
             save_steps=self._checkpoint_n,
         )
+        if interpolation == "polynomial":
+            # CV_POLYNOMIAL reads only the (t, y) rows — don't pay the
+            # per-step fdot jvp or the 1.5x checkpoint width of quintic rows
+            self._options = self._options._replace(hermite_order=3)
         # reference hardcodes 1e-10 backward tolerances (solver.py:599,614)
         self._adjoint_options = BDFOptions(
             rtol=adjoint_reltol, atol=adjoint_abstol, max_steps=max_steps

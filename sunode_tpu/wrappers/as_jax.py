@@ -84,6 +84,9 @@ def make_solve_fn(
         adjoint_jac = problem.make_adjoint_jac_dense()
         quad_rhs = problem.make_adjoint_quad_rhs()
         fwd_options = options._replace(save_steps=checkpoint_n)
+        if adjoint_interpolation == "polynomial":
+            # polynomial interpolation reads only (t, y) rows
+            fwd_options = fwd_options._replace(hermite_order=3)
 
         @jax.custom_vjp
         def solve(t0, y0, p_sub, p_fix, tvals):
@@ -275,6 +278,9 @@ def make_batched_solve_fn(
     dfdp = problem.make_dfdp() if adjoint_interpolation == "transition" else None
     # 'resolve'/'transition' re-integrate y backward: no checkpoint recording
     fwd_options = options if resolve else options._replace(save_steps=checkpoint_n)
+    if adjoint_interpolation == "polynomial":
+        # polynomial interpolation reads only (t, y) rows — skip fdot
+        fwd_options = fwd_options._replace(hermite_order=3)
     rhs_tb = jax.vmap(rhs, in_axes=(0, 1, 1), out_axes=1)
 
     @jax.custom_vjp

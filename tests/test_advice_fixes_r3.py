@@ -228,3 +228,68 @@ def test_resume_in_place_work_bounded(lv_problem):
     refb.set_params_dict(params)
     np.testing.assert_allclose(outb, refb.solve(0.0, tv, y0b), rtol=1e-6, atol=1e-9)
     assert (np.asarray(sb.last_stats["n_steps_total"]) < 1.5 * full_steps).all()
+
+
+def test_options_first_step_honored(lv_problem):
+    """Code review r3: the traced first_step override must not silently
+    disable a user-configured BDFOptions.first_step."""
+    from sunode_tpu.solver import Solver
+
+    params = {"alpha": 1.0, "beta": 0.3, "gamma": 1.0, "delta": 0.4}
+    tv = np.asarray([0.01])
+    s_auto = Solver(
+        lv_problem,
+        options=BDFOptions(rtol=1e-6, atol=1e-6),
+        native_single=False,
+    )
+    s_auto.set_params_dict(params)
+    s_auto.solve(0.0, tv, np.array([10.0, 2.0]))
+    n_auto = int(s_auto.last_stats["n_steps"])
+
+    s_tiny = Solver(
+        lv_problem,
+        options=BDFOptions(rtol=1e-6, atol=1e-6, first_step=1e-9),
+        native_single=False,
+    )
+    s_tiny.set_params_dict(params)
+    s_tiny.solve(0.0, tv, np.array([10.0, 2.0]))
+    n_tiny = int(s_tiny.last_stats["n_steps"])
+    # ramping up from h0=1e-9 over a 1e-2 span costs many more steps than
+    # the automatic h0; if the option were ignored the counts would match
+    assert n_tiny > n_auto + 3, (n_tiny, n_auto)
+
+
+def test_polynomial_eval_coincident_exact_nodes():
+    """Code review r3: two recorded rows within the exact-match tolerance of
+    the evaluation point must not double-count."""
+    from sunode_tpu.adjoint import make_polynomial_eval
+
+    ts = np.array([0.0, 0.5, 1.0, 1.0 + 1e-16, 1.5, 2.0, np.inf, np.inf])
+    y = np.array([1.0, 2.0, 3.0, 3.0, 4.0, 5.0, 0.0, 0.0])
+    saved = {
+        "t": jnp.asarray(ts),
+        "y": jnp.asarray(y[:, None]),
+        "f": jnp.zeros((len(ts), 1)),
+        "n_saved": jnp.asarray(6),
+        "overflow": jnp.asarray(False),
+    }
+    y_at = make_polynomial_eval(saved)
+    got = float(y_at(jnp.asarray(1.0))[0])
+    assert abs(got - 3.0) < 1e-10, got  # not ~6.0
+
+
+def test_nuts_tiny_warmup_keeps_mass():
+    """Code review r3: an empty mass-adaptation window must leave inv_mass
+    untouched (not install the bare 1e-3 regularizer)."""
+    from sunode_tpu.sample import nuts_sample
+
+    def logp(q):
+        return -0.5 * jnp.sum(q**2, axis=1)
+
+    key = jax.random.PRNGKey(0)
+    init = jax.random.normal(key, (2, 3)) * 0.1
+    res = nuts_sample(
+        logp, key, init, num_warmup=1, num_samples=3, max_treedepth=3
+    )
+    np.testing.assert_allclose(np.asarray(res.inv_mass), 1.0, rtol=1e-12)
+    assert np.isfinite(np.asarray(res.samples)).all()
