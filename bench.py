@@ -94,6 +94,81 @@ def bench_lv_adjoint(args):
     }
 
 
+def bench_lv_adjoint_f32(args):
+    """f32 speed mode: the north-star workload at native TPU precision.
+
+    Dtype follows the inputs end-to-end, so f32 arrays run the whole
+    pipeline (carry, backward pass, conditioning gates) at native f32 even
+    with x64 enabled.  Solves at rtol 1e-6 fwd / 1e-5 bwd; gradients gated
+    at 1e-2 worst-lane against the tight-tolerance golden fixture (measured
+    2.6e-3 — docs/performance.md 'f32 speed mode')."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sunode_tpu.ops.bdf import BDFOptions
+    from sunode_tpu.wrappers.as_jax import make_batched_solve_fn
+
+    problem = _lv_problem()
+    B = args.batch
+    tvals = jnp.linspace(1.0, 10.0, 21).astype(jnp.float32)
+    p_fix = jnp.asarray([1.0, 0.4], jnp.float32)
+    rng = np.random.default_rng(42)
+    y0s = jnp.asarray(
+        np.array([10.0, 2.0]) * (1 + 0.05 * rng.standard_normal((B, 2))),
+        jnp.float32,
+    )
+    p_subs = jnp.asarray(
+        np.array([1.0, 0.3]) * (1 + 0.05 * rng.standard_normal((B, 2))),
+        jnp.float32,
+    )
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "lv_adjoint.npz"
+    )
+    golden = np.load(golden_path) if os.path.exists(golden_path) else None
+    if golden is not None and B >= 16:
+        y0s = y0s.at[:16].set(jnp.asarray(golden["y0s"], jnp.float32))
+        p_subs = p_subs.at[:16].set(jnp.asarray(golden["p_subs"], jnp.float32))
+
+    solve = make_batched_solve_fn(
+        problem,
+        derivatives="adjoint",
+        options=BDFOptions(rtol=1e-6, atol=1e-6, adams_max_order=6),
+        adjoint_options=BDFOptions(rtol=1e-5, atol=1e-5, adams_max_order=6),
+        method="ADAMS",
+        adjoint_interpolation="transition",
+    )
+
+    def loss(y0s, p_subs):
+        return jnp.sum(solve(0.0, y0s, p_subs, p_fix, tvals) ** 2)
+
+    step = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    gy, gp = step(y0s, p_subs)
+    gy.block_until_ready()
+    assert gy.dtype == jnp.float32
+    n_finite = int(jnp.isfinite(gy).all(axis=-1).sum())
+    assert n_finite == B, f"only {n_finite}/{B} chains succeeded"
+    if golden is not None and B >= 16:
+        err = np.max(
+            np.abs(np.asarray(gy[:16], np.float64) - golden["gy"])
+            / (np.abs(golden["gy"]) + 1e-3)
+        )
+        assert err < 1e-2, f"f32 worst-lane gradient error {err:.2e} >= 1e-2"
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        gy, gp = step(y0s, p_subs)
+        gy.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    throughput = B / min(times)
+    return {
+        "metric": "lv_adjoint_grads_per_sec_f32",
+        "value": round(throughput, 1),
+        "unit": "grad_solves/sec (f32, rtol 1e-6/1e-5)",
+        "vs_baseline": round(throughput / REFERENCE_GRADS_PER_SEC, 3),
+    }
+
+
 def bench_lv_forward(args):
     """README config: LV forward solve at rtol=1e-10 (reference ~200us/solve).
 
@@ -296,7 +371,7 @@ def main():
     ap.add_argument(
         "--config",
         default="lv_adjoint",
-        choices=["lv_adjoint", "lv_forward", "lv_sens", "robertson"],
+        choices=["lv_adjoint", "lv_adjoint_f32", "lv_forward", "lv_sens", "robertson"],
     )
     ap.add_argument("--batch", type=int, default=10_000)
     ap.add_argument("--quick", action="store_true", help="small batch smoke run")
@@ -309,6 +384,7 @@ def main():
 
     result = {
         "lv_adjoint": bench_lv_adjoint,
+        "lv_adjoint_f32": bench_lv_adjoint_f32,
         "lv_forward": bench_lv_forward,
         "lv_sens": bench_lv_sens,
         "robertson": bench_robertson,

@@ -8,7 +8,9 @@ batches of solves across a TPU mesh.
 
 Numerical work defaults to float64 (the reference's ``data_dtype``,
 /root/reference/sunode/basic.py:40-43); we enable jax x64 mode on import
-unless ``SUNODE_TPU_NO_X64`` is set.
+unless ``SUNODE_TPU_NO_X64`` is set.  The computation dtype follows the
+inputs end-to-end: float32 arrays run the whole pipeline at native TPU f32
+(~6x the emulated-f64 throughput; see docs/performance.md "f32 speed mode").
 """
 
 import os as _os

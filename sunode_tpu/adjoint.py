@@ -486,8 +486,16 @@ def adjoint_backward_transition_batched(
     #     bounds the relative error the superposition lam = M_end sum x_k
     #     inherits; contracting/stiff dynamics blow ||M|| up exponentially
     #     while x stays O(|g| / m_small), making growth ~ cond(M).
-    # Gates: rel_resid 1e-6 and growth 1e10 both correspond to ~10 lost
-    # digits in f64 — beyond any useful gradient tolerance.
+    # Gates are DTYPE-AWARE: a healthy solve leaves rel_resid ~ few * eps,
+    # so the f64 thresholds (rel_resid 1e-6 / growth 1e10 ~ 10 lost digits)
+    # would false-flag nearly every f32 solve (measured median f32
+    # rel_resid ~ 8 eps).  In f32 the same lost-digits budget is ~1e-3 /
+    # 3e4 (predicted composition error eps * growth ~ 4e-3 at the gate —
+    # the accuracy class of an f32 run anyway).
+    if float(jnp.finfo(dtype).eps) < 1e-10:
+        resid_gate, growth_gate = 1e-6, 1e10
+    else:
+        resid_gate, growth_gate = 1e-3, 3e4
     if n_t > 1:
         resid = jnp.einsum("bkij,bkj->bki", M_obs, x) - g_rev
         g_mag = jnp.max(jnp.abs(g_rev), axis=2)  # (B, n_t-1)
@@ -510,7 +518,7 @@ def adjoint_backward_transition_batched(
         * jnp.max(jnp.abs(x_sum), axis=1)
         / (jnp.max(jnp.abs(grads), axis=(1, 2)) + 1e-300),
     )
-    ill = (rel_resid > 1e-6) | (growth > 1e10)
+    ill = (rel_resid > resid_gate) | (growth > growth_gate)
 
     lam = jnp.einsum("bij,bj->bi", M_end, x_sum)
     # dL/dp = sum_k x_k^T (W_end - W_k); for the last obs W_k = 0

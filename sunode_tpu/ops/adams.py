@@ -72,8 +72,12 @@ _GAMMA, _GAMMA_STAR = _adams_gammas()
 def _integral_basis_coeffs():
     """Static coefficients of c_i(s) = integral_0^s prod_{m<i}(u+m)/(m+1) du.
 
-    c_i is a degree-(i+1) polynomial; returns a (K, K+2) array of monomial
-    coefficients (ascending powers) for i = 0..K-1."""
+    c_i is a degree-(i+1) polynomial; returns a (K, K+2) nested tuple of
+    monomial coefficients (ascending powers) for i = 0..K-1.  Python floats
+    (not numpy scalars) on purpose: they are WEAKLY typed under JAX's
+    promotion rules, so Horner evaluation `ci * s + a` preserves the state
+    dtype — a numpy f64 scalar here silently promoted every f32 emission
+    buffer to f64 under x64 mode, breaking the while_loop carry."""
     K = ADAMS_MAX_ORDER + 1
     out = np.zeros((K, K + 2))
     for i in range(K):
@@ -83,7 +87,7 @@ def _integral_basis_coeffs():
         integ = poly.integ()
         coefs = integ.coef
         out[i, : len(coefs)] = coefs
-    return out
+    return tuple(tuple(float(c) for c in row) for row in out)
 
 
 _C_INT = _integral_basis_coeffs()

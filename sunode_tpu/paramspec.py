@@ -330,9 +330,16 @@ class ParamSpec:
         return full_vec[..., self.remainder_indices]
 
     def combine(self, subset_vec: Any, remainder_vec: Any, xp: Any = np) -> Any:
-        """Scatter subset + remainder vectors back into the full flat vector."""
+        """Scatter subset + remainder vectors back into the full flat vector.
+
+        The output dtype follows the INPUT dtypes (not ``self.dtype``) so an
+        f32 pipeline stays f32 end-to-end under x64 mode; non-floating inputs
+        (e.g. integer literals) still promote to ``self.dtype``."""
         batch = xp.broadcast_shapes(subset_vec.shape[:-1], remainder_vec.shape[:-1])
-        out = xp.zeros(batch + (self.n_items,), dtype=self.dtype)
+        dtype = xp.result_type(subset_vec.dtype, remainder_vec.dtype)
+        if not xp.issubdtype(dtype, xp.floating):
+            dtype = self.dtype
+        out = xp.zeros(batch + (self.n_items,), dtype=dtype)
         if hasattr(out, "at"):  # jax
             out = out.at[..., self.subset_indices].set(subset_vec)
             out = out.at[..., self.remainder_indices].set(remainder_vec)

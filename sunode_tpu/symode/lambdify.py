@@ -433,10 +433,20 @@ def lambdify_jax(
     lines.append("    _s = _expit(x)")
     lines.append("    return _s * (1 - _s)")
     lines.append(f"def {name}({', '.join(argnames)}):")
+    # Output dtype follows the floating dtype of the ARRAY arguments so an
+    # f32 pipeline stays f32 even under x64 mode (Python-float args are
+    # weakly typed and ignored); falls back to the session default when no
+    # array argument carries a floating dtype.
+    args_tuple = ", ".join(argnames) + ("," if len(argnames) == 1 else "")
+    lines.append(
+        f"    _c = [_a.dtype for _a in ({args_tuple})"
+        " if hasattr(_a, 'dtype') and jnp.issubdtype(_a.dtype, jnp.floating)]"
+    )
+    lines.append("    _dt = jnp.result_type(*_c) if _c else _dtype")
     for sym, sub in replacements:
         lines.append(f"    {sym.name} = {printer.doprint(sub)}")
     elems = ", ".join(printer.doprint(e) for e in reduced)
-    lines.append(f"    _out = jnp.array([{elems}], dtype=_dtype)")
+    lines.append(f"    _out = jnp.array([{elems}], dtype=_dt)")
     if shape == ():
         lines.append("    return _out[0]")
     else:

@@ -172,6 +172,43 @@ def test_transition_adjoint_flags_illconditioned():
     assert growth[0] > 1e10 and growth[1] < 1e10
 
 
+def test_transition_adjoint_f32_gates_not_false_flagged(lv_problem):
+    """The conditioning gates must be dtype-aware: a healthy f32 solve leaves
+    rel_resid ~ few * eps_f32 ~ 1e-6, so the f64 gate (1e-6) false-flagged
+    ~half of all f32 lanes (measured 46% finite on the 10k-lane bench before
+    the fix).  A benign f32 LV batch must come back fully finite."""
+    from sunode_tpu.wrappers.as_jax import make_batched_solve_fn
+
+    B = 64
+    rng = np.random.default_rng(0)
+    tvals = jnp.linspace(1.0, 10.0, 11).astype(jnp.float32)
+    y0s = jnp.asarray(
+        np.array([10.0, 2.0]) * (1 + 0.05 * rng.standard_normal((B, 2))),
+        jnp.float32,
+    )
+    p_subs = jnp.asarray(
+        np.array([1.0, 0.3]) * (1 + 0.05 * rng.standard_normal((B, 2))),
+        jnp.float32,
+    )
+    p_fix = jnp.asarray([1.0, 0.4], jnp.float32)
+    solve = make_batched_solve_fn(
+        lv_problem,
+        derivatives="adjoint",
+        options=BDFOptions(rtol=1e-5, atol=1e-5, adams_max_order=6),
+        adjoint_options=BDFOptions(rtol=1e-4, atol=1e-4, adams_max_order=6),
+        method="ADAMS",
+        adjoint_interpolation="transition",
+    )
+
+    def loss(y0s, p_subs):
+        return jnp.sum(solve(0.0, y0s, p_subs, p_fix, tvals) ** 2)
+
+    gy, gp = jax.grad(loss, argnums=(0, 1))(y0s, p_subs)
+    assert gy.dtype == jnp.float32
+    assert np.isfinite(np.asarray(gy)).all()
+    assert np.isfinite(np.asarray(gp)).all()
+
+
 def test_banded_singular_factor_poisons_solve():
     from sunode_tpu.ops.banded import banded_factor, banded_solve, dense_to_banded
 
