@@ -7,7 +7,10 @@ TPU v5e and the achieved gradient throughput, for the three adjoint modes:
   * resolve    — re-integrates y backward with lambda: NO checkpoints
   * (transition is n^2-state: wrong family at n = 3000, excluded by design)
 
-Run on the real chip:  python scripts/bench_sir_scale.py [R] [B ...]
+Run on the real chip:  python scripts/bench_sir_scale.py [--f32] [R] [B ...]
+(--f32: the f32 speed mode at rtol 1e-5 / atol 1e-7 — the SIR states are
+O(1) fractions, comfortably inside f32 resolution; halves every buffer and
+runs the ALU-bound math at native precision.)
 Results are recorded in docs/performance.md.
 """
 
@@ -25,8 +28,12 @@ from sunode_tpu.ops.bdf import BDFOptions
 from sunode_tpu.problem import JaxProblem
 from sunode_tpu.wrappers.as_jax import make_batched_solve_fn
 
-R = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-BS = [int(b) for b in sys.argv[2:]] or [64, 256, 1024]
+argv = [a for a in sys.argv[1:] if a != "--f32"]
+F32 = "--f32" in sys.argv[1:]
+DTYPE = jnp.float32 if F32 else jnp.float64
+RTOL, ATOL = (1e-5, 1e-7) if F32 else (1e-8, 1e-10)
+R = int(argv[0]) if argv else 1000
+BS = [int(b) for b in argv[1:]] or [64, 256, 1024]
 
 
 def rhs(t, y, p):
@@ -43,16 +50,16 @@ problem = JaxProblem(
     derivative_params=[("beta",), ("gamma",)],
 )
 
-tvals = jnp.linspace(5.0, 60.0, 12)
-p_fix = jnp.asarray([0.05])
+tvals = jnp.linspace(5.0, 60.0, 12).astype(DTYPE)
+p_fix = jnp.asarray([0.05], DTYPE)
 
 
 def build(mode, checkpoint_n=1024):
     return make_batched_solve_fn(
         problem,
         derivatives="adjoint",
-        options=BDFOptions(rtol=1e-8, atol=1e-10),
-        adjoint_options=BDFOptions(rtol=1e-8, atol=1e-10),
+        options=BDFOptions(rtol=RTOL, atol=ATOL),
+        adjoint_options=BDFOptions(rtol=RTOL, atol=ATOL),
         checkpoint_n=checkpoint_n,
         method="ADAMS",
         adjoint_interpolation=mode,
@@ -64,13 +71,14 @@ def run(mode, B):
     rng = np.random.default_rng(0)
     S0 = 0.99 + 0.005 * rng.standard_normal((B, R))
     I0 = 0.01 * np.abs(1 + 0.1 * rng.standard_normal((B, R)))
-    y0 = jnp.asarray(np.concatenate([S0, I0, np.zeros((B, R))], axis=1))
+    y0 = jnp.asarray(np.concatenate([S0, I0, np.zeros((B, R))], axis=1), DTYPE)
     psub = jnp.asarray(
         np.stack(
             [0.4 * (1 + 0.05 * rng.standard_normal(B)),
              0.15 * (1 + 0.05 * rng.standard_normal(B))],
             axis=1,
-        )
+        ),
+        DTYPE,
     )
 
     def loss(psub):

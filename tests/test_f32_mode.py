@@ -1,0 +1,119 @@
+"""f32 speed mode: dtype follows the inputs through every JAX-path surface.
+
+TPU has no native f64 ALU, so the f32 pipeline (docs/performance.md "f32
+speed mode", measured ~5.6x the f64 adjoint throughput) must stay f32
+end-to-end even when x64 is globally enabled — a single hard-cast anywhere
+(generated code, ParamSpec.combine, coefficient tables) either promotes the
+whole solve back to emulated f64 or breaks the while_loop carry outright.
+
+The class API (Solver/AdjointSolver) is deliberately NOT covered: it is
+fixed f64, matching the reference's realtype
+(/root/reference/sunode/basic.py:40-43) and the native host path.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sunode_tpu.ops.bdf import BDFOptions
+from sunode_tpu.symode import SympyProblem
+from sunode_tpu.wrappers.as_jax import make_batched_solve_fn
+
+
+@pytest.fixture(scope="module")
+def lv_problem():
+    return SympyProblem(
+        params={"alpha": (), "beta": (), "gamma": (), "delta": ()},
+        states={"hares": (), "lynx": ()},
+        rhs_sympy=lambda t, y, p: {
+            "hares": p.alpha * y.hares - p.beta * y.lynx * y.hares,
+            "lynx": p.delta * y.hares * y.lynx - p.gamma * y.lynx,
+        },
+        derivative_params=[("alpha",), ("beta",)],
+    )
+
+
+B = 8
+TVALS32 = jnp.linspace(1.0, 10.0, 6).astype(jnp.float32)
+Y0S32 = jnp.tile(jnp.asarray([10.0, 2.0], jnp.float32), (B, 1))
+PSUB32 = jnp.tile(jnp.asarray([1.0, 0.3], jnp.float32), (B, 1))
+PFIX32 = jnp.asarray([1.0, 0.4], jnp.float32)
+
+
+def test_generated_functions_follow_input_dtype(lv_problem):
+    y = jnp.asarray([10.0, 2.0], jnp.float32)
+    p = jnp.asarray([1.0, 0.3, 1.0, 0.4], jnp.float32)
+    assert lv_problem.make_rhs()(0.0, y, p).dtype == jnp.float32
+    assert lv_problem.make_jac_dense()(0.0, y, p).dtype == jnp.float32
+    assert lv_problem.make_dfdp()(0.0, y, p).dtype == jnp.float32
+    assert lv_problem.make_adjoint_jac_dense()(0.0, y, y, p).dtype == jnp.float32
+    # f64 inputs still give f64 (no downcast regression)
+    assert lv_problem.make_rhs()(0.0, y.astype(jnp.float64), p).dtype == jnp.float64
+
+
+def test_paramspec_combine_follows_input_dtype(lv_problem):
+    spec = lv_problem.params
+    sub = jnp.zeros((B, 2), jnp.float32)
+    rem = jnp.zeros((B, 2), jnp.float32)
+    assert spec.combine(sub, rem, xp=jnp).dtype == jnp.float32
+    assert spec.combine(sub.astype(jnp.float64), rem, xp=jnp).dtype == jnp.float64
+
+
+def test_forward_solve_f32(lv_problem):
+    solve = make_batched_solve_fn(
+        lv_problem,
+        derivatives=None,
+        options=BDFOptions(rtol=1e-5, atol=1e-5),
+        method="BDF",
+    )
+    ys = solve(0.0, Y0S32, PSUB32, PFIX32, TVALS32)
+    assert ys.dtype == jnp.float32
+    assert np.isfinite(np.asarray(ys)).all()
+
+
+@pytest.mark.parametrize(
+    "mode,method",
+    [
+        ("hermite", "BDF"),
+        ("hermite", "ADAMS"),
+        ("polynomial", "ADAMS"),
+        ("resolve", "ADAMS"),
+        ("transition", "ADAMS"),
+    ],
+)
+def test_adjoint_modes_f32(lv_problem, mode, method):
+    """Every adjoint interpolation mode stays f32 and produces gradients in
+    the f32 accuracy class (checked against an f64 run of the same mode)."""
+    kwargs = dict(
+        derivatives="adjoint",
+        options=BDFOptions(rtol=1e-5, atol=1e-5),
+        adjoint_options=BDFOptions(rtol=1e-4, atol=1e-4),
+        method=method,
+        adjoint_interpolation=mode,
+        checkpoint_n=256,
+    )
+    solve = make_batched_solve_fn(lv_problem, **kwargs)
+
+    def loss(solve_fn, y0s, p_subs, p_fix, tvals):
+        return jnp.sum(solve_fn(0.0, y0s, p_subs, p_fix, tvals) ** 2)
+
+    gy, gp = jax.grad(
+        lambda a, b: loss(solve, a, b, PFIX32, TVALS32), argnums=(0, 1)
+    )(Y0S32, PSUB32)
+    assert gy.dtype == jnp.float32 and gp.dtype == jnp.float32
+    assert np.isfinite(np.asarray(gy)).all()
+    assert np.isfinite(np.asarray(gp)).all()
+
+    gy64, gp64 = jax.grad(
+        lambda a, b: loss(
+            solve, a, b, PFIX32.astype(jnp.float64), TVALS32.astype(jnp.float64)
+        ),
+        argnums=(0, 1),
+    )(Y0S32.astype(jnp.float64), PSUB32.astype(jnp.float64))
+    assert gy64.dtype == jnp.float64
+    rel = np.max(
+        np.abs(np.asarray(gy, np.float64) - np.asarray(gy64))
+        / (np.abs(np.asarray(gy64)) + 1e-2)
+    )
+    assert rel < 5e-2, f"{mode}/{method}: f32 vs f64 gradient mismatch {rel:.2e}"
