@@ -21,6 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/sunode_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from sunode_tpu.ops.bdf import BDFOptions
 from sunode_tpu.sample import ess_bulk, nuts_sample, split_rhat
 from sunode_tpu.symode import SympyProblem
@@ -72,7 +75,7 @@ def run(prob, obs_log64, C, dtype, fwd_rtol, bwd_rtol, num_warmup, num_samples):
     t0 = time.time()
     res = nuts_sample(
         logp, key, init, num_warmup=num_warmup, num_samples=num_samples,
-        max_treedepth=6,
+        max_treedepth=6, dispatch_chunk=25,
     )
     jax.block_until_ready(res.samples)
     wall = time.time() - t0
@@ -104,6 +107,8 @@ def main():
     ap.add_argument("--chains", type=int, default=512)
     ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--samples", type=int, default=300)
+    ap.add_argument("--skip-f64", action="store_true")
+    ap.add_argument("--skip-f32", action="store_true")
     args = ap.parse_args()
 
     prob = build_problem()
@@ -129,10 +134,12 @@ def main():
     )
 
     C = args.chains
-    print(f"f64 (rtol 1e-8), {C} chains:")
-    run(prob, obs_log64, C, jnp.float64, 1e-8, 1e-7, args.warmup, args.samples)
-    print(f"f32 speed mode (rtol 1e-6/1e-5), {C} chains:")
-    run(prob, obs_log64, C, jnp.float32, 1e-6, 1e-5, args.warmup, args.samples)
+    if not args.skip_f64:
+        print(f"f64 (rtol 1e-8), {C} chains:")
+        run(prob, obs_log64, C, jnp.float64, 1e-8, 1e-7, args.warmup, args.samples)
+    if not args.skip_f32:
+        print(f"f32 speed mode (rtol 1e-6/1e-5), {C} chains:")
+        run(prob, obs_log64, C, jnp.float32, 1e-6, 1e-5, args.warmup, args.samples)
 
 
 if __name__ == "__main__":

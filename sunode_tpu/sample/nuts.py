@@ -292,13 +292,17 @@ class _DAState(NamedTuple):
     t: jnp.ndarray
 
 
-def _da_init(eps0):
+def _da_init(eps0, dtype=None):
+    """dtype must follow the chain dtype: a default-f64 scalar here would
+    promote eps -> q through the leapfrog and break the f32 speed mode
+    (lax.mul dtype mismatch inside the solve's custom_vjp)."""
+    eps0 = jnp.asarray(eps0, dtype)
     return _DAState(
         log_eps=jnp.log(eps0),
         log_eps_avg=jnp.log(eps0),
-        h_stat=jnp.zeros(()),
+        h_stat=jnp.zeros((), eps0.dtype),
         mu=jnp.log(10.0 * eps0),
-        t=jnp.zeros(()),
+        t=jnp.zeros((), eps0.dtype),
     )
 
 
@@ -343,7 +347,9 @@ def _find_reasonable_step_size(logp_fn, q, logp, grad, inv_mass, key, eps0):
         eps, it = st
         return eps * jnp.where(direction > 0, 2.0, 0.5), it + 1
 
-    eps, _ = lax.while_loop(cond, body, (jnp.asarray(eps0), jnp.asarray(0)))
+    eps, _ = lax.while_loop(
+        cond, body, (jnp.asarray(eps0, q.dtype), jnp.asarray(0))
+    )
     return eps
 
 
@@ -359,6 +365,7 @@ def nuts_sample(
     initial_step_size: float = 0.1,
     adapt_mass: bool = True,
     inv_mass: Optional[jnp.ndarray] = None,
+    dispatch_chunk: Optional[int] = None,
 ) -> NUTSResult:
     """Sample with multinomial NUTS; all chains advance in lockstep and every
     gradient is one batched ``logp_fn`` evaluation.
@@ -369,6 +376,15 @@ def nuts_sample(
     diagonal mass matrix is re-estimated from the middle warmup window
     [0.25, 0.75] (Welford, pooled across chains) and dual averaging restarts
     at the window end — a compact version of Stan's windowed scheme.
+
+    ``dispatch_chunk``: split the warmup/sampling scans into chunks of at
+    most this many iterations, each dispatched as its own device program.
+    By default the whole run is ONE ``lax.scan`` — for expensive logp
+    (thousands of ODE-solve chains) that is minutes-to-hours of
+    uninterrupted device execution, which remote-attached accelerators
+    (relay/RPC setups) may kill with a watchdog.  Chunking bounds the
+    per-dispatch runtime at negligible overhead (one host round-trip per
+    chunk); results are bitwise identical to the unchunked run.
     """
     init = jnp.asarray(init)
     C, d = init.shape
@@ -438,12 +454,26 @@ def nuts_sample(
         jnp.zeros((d,), dtype),
         jnp.zeros((d,), dtype),
     )
+    chunk = dispatch_chunk if dispatch_chunk and dispatch_chunk > 0 else None
+
+    def chunked_scan(f, carry, idx):
+        """lax.scan over idx, dispatched in bounded chunks (see docstring)."""
+        if chunk is None or idx.shape[0] <= chunk:
+            return lax.scan(f, carry, idx)
+        outs = []
+        for s in range(0, int(idx.shape[0]), chunk):
+            carry, out = lax.scan(f, carry, idx[s : s + chunk])
+            outs.append(out)
+        if outs[0] is None:
+            return carry, None
+        return carry, jax.tree.map(lambda *o: jnp.concatenate(o, axis=0), *outs)
+
     carry = (init, logp0, grad0, _da_init(eps0), inv_mass, welford0, key)
-    carry, _ = lax.scan(warmup_step, carry, jnp.arange(num_warmup))
+    carry, _ = chunked_scan(warmup_step, carry, jnp.arange(num_warmup))
     q, lp, g, da, inv_mass_f, _, key = carry
     eps_final = jnp.exp(da.log_eps_avg)
 
-    def sample_step(carry, _):
+    def sample_step(carry, _i):
         q, lp, g, key = carry
         key, k_t = jax.random.split(key)
         q, lp, g, acc, div, depth = _transition(
@@ -451,8 +481,8 @@ def nuts_sample(
         )
         return (q, lp, g, key), (q, lp, div, depth, acc)
 
-    (_, _, _, _), (qs, lps, divs, depths, accs) = lax.scan(
-        sample_step, (q, lp, g, key), None, length=num_samples
+    (_, _, _, _), (qs, lps, divs, depths, accs) = chunked_scan(
+        sample_step, (q, lp, g, key), jnp.arange(num_samples)
     )
     # scan stacks on the leading (draw) axis; reorder to (C, S, ...)
     return NUTSResult(

@@ -72,6 +72,27 @@ def test_forward_solve_f32(lv_problem):
     assert np.isfinite(np.asarray(ys)).all()
 
 
+def test_nuts_f32_dtype():
+    """The sampler's own scalars (dual-averaging state, step-size search)
+    must follow the chain dtype — a default-f64 eps promoted q through the
+    leapfrog and broke the f32 custom_vjp (lax.mul dtype mismatch)."""
+    from sunode_tpu.sample import nuts_sample
+
+    def logp(q):
+        return -0.5 * jnp.sum(q * q, axis=1)
+
+    init = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (4, 3), jnp.float32)
+    res = nuts_sample(
+        logp, jax.random.PRNGKey(1), init,
+        num_warmup=50, num_samples=50, max_treedepth=5,
+    )
+    assert res.samples.dtype == jnp.float32
+    s = np.asarray(res.samples)
+    assert np.isfinite(s).all()
+    # unit gaussian recovery, loose gates for 200 draws
+    assert abs(s.mean()) < 0.3 and 0.7 < s.std() < 1.4
+
+
 @pytest.mark.parametrize(
     "mode,method",
     [
