@@ -46,11 +46,21 @@ def build_problem():
 
 
 def run(prob, obs_log64, C, dtype, fwd_rtol, bwd_rtol, num_warmup, num_samples):
+    # max_steps=2000 (vs the 100k library default): inside a sampler, early
+    # warmup proposes pathological parameters; in a LOCKSTEP batch one such
+    # chain makes every other chain pay its full step budget, so the budget
+    # must be small enough that a doomed solve dies in ~ms and NaN-poisons
+    # into an ordinary NUTS rejection (the reference ships mxstep=500 for
+    # the same reason).  A sane LV solve here takes ~300 steps.
     solve = make_batched_solve_fn(
         prob,
         derivatives="adjoint",
-        options=BDFOptions(rtol=fwd_rtol, atol=fwd_rtol, adams_max_order=6),
-        adjoint_options=BDFOptions(rtol=bwd_rtol, atol=bwd_rtol, adams_max_order=6),
+        options=BDFOptions(
+            rtol=fwd_rtol, atol=fwd_rtol, adams_max_order=6, max_steps=2000
+        ),
+        adjoint_options=BDFOptions(
+            rtol=bwd_rtol, atol=bwd_rtol, adams_max_order=6, max_steps=4000
+        ),
         method="ADAMS",
         adjoint_interpolation="transition",
     )
@@ -75,7 +85,7 @@ def run(prob, obs_log64, C, dtype, fwd_rtol, bwd_rtol, num_warmup, num_samples):
     t0 = time.time()
     res = nuts_sample(
         logp, key, init, num_warmup=num_warmup, num_samples=num_samples,
-        max_treedepth=6, dispatch_chunk=25,
+        max_treedepth=6, dispatch_chunk=10,
     )
     jax.block_until_ready(res.samples)
     wall = time.time() - t0

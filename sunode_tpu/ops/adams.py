@@ -264,7 +264,8 @@ def adams_solve(
         t, p, y_prev = c["t"], c["p"], c["y"]
 
         h_min_loc = 10 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t), jnp.abs(t_end))
-        underflow = c["h"] < jnp.maximum(h_min_loc, options.min_step)
+        # NaN-robust form (see ops/bdf.py): non-finite h terminates the lane
+        underflow = ~(c["h"] >= jnp.maximum(h_min_loc, options.min_step))
         h_use = jnp.minimum(c["h"], t_end - t)
         t_new = t + h_use
 

@@ -190,6 +190,10 @@ def adams_solve_batched(
     else:
         h0 = h_auto
     h0 = jnp.maximum(h0, 1e-12)
+    # extreme params overflow the WRMS norms (inf/inf -> NaN h0); a NaN h
+    # defeats every `h < h_min` guard and livelocks the step loop — fall
+    # back to a small finite h so the lane dies through underflow instead
+    h0 = jnp.where(jnp.isfinite(h0), h0, jnp.asarray(1e-6, dtype))
 
     z0 = jnp.concatenate([y0, quad0_t]) if with_quad else y0
     DF0 = jnp.zeros((KAB, nz, B), dtype).at[0].set(fz0)
@@ -284,7 +288,8 @@ def adams_solve_batched(
         y_prev = z_prev[sl_y]
 
         h_min_loc = 10 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t), jnp.abs(t_end))
-        underflow = active & (c["h"] < jnp.maximum(h_min_loc, options.min_step))
+        # NaN-robust form (see ops/bdf.py): non-finite h terminates the lane
+        underflow = active & ~(c["h"] >= jnp.maximum(h_min_loc, options.min_step))
         if with_inject:
             i_ev = c["i_ev"]
             t_lim = jnp.where(

@@ -297,6 +297,12 @@ def _initial_step(rhs, t0, y0, f0, p, t_end, rtol, atol, max_step, dtype):
     h = jnp.minimum(100 * h0, h1)
     h = jnp.minimum(h, t_end - t0)
     h = jnp.minimum(h, max_step)
+    # Extreme params overflow the f0/f1 WRMS norms (inf/inf -> NaN h); a
+    # NaN h then defeats every later `h < h_min` guard (NaN compares
+    # False) and the step loop never terminates.  Fall back to a small
+    # finite h: the lane will reject and die through the normal
+    # underflow/failure path instead of livelocking.
+    h = jnp.where(jnp.isfinite(h) & (h > 0), h, jnp.asarray(1e-6, dtype))
     return jnp.asarray(h, dtype)
 
 
@@ -608,7 +614,9 @@ def bdf_solve(
         t, q = c["t"], c["q"]
 
         h_min_loc = 10 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t), jnp.abs(t_end))
-        underflow = c["h"] < jnp.maximum(h_min_loc, options.min_step)
+        # ~(h >= min): NaN-robust — a non-finite h must terminate the lane,
+        # not loop forever (NaN < x and NaN >= x are both False)
+        underflow = ~(c["h"] >= jnp.maximum(h_min_loc, options.min_step))
         # desired step, clamped to land exactly on t_end
         h_use = jnp.minimum(c["h"], t_end - t)
         t_new = t + h_use

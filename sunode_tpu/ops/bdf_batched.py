@@ -309,6 +309,10 @@ def bdf_solve_batched(
     else:
         h0 = h_auto
     h0 = jnp.maximum(h0, 1e-12)
+    # extreme params overflow the WRMS norms (inf/inf -> NaN h0); a NaN h
+    # defeats every `h < h_min` guard and livelocks the step loop — fall
+    # back to a small finite h so the lane dies through underflow instead
+    h0 = jnp.where(jnp.isfinite(h0), h0, jnp.asarray(1e-6, dtype))
 
     z_parts = [y0]
     fz_parts = [f0]
@@ -399,7 +403,8 @@ def bdf_solve_batched(
         t, q = c["t"], c["q"]
 
         h_min_loc = 10 * jnp.finfo(dtype).eps * jnp.maximum(jnp.abs(t), jnp.abs(t_end))
-        underflow = active & (c["h"] < jnp.maximum(h_min_loc, options.min_step))
+        # NaN-robust form (see ops/bdf.py): non-finite h terminates the lane
+        underflow = active & ~(c["h"] >= jnp.maximum(h_min_loc, options.min_step))
         h_use = jnp.where(active, jnp.minimum(c["h"], t_end - t), c["h"])
         t_new = t + h_use
 

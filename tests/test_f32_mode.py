@@ -72,6 +72,42 @@ def test_forward_solve_f32(lv_problem):
     assert np.isfinite(np.asarray(ys)).all()
 
 
+@pytest.mark.parametrize("core", ["adams", "bdf"])
+def test_extreme_params_no_livelock(lv_problem, core):
+    """Params ~1e16 overflow the f32 WRMS norms in the initial-step
+    estimate (inf/inf -> NaN h); a NaN h defeats every `h < h_min` guard
+    (NaN comparisons are False) and the step loop used to run FOREVER —
+    on a remote TPU the watchdog killed the worker ("kernel fault").
+    The lane must instead die promptly with a nonzero status."""
+    from sunode_tpu.ops.adams_batched import adams_solve_batched
+    from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+
+    rhs = lv_problem.make_rhs()
+    jac = lv_problem.make_jac_dense()
+    B = 4
+    y0s = jnp.tile(jnp.asarray([10.0, 2.0], jnp.float32), (B, 1))
+    # lane 0 sane; lanes 1-3 astronomically stiff / degenerate
+    ps = jnp.asarray(
+        [
+            [1.0, 0.3, 1.0, 0.4],
+            [7e16, 0.7, 1.0, 0.4],
+            [1e-26, 28.0, 1.0, 0.4],
+            [2e15, 6.0, 1.0, 0.4],
+        ],
+        jnp.float32,
+    )
+    tv = jnp.linspace(1.0, 10.0, 6).astype(jnp.float32)
+    opts = BDFOptions(rtol=1e-5, atol=1e-5, max_steps=2000, adams_max_order=6)
+    if core == "adams":
+        res = adams_solve_batched(rhs, 0.0, y0s, ps, tv, opts)
+    else:
+        res = bdf_solve_batched(rhs, jac, 0.0, y0s, ps, tv, opts)
+    status = np.asarray(res.status)
+    assert status[0] == 0, status
+    assert (status[1:] != 0).all(), status
+    assert np.isfinite(np.asarray(res.ys[0])).all()
+
+
 def test_nuts_f32_dtype():
     """The sampler's own scalars (dual-averaging state, step-size search)
     must follow the chain dtype — a default-f64 eps promoted q through the
