@@ -1,7 +1,9 @@
 """CpuSolver: the native host execution path.
 
-Drives the C++ BDF integrator (native/cvbdf.cpp) with C RHS/Jacobian
-functions compiled from the problem's sympy expressions (native/codegen.py).
+Drives the C++ integrators (native/cvbdf.cpp: BDF with modified Newton, or
+Adams-Moulton PECE via ``method='ADAMS'`` for non-stiff problems — no
+Jacobian, roughly half the steps) with C RHS/Jacobian functions compiled
+from the problem's sympy expressions (native/codegen.py).
 This is the sunode deployment mode rebuilt natively — no SUNDIALS, no numba,
 no Python in the hot loop — and doubles as an independent oracle for
 tolerance-matched testing of the JAX/TPU integrator.
@@ -42,7 +44,11 @@ class CpuSolver:
         reltol: float = 1e-10,
         max_steps: int = 100_000,
         n_threads: int = 0,
+        method: str = "BDF",
+        adams_max_order: int = 8,
     ):
+        if method not in ("BDF", "ADAMS"):
+            raise ValueError("method must be 'BDF' or 'ADAMS'")
         self._problem = problem
         self._rtol = float(reltol)
         self._atol = np.broadcast_to(
@@ -50,6 +56,8 @@ class CpuSolver:
         ).copy()
         self._max_steps = int(max_steps)
         self._n_threads = int(n_threads)
+        self._method = method
+        self._adams_max_order = int(adams_max_order)
         self._params = np.zeros(problem.n_all_params)
 
         self._core = ctypes.CDLL(str(native_lib_path()))
@@ -59,6 +67,8 @@ class CpuSolver:
 
         self._core.cvbdf_solve.restype = ctypes.c_int
         self._core.cvbdf_solve_batch.restype = None
+        self._core.cvadams_solve.restype = ctypes.c_int
+        self._core.cvadams_solve_batch.restype = None
 
     # --- params ------------------------------------------------------
     def set_params_dict(self, params: Mapping[str, Any]) -> None:
@@ -93,24 +103,44 @@ class CpuSolver:
             )
             ys = np.full((batch, n_t, n), np.nan)
             status = np.zeros(batch, np.int32)
-            self._core.cvbdf_solve_batch(
-                ctypes.c_int(n),
-                self._rhs_ptr,
-                self._jac_ptr,
-                ctypes.c_double(float(t0)),
-                dptr(y0),
-                dptr(params),
-                ctypes.c_int(params.shape[1]),
-                ctypes.c_int(n_t),
-                dptr(tvals),
-                ctypes.c_double(self._rtol),
-                dptr(self._atol),
-                ctypes.c_int64(self._max_steps),
-                ctypes.c_int(batch),
-                ctypes.c_int(self._n_threads),
-                dptr(ys),
-                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-            )
+            if self._method == "ADAMS":
+                self._core.cvadams_solve_batch(
+                    ctypes.c_int(n),
+                    self._rhs_ptr,
+                    ctypes.c_double(float(t0)),
+                    dptr(y0),
+                    dptr(params),
+                    ctypes.c_int(params.shape[1]),
+                    ctypes.c_int(n_t),
+                    dptr(tvals),
+                    ctypes.c_double(self._rtol),
+                    dptr(self._atol),
+                    ctypes.c_int64(self._max_steps),
+                    ctypes.c_int(self._adams_max_order),
+                    ctypes.c_int(batch),
+                    ctypes.c_int(self._n_threads),
+                    dptr(ys),
+                    status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                )
+            else:
+                self._core.cvbdf_solve_batch(
+                    ctypes.c_int(n),
+                    self._rhs_ptr,
+                    self._jac_ptr,
+                    ctypes.c_double(float(t0)),
+                    dptr(y0),
+                    dptr(params),
+                    ctypes.c_int(params.shape[1]),
+                    ctypes.c_int(n_t),
+                    dptr(tvals),
+                    ctypes.c_double(self._rtol),
+                    dptr(self._atol),
+                    ctypes.c_int64(self._max_steps),
+                    ctypes.c_int(batch),
+                    ctypes.c_int(self._n_threads),
+                    dptr(ys),
+                    status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                )
             self.last_status = status
             if (status != 0).any():
                 codes = sorted(set(int(s) for s in status if s))
@@ -119,22 +149,40 @@ class CpuSolver:
         else:
             ys = np.full((n_t, n), np.nan)
             stats = np.zeros(8, np.int64)
-            rc = self._core.cvbdf_solve(
-                ctypes.c_int(n),
-                self._rhs_ptr,
-                self._jac_ptr,
-                ctypes.c_double(float(t0)),
-                dptr(y0),
-                dptr(self._params),
-                ctypes.c_int(n_t),
-                dptr(tvals),
-                ctypes.c_double(self._rtol),
-                dptr(self._atol),
-                ctypes.c_int64(self._max_steps),
-                ctypes.c_double(-1.0),
-                dptr(ys),
-                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            )
+            if self._method == "ADAMS":
+                rc = self._core.cvadams_solve(
+                    ctypes.c_int(n),
+                    self._rhs_ptr,
+                    ctypes.c_double(float(t0)),
+                    dptr(y0),
+                    dptr(self._params),
+                    ctypes.c_int(n_t),
+                    dptr(tvals),
+                    ctypes.c_double(self._rtol),
+                    dptr(self._atol),
+                    ctypes.c_int64(self._max_steps),
+                    ctypes.c_double(-1.0),
+                    ctypes.c_int(self._adams_max_order),
+                    dptr(ys),
+                    stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                )
+            else:
+                rc = self._core.cvbdf_solve(
+                    ctypes.c_int(n),
+                    self._rhs_ptr,
+                    self._jac_ptr,
+                    ctypes.c_double(float(t0)),
+                    dptr(y0),
+                    dptr(self._params),
+                    ctypes.c_int(n_t),
+                    dptr(tvals),
+                    ctypes.c_double(self._rtol),
+                    dptr(self._atol),
+                    ctypes.c_int64(self._max_steps),
+                    ctypes.c_double(-1.0),
+                    dptr(ys),
+                    stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                )
             self.last_stats = dict(
                 zip(
                     [

@@ -1,9 +1,10 @@
-// Native host-side BDF integrator: the C++ runtime component of sunode_tpu.
+// Native host-side integrators: the C++ runtime component of sunode_tpu.
 //
 // Role in the framework (cf. reference layer L0, the SUNDIALS CVODES C
-// library that sunode links against): a self-contained variable-order
-// (1-5) variable-step BDF integrator with modified-Newton iteration and
-// dense partial-pivot LU, used as
+// library that sunode links against): self-contained variable-order
+// variable-step integrators — BDF(1-5) with modified-Newton iteration and
+// dense partial-pivot LU (CV_BDF analog), and Adams-Moulton(1-12) PECE
+// with functional iteration (CV_ADAMS analog, no Jacobian) — used as
 //   * the CPU execution path (single solves without an accelerator —
 //     sunode's original deployment mode), driven through compiled-C
 //     right-hand sides generated from sympy (native/codegen.py, the
@@ -165,6 +166,31 @@ double wrms(int n, const double* x, const double* scale) {
   return std::sqrt(acc / n);
 }
 
+// Hairer-Wanner initial step estimate (shared by both integrators; same
+// formula as ops/bdf.py _initial_step).  Costs one extra RHS eval.
+double initial_h(int n, rhs_fn f_fn, double t0, const double* y0,
+                 const double* f0, const double* params, double t_end,
+                 double rtol, const double* atol, Stats* stats) {
+  std::vector<double> scale(n), y1(n), f1(n);
+  for (int i = 0; i < n; ++i) scale[i] = atol[i] + rtol * std::fabs(y0[i]);
+  double d0 = wrms(n, y0, scale.data());
+  double d1 = wrms(n, f0, scale.data());
+  double h0 = (d0 < 1e-5 || d1 < 1e-5) ? 1e-6 : 0.01 * d0 / d1;
+  h0 = std::min(h0, 0.5 * (t_end - t0));
+  for (int i = 0; i < n; ++i) y1[i] = y0[i] + h0 * f0[i];
+  f_fn(t0 + h0, y1.data(), params, f1.data());
+  stats->n_rhs_evals++;
+  for (int i = 0; i < n; ++i) f1[i] = (f1[i] - f0[i]);
+  double d2 = wrms(n, f1.data(), scale.data()) / h0;
+  double dm = std::max(d1, d2);
+  double h1 = dm <= 1e-15 ? std::max(1e-6, h0 * 1e-3) : std::sqrt(0.01 / dm);
+  double h = std::min({100 * h0, h1, t_end - t0});
+  // NaN-robust fallback (see ops/bdf.py _initial_step): overflowed norms
+  // yield NaN h which would defeat every later underflow guard
+  if (!(std::isfinite(h) && h > 0)) h = 1e-6;
+  return std::max(h, 1e-12);
+}
+
 int solve_one(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
               const double* params, int n_t, const double* tvals, double rtol,
               const double* atol, int64_t max_steps, double first_step,
@@ -190,27 +216,12 @@ int solve_one(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
     if (!std::isfinite(y0[i]) || !std::isfinite(f0[i])) return 3;
 
   double t_end = tvals[n_t - 1];
-  // Hairer-Wanner initial step
   double h;
   if (first_step > 0) {
-    h = std::min(first_step, t_end - t0);
+    h = std::max(std::min(first_step, t_end - t0), 1e-12);
   } else {
-    for (int i = 0; i < n; ++i) w.scale[i] = atol[i] + rtol * std::fabs(y0[i]);
-    double d0 = wrms(n, y0, w.scale.data());
-    double d1 = wrms(n, f0.data(), w.scale.data());
-    double h0 = (d0 < 1e-5 || d1 < 1e-5) ? 1e-6 : 0.01 * d0 / d1;
-    h0 = std::min(h0, 0.5 * (t_end - t0));
-    std::vector<double> y1(n), f1(n);
-    for (int i = 0; i < n; ++i) y1[i] = y0[i] + h0 * f0[i];
-    f_fn(t0 + h0, y1.data(), params, f1.data());
-    stats->n_rhs_evals++;
-    for (int i = 0; i < n; ++i) f1[i] = (f1[i] - f0[i]);
-    double d2 = wrms(n, f1.data(), w.scale.data()) / h0;
-    double dm = std::max(d1, d2);
-    double h1 = dm <= 1e-15 ? std::max(1e-6, h0 * 1e-3) : std::sqrt(0.01 / dm);
-    h = std::min({100 * h0, h1, t_end - t0});
+    h = initial_h(n, f_fn, t0, y0, f0.data(), params, t_end, rtol, atol, stats);
   }
-  h = std::max(h, 1e-12);
 
   // init difference array
   std::fill(w.D.begin(), w.D.end(), 0.0);
@@ -245,7 +256,8 @@ int solve_one(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
     if (stats->n_steps >= max_steps) return 1;
     double h_min_loc =
         10 * 2.220446049250313e-16 * std::max(std::fabs(t), std::fabs(t_end));
-    if (h < h_min_loc) return 2;
+    // NaN-robust: a non-finite h must terminate, not loop forever
+    if (!(h >= h_min_loc)) return 2;
     double h_use = std::min(h, t_end - t);
     if (h_use < h) {
       rescale_D(n, q, h_use / h, w.D.data());
@@ -389,6 +401,280 @@ int solve_one(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
   return 0;
 }
 
+// ---------------------------------------------------------------------
+// Adams-Moulton PECE integrator (CV_ADAMS analog; no Jacobian).
+// Mirrors sunode_tpu/ops/adams.py: f-difference array DF[i] = nabla^i f,
+// AB predictor collapsed onto the AM corrector via the gamma identity,
+// functional iteration, integral-basis dense output.
+// ---------------------------------------------------------------------
+constexpr int A_MAX_ORDER = 12;
+constexpr int KAD = A_MAX_ORDER + 3;  // DF rows 0..p+2, p <= 12
+constexpr int A_FUNCTIONAL_MAXITER = 4;
+
+struct AdamsTabs {
+  double gamma[A_MAX_ORDER + 2];
+  double gamma_star[A_MAX_ORDER + 2];  // |gamma*_m| (error constants)
+  // c_i(s) = integral_0^s prod_{m<i}(u+m)/(m+1) du — monomial coeffs,
+  // ascending powers; degree i+1 so coeffs 0..i+1
+  double cint[A_MAX_ORDER + 1][A_MAX_ORDER + 3];
+  AdamsTabs() {
+    const int K = A_MAX_ORDER + 2;
+    for (int m = 0; m < K; ++m) {
+      double s = 1.0;
+      for (int k = 0; k < m; ++k) s -= gamma[k] / (m + 1 - k);
+      gamma[m] = s;
+    }
+    gamma_star[0] = 1.0;
+    for (int m = 1; m < K; ++m)
+      gamma_star[m] = std::fabs(gamma[m] - gamma[m - 1]);
+    std::memset(cint, 0, sizeof(cint));
+    for (int i = 0; i <= A_MAX_ORDER; ++i) {
+      double poly[A_MAX_ORDER + 2] = {0};  // prod_{m<i}(u+m)/(m+1), deg i
+      poly[0] = 1.0;
+      int deg = 0;
+      for (int m = 0; m < i; ++m) {
+        double nxt[A_MAX_ORDER + 2] = {0};
+        for (int k = 0; k <= deg; ++k) {
+          nxt[k] += poly[k] * m / (m + 1.0);
+          nxt[k + 1] += poly[k] / (m + 1.0);
+        }
+        ++deg;
+        for (int k = 0; k <= deg; ++k) poly[k] = nxt[k];
+      }
+      for (int k = 0; k <= deg; ++k) cint[i][k + 1] = poly[k] / (k + 1.0);
+    }
+  }
+};
+const AdamsTabs ATAB;
+
+// Shampine/Reichelt rescale of the leading p x p difference block for
+// h -> factor*h (rows >= p untouched; R(1) is an involution so factor==1
+// is exactly the identity and callers skip it).
+void adams_rescale(int n, int p, double factor, double* DF /* KAD x n */) {
+  double R[A_MAX_ORDER + 1][A_MAX_ORDER + 1];
+  double U[A_MAX_ORDER + 1][A_MAX_ORDER + 1];
+  auto build = [p](double fac, double M[A_MAX_ORDER + 1][A_MAX_ORDER + 1]) {
+    for (int j = 0; j < p; ++j) M[0][j] = 1.0;
+    double prev[A_MAX_ORDER + 1], row[A_MAX_ORDER + 1];
+    for (int j = 0; j < p; ++j) prev[j] = 1.0;
+    for (int i = 1; i < p; ++i) {
+      for (int j = 0; j < p; ++j) row[j] = prev[j] * (i - 1 - fac * j) / i;
+      for (int j = 0; j < p; ++j) { M[i][j] = row[j]; prev[j] = row[j]; }
+    }
+  };
+  build(factor, R);
+  build(1.0, U);
+  double t1[A_MAX_ORDER + 1], head[A_MAX_ORDER + 1];
+  for (int col = 0; col < n; ++col) {
+    for (int i = 0; i < p; ++i) {
+      double acc = 0.0;
+      for (int j = 0; j < p; ++j) acc += R[j][i] * DF[j * n + col];
+      t1[i] = acc;
+    }
+    for (int i = 0; i < p; ++i) {
+      double acc = 0.0;
+      for (int j = 0; j < p; ++j) acc += U[j][i] * t1[j];
+      head[i] = acc;
+    }
+    for (int i = 0; i < p; ++i) DF[i * n + col] = head[i];
+  }
+}
+
+// y(t_n + s h) = y_n + h * sum_{i<=p} c_i(s) nabla^i f_n (post-update DF)
+void adams_interp(int n, int p, const double* DF, const double* y_n,
+                  double h, double s, double* out) {
+  for (int col = 0; col < n; ++col) out[col] = y_n[col];
+  for (int i = 0; i <= p; ++i) {
+    double ci = 0.0;
+    for (int k = i + 1; k >= 0; --k) ci = ci * s + ATAB.cint[i][k];
+    for (int col = 0; col < n; ++col) out[col] += h * ci * DF[i * n + col];
+  }
+}
+
+int adams_solve_one(int n, rhs_fn f_fn, double t0, const double* y0,
+                    const double* params, int n_t, const double* tvals,
+                    double rtol, const double* atol, int64_t max_steps,
+                    double first_step, int max_order, double* ys_out,
+                    Stats* stats) {
+  max_order = std::clamp(max_order, 1, A_MAX_ORDER);
+  for (int i = 0; i < n_t * n; ++i) ys_out[i] = NAN;
+
+  std::vector<double> DF((size_t)KAD * n, 0.0), y(n), y_pred(n), f_extrap(n),
+      scale(n), y_cur(n), f(n), f_new(n), delta(n), d_f(n), err(n), f0(n);
+
+  f_fn(t0, y0, params, f0.data());
+  stats->n_rhs_evals++;
+  for (int i = 0; i < n; ++i)
+    if (!std::isfinite(y0[i]) || !std::isfinite(f0[i])) return 3;
+
+  double t_end = tvals[n_t - 1];
+  double h;
+  if (first_step > 0) {
+    h = std::max(std::min(first_step, t_end - t0), 1e-12);
+  } else {
+    h = initial_h(n, f_fn, t0, y0, f0.data(), params, t_end, rtol, atol, stats);
+  }
+
+  for (int i = 0; i < n; ++i) { DF[i] = f0[i]; y[i] = y0[i]; }
+  double t = t0;
+  int p = 1;
+  int n_equal = 0;
+  int i_out = 0;
+  int cfails = 0;
+  double h_D = h;  // step size the DF block is currently scaled for
+
+  while (i_out < n_t && tvals[i_out] <= t0) {
+    for (int i = 0; i < n; ++i) ys_out[i_out * n + i] = y0[i];
+    ++i_out;
+  }
+
+  double newton_tol =
+      std::max(10 * 2.220446049250313e-16 / rtol, std::min(0.03, std::sqrt(rtol)));
+
+  while (i_out < n_t) {
+    if (stats->n_steps >= max_steps) return 1;
+    double h_min_loc =
+        10 * 2.220446049250313e-16 * std::max(std::fabs(t), std::fabs(t_end));
+    // NaN-robust: non-finite h must terminate, not loop forever
+    if (!(h >= h_min_loc)) return 2;
+    double h_use = std::min(h, t_end - t);
+    if (h_use != h_D && p > 1) adams_rescale(n, p, h_use / h_D, DF.data());
+    h_D = h_use;
+    double t_new = t + h_use;
+
+    // predictor: y_pred = y + h sum_{i<p} gamma_i DF[i];  f_extrap = sum DF[i]
+    for (int col = 0; col < n; ++col) {
+      double acc = 0.0, fx = 0.0;
+      for (int i = 0; i < p; ++i) {
+        acc += ATAB.gamma[i] * DF[i * n + col];
+        fx += DF[i * n + col];
+      }
+      y_pred[col] = y[col] + h_use * acc;
+      f_extrap[col] = fx;
+    }
+    double cA = h_use * ATAB.gamma[p - 1];
+    bool pred_ok = true;
+    for (int i = 0; i < n; ++i) {
+      scale[i] = atol[i] + rtol * std::fabs(y_pred[i]);
+      if (!std::isfinite(y_pred[i])) pred_ok = false;
+    }
+
+    // functional (fixed-point) corrector
+    std::copy(y_pred.begin(), y_pred.end(), y_cur.begin());
+    bool conv = false, bad = false;
+    double dy_old = INFINITY;
+    for (int k = 0; k < A_FUNCTIONAL_MAXITER; ++k) {
+      f_fn(t_new, y_cur.data(), params, f.data());
+      stats->n_rhs_evals++;
+      stats->n_newton_iters++;
+      for (int i = 0; i < n; ++i)
+        if (!std::isfinite(f[i])) { bad = true; break; }
+      if (bad) break;
+      for (int i = 0; i < n; ++i) {
+        double y_next = y_pred[i] + cA * (f[i] - f_extrap[i]);
+        delta[i] = y_next - y_cur[i];
+        y_cur[i] = y_next;
+      }
+      double dy = wrms(n, delta.data(), scale.data());
+      if (!std::isfinite(dy)) { bad = true; break; }
+      double rate = dy / dy_old;
+      if (dy == 0.0 || (k > 0 && rate < 1.0 && rate / (1 - rate) * dy < newton_tol) ||
+          dy < 0.1 * newton_tol) {
+        conv = true;
+        break;
+      }
+      if (k > 0 && rate >= 2.0) break;
+      dy_old = dy;
+    }
+    conv = conv && pred_ok && !bad;
+
+    double err_norm = INFINITY;
+    if (conv) {
+      f_fn(t_new, y_cur.data(), params, f_new.data());
+      stats->n_rhs_evals++;
+      for (int i = 0; i < n; ++i) d_f[i] = f_new[i] - f_extrap[i];
+      for (int i = 0; i < n; ++i) err[i] = ATAB.gamma_star[p] * h_use * d_f[i];
+      err_norm = wrms(n, err.data(), scale.data());
+    }
+
+    if (!conv || !(err_norm <= 1.0)) {
+      if (!conv) stats->n_conv_fails++;
+      else stats->n_error_test_fails++;
+      if (++cfails >= 4) {
+        // breakdown reset: zero the history (row 0 = f at the last
+        // accepted point is rescale-invariant), restart at order 1
+        for (int i = n; i < KAD * n; ++i) DF[i] = 0.0;
+        p = 1;
+        h = h_use * 0.25;
+        cfails = 0;
+        n_equal = 0;
+        continue;
+      }
+      double factor;
+      if (!conv) {
+        factor = 0.25;  // CVODES ETACF
+      } else {
+        factor = std::clamp(0.9 * std::pow(std::clamp(err_norm, 1e-30, 1e30),
+                                           -1.0 / (p + 1)),
+                            MIN_FACTOR, 0.9);
+      }
+      h = h_use * factor;
+      n_equal = 0;
+      continue;
+    }
+
+    // accept
+    if (err_norm <= 0.9) cfails = std::max(cfails - 1, 0);
+    update_D(n, p - 1, d_f.data(), DF.data());  // same difference update as BDF
+    t = t_new;
+    std::copy(y_cur.begin(), y_cur.end(), y.begin());
+    ++stats->n_steps;
+    ++n_equal;
+
+    while (i_out < n_t && tvals[i_out] <= t + 1e-14 * std::fabs(t)) {
+      double s = (tvals[i_out] - t) / h_use;
+      adams_interp(n, p, DF.data(), y.data(), h_use, s,
+                   ys_out + (size_t)i_out * n);
+      ++i_out;
+    }
+
+    h = h_use;
+    // order & step adaptation (mirrors ops/adams.py: argmax of the three
+    // step factors at p-1 / p / p+1, first-max tie-break)
+    if (n_equal >= p + 1) {
+      double err_m = INFINITY, err_p2 = INFINITY;
+      if (p > 1) {
+        for (int i = 0; i < n; ++i)
+          err[i] = ATAB.gamma_star[p - 1] * h_use * DF[(p - 1) * n + i];
+        err_m = wrms(n, err.data(), scale.data());
+      }
+      if (p < max_order) {
+        for (int i = 0; i < n; ++i)
+          err[i] = ATAB.gamma_star[p + 1] * h_use * DF[(p + 1) * n + i];
+        err_p2 = wrms(n, err.data(), scale.data());
+      }
+      auto fac = [](double e, int qq) {
+        if (!std::isfinite(e)) return 0.0;
+        e = std::clamp(e, 1e-30, 1e30);
+        return 0.9 * std::pow(e, -1.0 / (qq + 1));
+      };
+      double facs[3] = {fac(err_m, p - 1), fac(err_norm, p), fac(err_p2, p + 1)};
+      int best_i = 0;
+      for (int ii = 1; ii < 3; ++ii)
+        if (facs[ii] > facs[best_i]) best_i = ii;
+      int dq = best_i - 1;
+      double best = std::clamp(facs[best_i], MIN_FACTOR, MAX_FACTOR);
+      if (best >= THRESH || best < 1.0 || dq != 0) {
+        p = std::clamp(p + dq, 1, max_order);
+        h = h_use * best;
+        n_equal = 0;
+      }
+    }
+  }
+  stats->final_order = p;
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -411,6 +697,53 @@ int cvbdf_solve(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
     stats_out[7] = st.final_order;
   }
   return rc;
+}
+
+int cvadams_solve(int n, rhs_fn f_fn, double t0, const double* y0,
+                  const double* params, int n_t, const double* tvals,
+                  double rtol, const double* atol, int64_t max_steps,
+                  double first_step, int max_order, double* ys_out,
+                  int64_t* stats_out) {
+  Stats st;
+  int rc = adams_solve_one(n, f_fn, t0, y0, params, n_t, tvals, rtol, atol,
+                           max_steps, first_step, max_order, ys_out, &st);
+  if (stats_out) {
+    stats_out[0] = st.n_steps;
+    stats_out[1] = st.n_rhs_evals;
+    stats_out[2] = st.n_jac_evals;
+    stats_out[3] = st.n_factorizations;
+    stats_out[4] = st.n_newton_iters;
+    stats_out[5] = st.n_error_test_fails;
+    stats_out[6] = st.n_conv_fails;
+    stats_out[7] = st.final_order;
+  }
+  return rc;
+}
+
+void cvadams_solve_batch(int n, rhs_fn f_fn, double t0,
+                         const double* y0_batch, const double* params_batch,
+                         int n_params, int n_t, const double* tvals,
+                         double rtol, const double* atol, int64_t max_steps,
+                         int max_order, int batch, int n_threads,
+                         double* ys_out_batch, int* status_out) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      Stats st;
+      status_out[b] = adams_solve_one(
+          n, f_fn, t0, y0_batch + (size_t)b * n,
+          params_batch + (size_t)b * n_params, n_t, tvals, rtol, atol,
+          max_steps, -1.0, max_order, ys_out_batch + (size_t)b * n_t * n, &st);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < std::min(n_threads, batch); ++i)
+    pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 // Threaded batch runner: the native chain executor (replaces the reference's

@@ -234,7 +234,8 @@ class Solver(_SolverBase):
 
         self._linear_solver_kwargs = dict(linear_solver_kwargs or {})
         # B=1 host fast path: a single plain BDF solve routes through the
-        # native C++ integrator (native/cvbdf.cpp, ~300us for README LV)
+        # native C++ integrator (native/cvbdf.cpp; ~109us for README LV
+        # via the Adams core, ~253us via BDF)
         # instead of paying the jitted whole-batch machinery — the
         # README-parity single-chain workload (ref README.md:128-130).
         # Falls back silently when the problem can't codegen to C.
@@ -403,12 +404,12 @@ class Solver(_SolverBase):
         o = self._options
         return (
             self._native_single_enabled
-            and self._solver_kind == "BDF"
+            and self._solver_kind in ("BDF", "ADAMS")
             and not self._compute_sens
             and self._linear_solver == "dense"
             and o.constraints is None
             and o.first_step is None
-            and o.max_order == MAX_ORDER
+            and (self._solver_kind == "ADAMS" or o.max_order == MAX_ORDER)
             and not np.isfinite(o.max_step)
             and o.min_step == 0.0
             and not o.use_ndf
@@ -428,6 +429,8 @@ class Solver(_SolverBase):
                     reltol=float(self._options.rtol),
                     max_steps=int(self._options.max_steps)
                     * 2**self._max_retries,
+                    method=self._solver_kind,
+                    adams_max_order=int(self._options.adams_max_order),
                 )
             except Exception:
                 self._native_solver = None

@@ -107,6 +107,111 @@ def test_native_nested_vector_params():
     np.testing.assert_allclose(out[:, 0], expected, rtol=1e-7)
 
 
+@pytest.fixture(scope="module")
+def native_adams(problem):
+    s = CpuSolver(problem, abstol=1e-10, reltol=1e-10, method="ADAMS")
+    s.set_params_dict(PARAMS)
+    return s
+
+
+def test_native_adams_accuracy(native_adams):
+    out = native_adams.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    ref = solve_ivp(
+        lambda t, y: [y[0] - 0.3 * y[0] * y[1], 0.4 * y[0] * y[1] - y[1]],
+        (0, 8),
+        [10.0, 2.0],
+        t_eval=TVALS,
+        method="LSODA",
+        rtol=1e-12,
+        atol=1e-12,
+    ).y.T
+    err = np.abs((out - ref) / (np.abs(ref) + 1e-10)).max()
+    assert err < 1e-6
+    st = native_adams.last_stats
+    assert st["n_jac_evals"] == 0 and st["n_factorizations"] == 0
+    assert st["final_order"] >= 5  # non-stiff LV should climb the orders
+    assert st["n_steps"] > 50
+
+
+def test_native_adams_matches_jax_adams(problem, native_adams):
+    """Two independent Adams implementations (C++ vs JAX) of the same
+    formulation agree well inside the requested tolerance."""
+    import jax.numpy as jnp
+    from sunode_tpu.ops.adams import adams_solve
+    from sunode_tpu.ops.bdf import BDFOptions
+
+    rhs = problem.make_rhs()
+    p = jnp.asarray([1.0, 0.3, 1.0, 0.4])
+    res = adams_solve(
+        rhs,
+        0.0,
+        jnp.asarray([10.0, 2.0]),
+        p,
+        jnp.asarray(TVALS),
+        BDFOptions(rtol=1e-10, atol=1e-10),
+    )
+    assert int(res.status) == 0
+    out_n = native_adams.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    np.testing.assert_allclose(out_n, np.asarray(res.ys), rtol=1e-6, atol=1e-9)
+
+
+def test_native_adams_batch_threaded(native_adams):
+    B = 16
+    y0s = np.tile([10.0, 2.0], (B, 1)) * np.linspace(0.9, 1.1, B)[:, None]
+    out = native_adams.solve(0.0, TVALS, y0s)
+    assert out.shape == (B, len(TVALS), 2)
+    solo = native_adams.solve(0.0, TVALS, y0s[7])
+    np.testing.assert_allclose(out[7], solo, rtol=1e-12)
+
+
+def test_native_adams_order_cap(problem):
+    lo = CpuSolver(
+        problem, abstol=1e-10, reltol=1e-10, method="ADAMS", adams_max_order=2
+    )
+    lo.set_params_dict(PARAMS)
+    out = lo.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    assert np.isfinite(out).all()
+    assert lo.last_stats["final_order"] <= 2
+    hi = CpuSolver(
+        problem, abstol=1e-10, reltol=1e-10, method="ADAMS", adams_max_order=8
+    )
+    hi.set_params_dict(PARAMS)
+    hi.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    assert hi.last_stats["n_steps"] < lo.last_stats["n_steps"]
+
+
+def test_native_adams_extreme_params_no_livelock(problem):
+    """NaN-h guard parity with the JAX cores (see tests/test_f32_mode.py):
+    astronomically stiff params must fail fast with a status, not hang."""
+    s = CpuSolver(
+        problem, abstol=1e-10, reltol=1e-10, method="ADAMS", max_steps=2000
+    )
+    s.set_params_dict({"alpha": 7e300, "beta": 0.7, "gamma": 1.0, "delta": 0.4})
+    with pytest.raises(SolverError):
+        s.solve(1.0, TVALS, np.array([10.0, 2.0]))
+
+
+def test_solver_class_routes_adams_native(problem):
+    """Solver(solver='ADAMS') at B=1 runs the native Adams path (no
+    factorizations in the stats proves the functional-iteration core ran)."""
+    s = Solver(problem, abstol=1e-10, reltol=1e-10, solver="ADAMS")
+    s.set_params_dict(PARAMS)
+    out = s.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    assert np.isfinite(out).all()
+    assert s.last_stats["n_factorizations"] == 0
+    assert s.last_stats["n_jac_evals"] == 0
+    ref = solve_ivp(
+        lambda t, y: [y[0] - 0.3 * y[0] * y[1], 0.4 * y[0] * y[1] - y[1]],
+        (0, 8),
+        [10.0, 2.0],
+        t_eval=TVALS,
+        method="LSODA",
+        rtol=1e-12,
+        atol=1e-12,
+    ).y.T
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-8)
+
+
 def test_native_robertson_cross_check():
     """Stiff golden-value agreement between the C++ and JAX BDF cores."""
     import jax.numpy as jnp
