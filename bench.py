@@ -48,6 +48,9 @@ def bench_lv_adjoint(args):
 
     import __graft_entry__ as ge
 
+    if args.batch == 1:
+        return _bench_lv_adjoint_single(args)
+
     fn, _ = ge._build(
         batch=args.batch, tvals_n=21, rtol=args.rtol, checkpoint_n=384
     )
@@ -91,6 +94,63 @@ def bench_lv_adjoint(args):
         "value": round(throughput, 1),
         "unit": "grad_solves/sec",
         "vs_baseline": round(throughput / REFERENCE_GRADS_PER_SEC, 3),
+    }
+
+
+def _bench_lv_adjoint_single(args):
+    """Single-chain gradient pair through the AdjointSolver class API
+    (`--batch 1`): the reference's per-process PyMC deployment mode, which
+    runs one fwd+bwd per NUTS leapfrog (~1.25 ms/pair = ~800 pairs/s on the
+    author CPU, BASELINE).  ADAMS/ADAMS routes through the native C++
+    augmented backward solve.  Gated against lane 0 of the committed golden
+    fixture (scipy rtol=1e-12 + central FD)."""
+    import numpy as np
+
+    from sunode_tpu.solver import AdjointSolver
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tests", "golden", "lv_adjoint.npz"
+    )
+    g = np.load(golden_path)
+    tvals = g["tvals"]
+    y0 = g["y0s"][0]
+    p_sub = g["p_subs"][0]
+    p_fix = g["p_fix"]
+
+    solver = AdjointSolver(
+        _lv_problem(),
+        reltol=args.rtol,
+        abstol=args.rtol,
+        adjoint_reltol=args.rtol * 10,
+        adjoint_abstol=args.rtol * 10,
+        solver="ADAMS",
+        adjoint_solver="ADAMS",
+    )
+    solver.set_params_dict(
+        {"alpha": p_sub[0], "beta": p_sub[1], "gamma": p_fix[0], "delta": p_fix[1]}
+    )
+
+    def pair():
+        ys = solver.solve_forward(0.0, tvals, y0)
+        grads = 2.0 * ys  # d sum(ys^2) / d ys
+        quad, lam = solver.solve_backward(tvals[-1], 0.0, tvals, grads)
+        return ys, -np.asarray(lam), np.asarray(quad)
+
+    ys, gy, gp = pair()  # warm up (native codegen) + correctness gate
+    np.testing.assert_allclose(gy, g["gy"][0], rtol=2e-3, atol=1e-3)
+    np.testing.assert_allclose(gp, g["gp"][0], rtol=2e-3, atol=1e-3)
+
+    times = []
+    for _ in range(max(args.repeats, 50)):
+        t0 = time.perf_counter()
+        pair()
+        times.append(time.perf_counter() - t0)
+    per_pair = min(times)
+    return {
+        "metric": "lv_adjoint_single_pair_wallclock",
+        "value": round(per_pair * 1e6, 2),
+        "unit": "us/grad pair (B=1, native host path)",
+        "vs_baseline": round((1.0 / REFERENCE_GRADS_PER_SEC) / per_pair, 3),
     }
 
 

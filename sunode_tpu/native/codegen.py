@@ -60,6 +60,8 @@ def build_native_lib(src: Path, out: Path, extra: list[str] | None = None) -> No
 def _emit_c_function(name: str, exprs, varmap: dict, args_sig: str) -> str:
     """One C function assigning CSE'd expressions into out[]."""
     exprs = np.asarray(exprs, dtype=object).reshape(-1)
+    if exprs.size == 0:
+        return f"void {name}({args_sig}) {{ (void)out; }}"
     repl, reduced = sy.cse([sy.sympify(e) for e in exprs], sy.numbered_symbols("x_"))
     lines = [f"void {name}({args_sig}) {{"]
     subs = {sy.Symbol(k, real=True): sy.Symbol(v, real=True) for k, v in varmap.items()}
@@ -76,8 +78,15 @@ def _emit_c_function(name: str, exprs, varmap: dict, args_sig: str) -> str:
 
 
 def compile_problem_c(problem, *, cache: bool = True):
-    """Generate + compile C rhs/jac for a SympyProblem; return a ctypes lib
-    exposing ``rhs(t, y, p, out)`` and ``jac(t, y, p, out)`` (row-major)."""
+    """Generate + compile C functions for a SympyProblem; return a ctypes lib
+    exposing (all row-major):
+
+    - ``sunode_rhs(t, y, p, out)``      — dydt
+    - ``sunode_jac(t, y, p, out)``      — dense Jacobian
+    - ``sunode_adj_rhs(t, y, lam, p, out)``  — dlambda/dt = -J^T lambda
+    - ``sunode_quad_rhs(t, y, lam, p, out)`` — lambda^T df/dp (derivative
+      params subset, reference CVQuadRhsFnB analog)
+    """
     n = problem.n_states
     # C-identifier varmap: __y_0 -> y[0] etc.  ccode can't print indexing via
     # Symbol, so use IndexedBase-free trick: print to placeholder identifiers
@@ -85,6 +94,7 @@ def compile_problem_c(problem, *, cache: bool = True):
     varmap = {}
     for i in range(n):
         varmap[f"__y_{i}"] = f"Y_{i}"
+        varmap[f"__lam_{i}"] = f"L_{i}"
     for j in range(problem.n_all_params):
         varmap[f"__p_{j}"] = f"P_{j}"
     varmap["__t"] = "t"
@@ -93,7 +103,6 @@ def compile_problem_c(problem, *, cache: bool = True):
         "#include <math.h>",
         'extern "C" {',
     ]
-    body = []
     rhs_src = _emit_c_function(
         "sunode_rhs",
         problem._sym_dydt,
@@ -106,13 +115,29 @@ def compile_problem_c(problem, *, cache: bool = True):
         varmap,
         "double t, const double* y, const double* p, double* out",
     )
+    adj_sig = "double t, const double* y, const double* lam, const double* p, double* out"
+    adj_src = _emit_c_function(
+        "sunode_adj_rhs", problem._sym_dlamdadt, varmap, adj_sig
+    )
+    quad_src = _emit_c_function(
+        "sunode_quad_rhs", problem._sym_quad_rhs, varmap, adj_sig
+    )
     # prologue mapping placeholders to array loads
     defines = []
     for i in range(n):
         defines.append(f"#define Y_{i} (y[{i}])")
+        defines.append(f"#define L_{i} (lam[{i}])")
     for j in range(problem.n_all_params):
         defines.append(f"#define P_{j} (p[{j}])")
-    src = "\n".join(header[:1] + defines + header[1:] + [rhs_src, jac_src, "}"]) + "\n"
+    src = (
+        "\n".join(
+            header[:1]
+            + defines
+            + header[1:]
+            + [rhs_src, jac_src, adj_src, quad_src, "}"]
+        )
+        + "\n"
+    )
 
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
     tag = hashlib.sha256(src.encode()).hexdigest()[:16]

@@ -69,6 +69,10 @@ class CpuSolver:
         self._core.cvbdf_solve_batch.restype = None
         self._core.cvadams_solve.restype = ctypes.c_int
         self._core.cvadams_solve_batch.restype = None
+        self._core.cvadams_adjoint_solve.restype = ctypes.c_int
+        self._core.cvadams_adjoint_backward.restype = ctypes.c_int
+        self._adj_ptr = ctypes.cast(self._plib.sunode_adj_rhs, ctypes.c_void_p)
+        self._quad_ptr = ctypes.cast(self._plib.sunode_quad_rhs, ctypes.c_void_p)
 
     # --- params ------------------------------------------------------
     def set_params_dict(self, params: Mapping[str, Any]) -> None:
@@ -206,3 +210,178 @@ class CpuSolver:
             y_out[...] = ys
             return y_out
         return ys
+
+    # --- adjoint gradients --------------------------------------------
+    def solve_adjoint(
+        self,
+        t0,
+        tvals,
+        y0,
+        grads,
+        *,
+        adjoint_reltol: Optional[float] = None,
+        adjoint_abstol: Optional[float] = None,
+    ):
+        """One native gradient pair: forward solve + backward adjoint.
+
+        For the scalar loss ``L = sum_k grads[k] . y(t_k)`` returns
+        ``(ys, lam0, dLdp)`` with ``lam0 = dL/dy0`` (n,) and ``dLdp``
+        w.r.t. the derivative-params subset (n_params,).
+
+        The backward pass re-integrates ``[y; lambda; q]`` interval by
+        interval in reversed time (reference CVodeB structure,
+        solver.py:723-784; 'resolve'-style y instead of checkpoint
+        interpolation — y is reset to the recorded forward solution at
+        every observation, bounding drift).  Requires ``method='ADAMS'``
+        (functional iteration; the stiff adjoint lives on the JAX
+        Hermite-checkpoint path).
+        """
+        if self._method != "ADAMS":
+            raise SolverError(
+                "solve_adjoint requires method='ADAMS' (non-stiff); use the "
+                "JAX AdjointSolver for stiff problems"
+            )
+        n = self._problem.n_states
+        nq = self._problem.n_params
+        y0 = np.ascontiguousarray(
+            self._problem.states.coerce_flat(y0, xp=np), np.float64
+        )
+        if y0.ndim != 1:
+            raise SolverError("solve_adjoint is the single-instance path")
+        tvals = np.ascontiguousarray(tvals, np.float64)
+        grads = np.ascontiguousarray(grads, np.float64)
+        n_t = len(tvals)
+        if grads.shape != (n_t, n):
+            raise SolverError(f"grads must have shape {(n_t, n)}")
+        a_rtol = self._rtol if adjoint_reltol is None else float(adjoint_reltol)
+        a_atol = (
+            float(np.max(self._atol))
+            if adjoint_abstol is None
+            else float(adjoint_abstol)
+        )
+
+        ys = np.full((n_t, n), np.nan)
+        lam0 = np.full(n, np.nan)
+        dLdp = np.full(max(nq, 1), np.nan)
+        stats = np.zeros(8, np.int64)
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+        rc = self._core.cvadams_adjoint_solve(
+            ctypes.c_int(n),
+            ctypes.c_int(nq),
+            self._rhs_ptr,
+            self._adj_ptr,
+            self._quad_ptr,
+            ctypes.c_double(float(t0)),
+            dptr(y0),
+            dptr(self._params),
+            ctypes.c_int(n_t),
+            dptr(tvals),
+            dptr(grads),
+            ctypes.c_double(a_rtol),
+            dptr(self._atol),
+            ctypes.c_double(self._rtol),
+            dptr(self._atol),
+            ctypes.c_double(a_atol),
+            ctypes.c_int64(self._max_steps),
+            ctypes.c_int(self._adams_max_order),
+            dptr(ys),
+            dptr(lam0),
+            dptr(dLdp),
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        self.last_stats = dict(
+            zip(
+                [
+                    "n_steps",
+                    "n_rhs_evals",
+                    "n_jac_evals",
+                    "n_factorizations",
+                    "n_newton_iters",
+                    "n_error_test_fails",
+                    "n_conv_fails",
+                    "final_order",
+                ],
+                stats.tolist(),
+            )
+        )
+        if rc != 0:
+            raise SolverError(
+                f"Native adjoint solve failed: "
+                f"{_STATUS_MESSAGES.get(rc, f'code {rc}')}"
+            )
+        return ys, lam0, dLdp[:nq]
+
+    def solve_adjoint_backward(
+        self,
+        t0,
+        tvals,
+        ys_fwd,
+        grads,
+        *,
+        adjoint_reltol: Optional[float] = None,
+        adjoint_abstol: Optional[float] = None,
+    ):
+        """Backward-only adjoint pass against a recorded forward solution
+        (``AdjointSolver.solve_backward`` analog).  Returns (lam0, dLdp)."""
+        if self._method != "ADAMS":
+            raise SolverError("solve_adjoint_backward requires method='ADAMS'")
+        n = self._problem.n_states
+        nq = self._problem.n_params
+        tvals = np.ascontiguousarray(tvals, np.float64)
+        ys_fwd = np.ascontiguousarray(ys_fwd, np.float64)
+        grads = np.ascontiguousarray(grads, np.float64)
+        n_t = len(tvals)
+        if ys_fwd.shape != (n_t, n) or grads.shape != (n_t, n):
+            raise SolverError(f"ys_fwd/grads must have shape {(n_t, n)}")
+        a_rtol = self._rtol if adjoint_reltol is None else float(adjoint_reltol)
+        a_atol = (
+            float(np.max(self._atol))
+            if adjoint_abstol is None
+            else float(adjoint_abstol)
+        )
+        lam0 = np.full(n, np.nan)
+        dLdp = np.full(max(nq, 1), np.nan)
+        stats = np.zeros(8, np.int64)
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+        rc = self._core.cvadams_adjoint_backward(
+            ctypes.c_int(n),
+            ctypes.c_int(nq),
+            self._rhs_ptr,
+            self._adj_ptr,
+            self._quad_ptr,
+            ctypes.c_double(float(t0)),
+            dptr(self._params),
+            ctypes.c_int(n_t),
+            dptr(tvals),
+            dptr(ys_fwd),
+            dptr(grads),
+            ctypes.c_double(a_rtol),
+            dptr(self._atol),
+            ctypes.c_double(a_atol),
+            ctypes.c_int64(self._max_steps),
+            ctypes.c_int(self._adams_max_order),
+            dptr(lam0),
+            dptr(dLdp),
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        self.last_stats = dict(
+            zip(
+                [
+                    "n_steps",
+                    "n_rhs_evals",
+                    "n_jac_evals",
+                    "n_factorizations",
+                    "n_newton_iters",
+                    "n_error_test_fails",
+                    "n_conv_fails",
+                    "final_order",
+                ],
+                stats.tolist(),
+            )
+        )
+        if rc != 0:
+            raise SolverError(
+                f"Native adjoint backward failed: "
+                f"{_STATUS_MESSAGES.get(rc, f'code {rc}')}"
+            )
+        return lam0, dLdp[:nq]

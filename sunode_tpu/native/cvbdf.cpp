@@ -168,7 +168,8 @@ double wrms(int n, const double* x, const double* scale) {
 
 // Hairer-Wanner initial step estimate (shared by both integrators; same
 // formula as ops/bdf.py _initial_step).  Costs one extra RHS eval.
-double initial_h(int n, rhs_fn f_fn, double t0, const double* y0,
+template <class F>
+double initial_h(int n, F&& f_fn, double t0, const double* y0,
                  const double* f0, const double* params, double t_end,
                  double rtol, const double* atol, Stats* stats) {
   std::vector<double> scale(n), y1(n), f1(n);
@@ -191,7 +192,8 @@ double initial_h(int n, rhs_fn f_fn, double t0, const double* y0,
   return std::max(h, 1e-12);
 }
 
-int solve_one(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
+template <class F, class FJ>
+int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
               const double* params, int n_t, const double* tvals, double rtol,
               const double* atol, int64_t max_steps, double first_step,
               double* ys_out, Stats* stats) {
@@ -491,7 +493,8 @@ void adams_interp(int n, int p, const double* DF, const double* y_n,
   }
 }
 
-int adams_solve_one(int n, rhs_fn f_fn, double t0, const double* y0,
+template <class F>
+int adams_solve_one(int n, F&& f_fn, double t0, const double* y0,
                     const double* params, int n_t, const double* tvals,
                     double rtol, const double* atol, int64_t max_steps,
                     double first_step, int max_order, double* ys_out,
@@ -675,6 +678,80 @@ int adams_solve_one(int n, rhs_fn f_fn, double t0, const double* y0,
   return 0;
 }
 
+// ---------------------------------------------------------------------
+// Adjoint gradients (reference AdjointSolver / CVodeB analog,
+// solver.py:723-784): interval-by-interval backward integration of the
+// augmented system [y; lambda; q] in reversed time tau = t_hi - t,
+//   y'    = -f(t, y)            (y re-solved backward, 'resolve' style —
+//                                nothing recorded; y is reset to the
+//                                forward solution at each observation)
+//   lam'  = +J(t,y)^T lam       (adjoint equation, backward)
+//   q'    = +lam^T df/dp        (parameter quadratures)
+// with the cotangent injection lam += g_k at each observation time
+// (CVodeB's per-interval reinit, solver.py:750-776).  Functional-iteration
+// Adams core: non-stiff backward problems (the stiff path stays on the
+// JAX Hermite-checkpoint adjoint).
+// ---------------------------------------------------------------------
+typedef void (*adj_rhs_fn)(double t, const double* y, const double* lam,
+                           const double* p, double* out);
+
+int adams_adjoint_backward(int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn,
+                           adj_rhs_fn quad_fn, const double* params,
+                           double t0, int n_t, const double* tvals,
+                           const double* ys_fwd, const double* grads,
+                           double rtol, const double* atol_y,
+                           double atol_adj, int64_t max_steps, int max_order,
+                           double* lam_out, double* quad_out, Stats* stats) {
+  const int nz = 2 * n + nq;
+  std::vector<double> z(nz), z_end(nz), atol_z(nz);
+  std::vector<double> ztmp(nz);
+  for (int i = 0; i < n; ++i) atol_z[i] = atol_y[i];
+  for (int i = n; i < nz; ++i) atol_z[i] = atol_adj;
+
+  // z = [y; lambda; q], terminal condition lambda(t_end) = 0, q(t_end) = 0
+  for (int i = 0; i < n; ++i) z[i] = ys_fwd[(size_t)(n_t - 1) * n + i];
+  for (int i = n; i < nz; ++i) z[i] = 0.0;
+
+  auto run_interval = [&](double t_hi, double t_lo) -> int {
+    double tau_end = t_hi - t_lo;
+    auto aug = [&](double tau, const double* zz, const double* /*p*/,
+                   double* out) {
+      double t = t_hi - tau;
+      f_fn(t, zz, params, out);
+      for (int i = 0; i < n; ++i) out[i] = -out[i];
+      adj_fn(t, zz, zz + n, params, out + n);
+      for (int i = 0; i < n; ++i) out[n + i] = -out[n + i];
+      if (nq) quad_fn(t, zz, zz + n, params, out + 2 * n);
+    };
+    double tv1[1] = {tau_end};
+    int rc = adams_solve_one(nz, aug, 0.0, z.data(), params, 1, tv1, rtol,
+                             atol_z.data(), max_steps, -1.0, max_order,
+                             z_end.data(), stats);
+    if (rc == 0) std::copy(z_end.begin(), z_end.end(), z.begin());
+    return rc;
+  };
+
+  for (int k = n_t - 1; k >= 1; --k) {
+    for (int i = 0; i < n; ++i) {
+      z[n + i] += grads[(size_t)k * n + i];
+      z[i] = ys_fwd[(size_t)k * n + i];  // exact forward y: bounds drift
+    }
+    if (tvals[k] > tvals[k - 1]) {
+      int rc = run_interval(tvals[k], tvals[k - 1]);
+      if (rc != 0) return rc;
+    }
+  }
+  for (int i = 0; i < n; ++i) z[n + i] += grads[i];
+  if (tvals[0] > t0) {
+    for (int i = 0; i < n; ++i) z[i] = ys_fwd[i];
+    int rc = run_interval(tvals[0], t0);
+    if (rc != 0) return rc;
+  }
+  for (int i = 0; i < n; ++i) lam_out[i] = z[n + i];
+  for (int k = 0; k < nq; ++k) quad_out[k] = z[2 * n + k];
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -707,6 +784,68 @@ int cvadams_solve(int n, rhs_fn f_fn, double t0, const double* y0,
   Stats st;
   int rc = adams_solve_one(n, f_fn, t0, y0, params, n_t, tvals, rtol, atol,
                            max_steps, first_step, max_order, ys_out, &st);
+  if (stats_out) {
+    stats_out[0] = st.n_steps;
+    stats_out[1] = st.n_rhs_evals;
+    stats_out[2] = st.n_jac_evals;
+    stats_out[3] = st.n_factorizations;
+    stats_out[4] = st.n_newton_iters;
+    stats_out[5] = st.n_error_test_fails;
+    stats_out[6] = st.n_conv_fails;
+    stats_out[7] = st.final_order;
+  }
+  return rc;
+}
+
+// Backward-only adjoint pass against an already-computed forward solution
+// (AdjointSolver.solve_backward analog: the forward ys at tvals double as
+// the per-interval y resets).
+int cvadams_adjoint_backward(int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn,
+                             adj_rhs_fn quad_fn, double t0, const double* params,
+                             int n_t, const double* tvals, const double* ys_fwd,
+                             const double* grads, double rtol,
+                             const double* atol_y, double atol_adj,
+                             int64_t max_steps, int max_order, double* lam_out,
+                             double* quad_out, int64_t* stats_out) {
+  Stats st;
+  int rc = adams_adjoint_backward(n, nq, f_fn, adj_fn, quad_fn, params, t0,
+                                  n_t, tvals, ys_fwd, grads, rtol, atol_y,
+                                  atol_adj, max_steps, max_order, lam_out,
+                                  quad_out, &st);
+  if (stats_out) {
+    stats_out[0] = st.n_steps;
+    stats_out[1] = st.n_rhs_evals;
+    stats_out[2] = st.n_jac_evals;
+    stats_out[3] = st.n_factorizations;
+    stats_out[4] = st.n_newton_iters;
+    stats_out[5] = st.n_error_test_fails;
+    stats_out[6] = st.n_conv_fails;
+    stats_out[7] = st.final_order;
+  }
+  return rc;
+}
+
+// Full adjoint gradient pair: forward Adams solve (emits ys at tvals),
+// then interval-wise backward augmented solve.  Returns lam(t0) = dL/dy0
+// and quad = dL/dp (derivative-param subset), for L = sum_k g_k . y(t_k).
+int cvadams_adjoint_solve(int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn,
+                          adj_rhs_fn quad_fn, double t0, const double* y0,
+                          const double* params, int n_t, const double* tvals,
+                          const double* grads, double rtol,
+                          const double* atol_y, double fwd_rtol,
+                          const double* fwd_atol, double atol_adj,
+                          int64_t max_steps, int max_order, double* ys_out,
+                          double* lam_out, double* quad_out,
+                          int64_t* stats_out) {
+  Stats st;
+  int rc = adams_solve_one(n, f_fn, t0, y0, params, n_t, tvals, fwd_rtol,
+                           fwd_atol, max_steps, -1.0, max_order, ys_out, &st);
+  if (rc == 0) {
+    rc = adams_adjoint_backward(n, nq, f_fn, adj_fn, quad_fn, params, t0,
+                                n_t, tvals, ys_out, grads, rtol, atol_y,
+                                atol_adj, max_steps, max_order, lam_out,
+                                quad_out, &st);
+  }
   if (stats_out) {
     stats_out[0] = st.n_steps;
     stats_out[1] = st.n_rhs_evals;

@@ -732,6 +732,7 @@ class AdjointSolver(_SolverBase):
         # the transpose's.  Requires solver='BDF', adjoint_solver='BDF'.
         linear_solver: str = "dense",
         linear_solver_kwargs: Optional[dict] = None,
+        native_single: bool = True,
     ):
         if solver not in ("BDF", "ADAMS") or adjoint_solver not in ("BDF", "ADAMS"):
             raise ValueError("solver/adjoint_solver must be 'BDF' or 'ADAMS'")
@@ -777,6 +778,14 @@ class AdjointSolver(_SolverBase):
             rtol=adjoint_reltol, atol=adjoint_abstol, max_steps=max_steps
         )
 
+        # ADAMS/ADAMS single-chain fast path: route through the native C++
+        # augmented backward solve (native/cvbdf.cpp cvadams_adjoint_*,
+        # ~230us per LV gradient pair at rtol=1e-8 vs ~1.25ms for
+        # sunode/CVODES) — no checkpoints recorded; y is re-solved backward
+        # with per-observation resets to the forward solution, so the
+        # `interpolation` knob is moot on this path.  Opt out with
+        # native_single=False.
+        self._native_single_enabled = bool(native_single)
         self._init_derived()
         self._jit_cache: dict = {}
         self._last_forward: Optional[dict] = None
@@ -965,10 +974,59 @@ class AdjointSolver(_SolverBase):
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
+    def _native_adj_eligible(self) -> bool:
+        o = self._options
+        return (
+            self._native_single_enabled
+            and self._solver_kind == "ADAMS"
+            and self._adjoint_solver_kind == "ADAMS"
+            and self._linear_solver == "dense"
+            and o.constraints is None
+            and o.first_step is None
+            and not np.isfinite(o.max_step)
+            and o.min_step == 0.0
+        )
+
+    def _native_adj(self):
+        """Lazily-built native CpuSolver for the single-chain adjoint fast
+        path (None when the problem can't be compiled to C)."""
+        if not hasattr(self, "_native_adj_solver"):
+            try:
+                from sunode_tpu.native.cpu_solver import CpuSolver
+
+                self._native_adj_solver = CpuSolver(
+                    self._problem,
+                    abstol=np.asarray(self._options.atol),
+                    reltol=float(self._options.rtol),
+                    max_steps=int(self._options.max_steps)
+                    * 2**self._max_retries,
+                    method="ADAMS",
+                    adams_max_order=int(self._options.adams_max_order),
+                )
+            except Exception:
+                self._native_adj_solver = None
+        return self._native_adj_solver
+
     def solve_forward(self, t0, tvals, y0, y_out=None):
         """Forward pass recording checkpoints (CVodeF; solver.py:682-721)."""
         spec = self._problem.states
         y0_flat = spec.coerce_flat(y0, xp=np)
+        if y0_flat.ndim == 1 and self._native_adj_eligible():
+            ns = self._native_adj()
+            if ns is not None:
+                ns._params = np.ascontiguousarray(self._params, np.float64)
+                ys = ns.solve(t0, np.asarray(tvals, np.float64), y0_flat)
+                self.last_stats = dict(ns.last_stats)
+                self._last_forward = dict(
+                    native_ys=ys,
+                    native_tvals=np.asarray(tvals, np.float64),
+                    t0=float(t0),
+                    params=self._params.copy(),
+                )
+                if y_out is not None:
+                    y_out[...] = ys
+                    return y_out
+                return ys
         fn = self._forward_fn(len(tvals))
         ys, status, saved, stats = fn(
             jnp.asarray(t0, jnp.float64),
@@ -1006,6 +1064,34 @@ class AdjointSolver(_SolverBase):
         if self._last_forward is None:
             raise SolverError("solve_backward called before solve_forward")
         fwd = self._last_forward
+        if "native_ys" in fwd:
+            # native fast path (see ctor comment): backward augmented solve
+            # against the recorded forward observations.  Any leading
+            # lambda=0 segment (t0 > tvals[-1]) is analytically zero, so
+            # starting at tvals[-1] is exact.
+            if not np.array_equal(np.asarray(tvals, np.float64), fwd["native_tvals"]):
+                raise SolverError(
+                    "solve_backward tvals must match solve_forward's on the "
+                    "native path (pass native_single=False to disable it)"
+                )
+            ns = self._native_adj()
+            ns._params = np.ascontiguousarray(fwd["params"], np.float64)
+            lam0, quad = ns.solve_adjoint_backward(
+                tend,
+                fwd["native_tvals"],
+                fwd["native_ys"],
+                np.asarray(grads, np.float64),
+                adjoint_reltol=float(self._adjoint_options.rtol),
+                adjoint_abstol=float(np.max(self._adjoint_options.atol)),
+            )
+            self.last_stats = (self.last_stats or {}) | dict(ns.last_stats)
+            if lamda_out is not None:
+                lamda_out[...] = -lam0
+            if grad_out is not None:
+                grad_out[...] = quad
+            if grad_out is None and lamda_out is None:
+                return quad, -lam0
+            return grad_out, lamda_out
         args = (
             fwd["saved"],
             jnp.asarray(tend, jnp.float64),

@@ -212,6 +212,69 @@ def test_solver_class_routes_adams_native(problem):
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-8)
 
 
+def test_native_adjoint_matches_fd(problem, native_adams):
+    """Native gradient pair (forward + augmented backward) vs central FD on
+    the native forward solve at tight tolerance."""
+    rng = np.random.default_rng(0)
+    grads = rng.standard_normal((len(TVALS), 2))
+    y0 = np.array([10.0, 2.0])
+    ys, lam0, dLdp = native_adams.solve_adjoint(0.0, TVALS, y0, grads)
+    assert np.isfinite(ys).all()
+
+    def loss(y0v, pdv):
+        s = CpuSolver(problem, abstol=1e-13, reltol=1e-13, method="ADAMS")
+        s.set_params_dict(pdv)
+        return float((grads * s.solve(0.0, TVALS, y0v)).sum())
+
+    eps = 1e-6
+    fd_y0 = np.array(
+        [
+            (loss(y0 + eps * np.eye(2)[i], PARAMS) - loss(y0 - eps * np.eye(2)[i], PARAMS))
+            / (2 * eps)
+            for i in range(2)
+        ]
+    )
+    np.testing.assert_allclose(lam0, fd_y0, rtol=1e-5, atol=1e-8)
+    # derivative params subset is [alpha] for this problem fixture
+    pp = dict(PARAMS, alpha=PARAMS["alpha"] + eps)
+    pm = dict(PARAMS, alpha=PARAMS["alpha"] - eps)
+    fd_a = (loss(y0, pp) - loss(y0, pm)) / (2 * eps)
+    np.testing.assert_allclose(dLdp, [fd_a], rtol=1e-5, atol=1e-8)
+
+
+def test_adjoint_solver_routes_native(problem):
+    """AdjointSolver(solver='ADAMS', adjoint_solver='ADAMS') at B=1 runs
+    the native augmented-backward path and matches the JAX BDF/Hermite
+    adjoint (the cross-method agreement itself is asserted in
+    tests/test_solver_modes.py::test_adjoint_solver_adams_class_api)."""
+    from sunode_tpu.solver import AdjointSolver
+
+    s = AdjointSolver(
+        problem, reltol=1e-8, abstol=1e-8, solver="ADAMS", adjoint_solver="ADAMS"
+    )
+    s.set_params_dict(PARAMS)
+    ys = s.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
+    assert "native_ys" in s._last_forward  # fast path actually taken
+    grads = np.ones((len(TVALS), 2))
+    quad, lam = s.solve_backward(TVALS[-1], 0.0, TVALS, grads)
+    assert np.isfinite(quad).all() and np.isfinite(lam).all()
+    # opt-out flag restores the JAX checkpoint path
+    s2 = AdjointSolver(
+        problem,
+        reltol=1e-8,
+        abstol=1e-8,
+        solver="ADAMS",
+        adjoint_solver="ADAMS",
+        native_single=False,
+    )
+    s2.set_params_dict(PARAMS)
+    s2.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
+    assert "native_ys" not in s2._last_forward
+    quad2, lam2 = s2.solve_backward(TVALS[-1], 0.0, TVALS, grads)
+    np.testing.assert_allclose(quad, quad2, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(lam, lam2, rtol=1e-4, atol=1e-7)
+
+
 def test_native_robertson_cross_check():
     """Stiff golden-value agreement between the C++ and JAX BDF cores."""
     import jax.numpy as jnp
