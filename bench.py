@@ -329,6 +329,52 @@ def bench_lv_sens(args):
     from sunode_tpu.ops.adams_batched import adams_solve_batched
 
     problem = _lv_problem()
+
+    if args.batch == 1:
+        # single-chain class-API path: Solver(sens_mode='simultaneous',
+        # solver='ADAMS') routes B=1 through the native C++ augmented solve;
+        # gated against lane 0 of the committed golden fixture
+        from sunode_tpu.solver import Solver
+
+        g = np.load(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests",
+                "golden",
+                "lv_sens.npz",
+            )
+        )
+        tv = g["tvals"]
+        y0 = g["y0s"][0]
+        p = g["ps"][0]
+        solver = Solver(
+            problem,
+            reltol=args.rtol,
+            abstol=args.rtol,
+            sens_mode="simultaneous",
+            solver="ADAMS",
+        )
+        solver.set_params_dict(
+            {"alpha": p[0], "beta": p[1], "gamma": p[2], "delta": p[3]}
+        )
+        ys, sens = solver.solve(0.0, tv, y0)
+        np.testing.assert_allclose(ys, g["ys"][0], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(sens), g["sens"][0], rtol=2e-3, atol=1e-4
+        )
+        times = []
+        for _ in range(max(args.repeats, 50)):
+            t0 = time.perf_counter()
+            solver.solve(0.0, tv, y0)
+            times.append(time.perf_counter() - t0)
+        per_solve = min(times)
+        return {
+            "metric": "lv_sens_single_solve_wallclock",
+            "value": round(per_solve * 1e6, 2),
+            "unit": "us/sens-solve (B=1, native host path)",
+            "vs_baseline": round((1.0 / REFERENCE_GRADS_PER_SEC) / per_solve, 3),
+        }
+
     rhs = problem.make_rhs()
     sens_rhs = problem.make_sensitivity_rhs()
     n, k = 2, 2

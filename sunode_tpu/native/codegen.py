@@ -122,6 +122,13 @@ def compile_problem_c(problem, *, cache: bool = True):
     quad_src = _emit_c_function(
         "sunode_quad_rhs", problem._sym_quad_rhs, varmap, adj_sig
     )
+    # df/dp over the derivative-params subset, (n, n_params) row-major
+    dfdp_src = _emit_c_function(
+        "sunode_dfdp",
+        problem._sym_dydp,
+        varmap,
+        "double t, const double* y, const double* p, double* out",
+    )
     # prologue mapping placeholders to array loads
     defines = []
     for i in range(n):
@@ -134,7 +141,7 @@ def compile_problem_c(problem, *, cache: bool = True):
             header[:1]
             + defines
             + header[1:]
-            + [rhs_src, jac_src, adj_src, quad_src, "}"]
+            + [rhs_src, jac_src, adj_src, quad_src, dfdp_src, "}"]
         )
         + "\n"
     )

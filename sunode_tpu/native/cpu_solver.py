@@ -71,6 +71,8 @@ class CpuSolver:
         self._core.cvadams_solve_batch.restype = None
         self._core.cvadams_adjoint_solve.restype = ctypes.c_int
         self._core.cvadams_adjoint_backward.restype = ctypes.c_int
+        self._core.cvadams_sens_solve.restype = ctypes.c_int
+        self._dfdp_ptr = ctypes.cast(self._plib.sunode_dfdp, ctypes.c_void_p)
         self._adj_ptr = ctypes.cast(self._plib.sunode_adj_rhs, ctypes.c_void_p)
         self._quad_ptr = ctypes.cast(self._plib.sunode_quad_rhs, ctypes.c_void_p)
 
@@ -310,6 +312,87 @@ class CpuSolver:
                 f"{_STATUS_MESSAGES.get(rc, f'code {rc}')}"
             )
         return ys, lam0, dLdp[:nq]
+
+    def solve_sens(
+        self,
+        t0,
+        tvals,
+        y0,
+        sens0=None,
+        *,
+        abstol_sens: Optional[float] = None,
+    ):
+        """Forward solve with simultaneous sensitivities (CV_SIMULTANEOUS
+        analog): returns ``(ys, sens)`` with ``sens[m, k, i] =
+        d y_i(t_m) / d p_k`` over the derivative-params subset.  The
+        augmented state [y; vec(S)] is error-controlled jointly
+        (CVodeSensEEtolerances + SetSensErrCon semantics,
+        reference solver.py:360-392).  Requires ``method='ADAMS'``."""
+        if self._method != "ADAMS":
+            raise SolverError("solve_sens requires method='ADAMS'")
+        n = self._problem.n_states
+        nq = self._problem.n_params
+        y0 = np.ascontiguousarray(
+            self._problem.states.coerce_flat(y0, xp=np), np.float64
+        )
+        if y0.ndim != 1:
+            raise SolverError("solve_sens is the single-instance path")
+        if sens0 is None:
+            sens0 = np.zeros((nq, n))
+        sens0 = np.ascontiguousarray(sens0, np.float64)
+        if sens0.shape != (nq, n):
+            raise SolverError(f"sens0 must have shape {(nq, n)}")
+        tvals = np.ascontiguousarray(tvals, np.float64)
+        n_t = len(tvals)
+        a_sens = (
+            float(np.max(self._atol)) if abstol_sens is None else float(abstol_sens)
+        )
+        ys = np.full((n_t, n), np.nan)
+        sens = np.full((n_t, max(nq, 1), n), np.nan)
+        stats = np.zeros(8, np.int64)
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+        rc = self._core.cvadams_sens_solve(
+            ctypes.c_int(n),
+            ctypes.c_int(nq),
+            self._rhs_ptr,
+            self._jac_ptr,
+            self._dfdp_ptr,
+            ctypes.c_double(float(t0)),
+            dptr(y0),
+            dptr(sens0),
+            dptr(self._params),
+            ctypes.c_int(n_t),
+            dptr(tvals),
+            ctypes.c_double(self._rtol),
+            dptr(self._atol),
+            ctypes.c_double(a_sens),
+            ctypes.c_int64(self._max_steps),
+            ctypes.c_int(self._adams_max_order),
+            dptr(ys),
+            dptr(sens),
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        self.last_stats = dict(
+            zip(
+                [
+                    "n_steps",
+                    "n_rhs_evals",
+                    "n_jac_evals",
+                    "n_factorizations",
+                    "n_newton_iters",
+                    "n_error_test_fails",
+                    "n_conv_fails",
+                    "final_order",
+                ],
+                stats.tolist(),
+            )
+        )
+        if rc != 0:
+            raise SolverError(
+                f"Native sensitivity solve failed: "
+                f"{_STATUS_MESSAGES.get(rc, f'code {rc}')}"
+            )
+        return ys, sens[:, :nq, :]
 
     def solve_adjoint_backward(
         self,

@@ -752,6 +752,56 @@ int adams_adjoint_backward(int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn,
   return 0;
 }
 
+// ---------------------------------------------------------------------
+// Forward sensitivities, CV_SIMULTANEOUS analog (reference _init_sens,
+// solver.py:360-392): augmented state [y; vec(S)] stepped together with
+// joint error control (CVodeSensEEtolerances + SetSensErrCon semantics),
+// S'_k = J S_k + df/dp_k.  Adams functional-iteration core (the same
+// augmentation the JAX class API uses for solver='ADAMS').
+// ---------------------------------------------------------------------
+int adams_sens_solve_one(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
+                         rhs_fn dfdp_fn, double t0, const double* y0,
+                         const double* sens0, const double* params, int n_t,
+                         const double* tvals, double rtol, const double* atol,
+                         double atol_sens, int64_t max_steps, int max_order,
+                         double* ys_out, double* sens_out, Stats* stats) {
+  const int nz = n + nq * n;
+  std::vector<double> z0(nz), atol_z(nz), zbuf((size_t)n_t * nz);
+  std::vector<double> Jbuf((size_t)n * n), dfdp((size_t)n * std::max(nq, 1));
+  for (int i = 0; i < n; ++i) z0[i] = y0[i];
+  for (int k = 0; k < nq; ++k)
+    for (int i = 0; i < n; ++i) z0[n + k * n + i] = sens0[k * n + i];
+  for (int i = 0; i < n; ++i) atol_z[i] = atol[i];
+  for (int i = n; i < nz; ++i) atol_z[i] = atol_sens;
+
+  auto aug = [&](double t, const double* zz, const double* /*p*/, double* out) {
+    f_fn(t, zz, params, out);
+    j_fn(t, zz, params, Jbuf.data());
+    dfdp_fn(t, zz, params, dfdp.data());
+    for (int k = 0; k < nq; ++k) {
+      const double* Sk = zz + n + k * n;
+      double* Ok = out + n + k * n;
+      for (int i = 0; i < n; ++i) {
+        double acc = dfdp[(size_t)i * nq + k];
+        const double* Ji = Jbuf.data() + (size_t)i * n;
+        for (int j = 0; j < n; ++j) acc += Ji[j] * Sk[j];
+        Ok[i] = acc;
+      }
+    }
+  };
+  int rc = adams_solve_one(nz, aug, t0, z0.data(), params, n_t, tvals, rtol,
+                           atol_z.data(), max_steps, -1.0, max_order,
+                           zbuf.data(), stats);
+  for (int m = 0; m < n_t; ++m) {
+    const double* row = zbuf.data() + (size_t)m * nz;
+    for (int i = 0; i < n; ++i) ys_out[(size_t)m * n + i] = row[i];
+    for (int k = 0; k < nq; ++k)
+      for (int i = 0; i < n; ++i)
+        sens_out[((size_t)m * nq + k) * n + i] = row[n + k * n + i];
+  }
+  return rc;
+}
+
 }  // namespace
 
 extern "C" {
@@ -784,6 +834,29 @@ int cvadams_solve(int n, rhs_fn f_fn, double t0, const double* y0,
   Stats st;
   int rc = adams_solve_one(n, f_fn, t0, y0, params, n_t, tvals, rtol, atol,
                            max_steps, first_step, max_order, ys_out, &st);
+  if (stats_out) {
+    stats_out[0] = st.n_steps;
+    stats_out[1] = st.n_rhs_evals;
+    stats_out[2] = st.n_jac_evals;
+    stats_out[3] = st.n_factorizations;
+    stats_out[4] = st.n_newton_iters;
+    stats_out[5] = st.n_error_test_fails;
+    stats_out[6] = st.n_conv_fails;
+    stats_out[7] = st.final_order;
+  }
+  return rc;
+}
+
+int cvadams_sens_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
+                       rhs_fn dfdp_fn, double t0, const double* y0,
+                       const double* sens0, const double* params, int n_t,
+                       const double* tvals, double rtol, const double* atol,
+                       double atol_sens, int64_t max_steps, int max_order,
+                       double* ys_out, double* sens_out, int64_t* stats_out) {
+  Stats st;
+  int rc = adams_sens_solve_one(n, nq, f_fn, j_fn, dfdp_fn, t0, y0, sens0,
+                                params, n_t, tvals, rtol, atol, atol_sens,
+                                max_steps, max_order, ys_out, sens_out, &st);
   if (stats_out) {
     stats_out[0] = st.n_steps;
     stats_out[1] = st.n_rhs_evals;

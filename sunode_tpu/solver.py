@@ -416,6 +416,22 @@ class Solver(_SolverBase):
             and o.save_steps == 0
         )
 
+    def _native_sens_eligible(self) -> bool:
+        o = self._options
+        return (
+            self._native_single_enabled
+            and self._solver_kind == "ADAMS"
+            and self._compute_sens
+            and self._sens_mode == "simultaneous"
+            and o.sens_pbar is None
+            and self._linear_solver == "dense"
+            and o.constraints is None
+            and o.first_step is None
+            and not np.isfinite(o.max_step)
+            and o.min_step == 0.0
+            and o.save_steps == 0
+        )
+
     def _native_single(self):
         """Lazily-built native CpuSolver for the B=1 fast path (None when
         the problem can't be compiled to C)."""
@@ -572,6 +588,24 @@ class Solver(_SolverBase):
                     y_out[...] = ys
                     return y_out
                 return ys
+
+        # B=1 simultaneous-sensitivity fast path (ADAMS): the native
+        # augmented [y; vec(S)] solve — same augmentation the jitted path
+        # uses, without the whole-batch dispatch machinery
+        if not batched and self._native_sens_eligible():
+            ns = self._native_single()
+            if ns is not None:
+                ns._params = np.ascontiguousarray(self._params, np.float64)
+                ys, sens = ns.solve_sens(
+                    t0, np.asarray(tvals, np.float64), y0_flat, sens0=sens0
+                )
+                self.last_stats = dict(ns.last_stats)
+                if sens_out is not None:
+                    sens_out[...] = sens
+                if y_out is not None:
+                    y_out[...] = ys
+                    return y_out
+                return ys, sens
 
         if self._compute_sens:
             if sens0 is None:

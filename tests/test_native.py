@@ -242,6 +242,59 @@ def test_native_adjoint_matches_fd(problem, native_adams):
     np.testing.assert_allclose(dLdp, [fd_a], rtol=1e-5, atol=1e-8)
 
 
+def test_native_sens_matches_fd(problem, native_adams):
+    """Native simultaneous sensitivities vs central FD on the tight-tol
+    native forward solve."""
+    y0 = np.array([10.0, 2.0])
+    ys, sens = native_adams.solve_sens(0.0, TVALS, y0)
+    assert sens.shape == (len(TVALS), 1, 2)  # one derivative param (alpha)
+
+    def traj(pdv):
+        s = CpuSolver(problem, abstol=1e-13, reltol=1e-13, method="ADAMS")
+        s.set_params_dict(pdv)
+        return s.solve(0.0, TVALS, y0)
+
+    eps = 1e-6
+    fd = (
+        traj(dict(PARAMS, alpha=PARAMS["alpha"] + eps))
+        - traj(dict(PARAMS, alpha=PARAMS["alpha"] - eps))
+    ) / (2 * eps)
+    np.testing.assert_allclose(sens[:, 0, :], fd, rtol=1e-4, atol=1e-6)
+    # sens0 seeding: identity row -> d y(t)/d y0 component rides along
+    _, sens_seeded = native_adams.solve_sens(
+        0.0, TVALS, y0, sens0=np.array([[1.0, 0.0]])
+    )
+    fd0 = (
+        traj_y0(problem, y0 + eps * np.eye(2)[0]) - traj_y0(problem, y0 - eps * np.eye(2)[0])
+    ) / (2 * eps)
+    # seeded column = d y / d y0_0 + d y / d alpha contribution is NOT
+    # additive here (alpha sens0 row is the alpha seed itself); instead
+    # check the pure-seed case with zero dfdp by comparing against
+    # FD over y0 PLUS the unseeded alpha sensitivity
+    np.testing.assert_allclose(
+        sens_seeded[:, 0, :], fd0 + sens[:, 0, :], rtol=1e-4, atol=1e-5
+    )
+
+
+def traj_y0(problem, y0v):
+    s = CpuSolver(problem, abstol=1e-13, reltol=1e-13, method="ADAMS")
+    s.set_params_dict(PARAMS)
+    return s.solve(0.0, TVALS, y0v)
+
+
+def test_solver_class_routes_sens_native(problem):
+    """Solver(sens_mode='simultaneous', solver='ADAMS') at B=1 runs the
+    native augmented solve (0 factorizations proves it) and agrees with
+    the jitted batched path (cross-checked in test_solver_modes.py)."""
+    s = Solver(
+        problem, abstol=1e-8, reltol=1e-8, sens_mode="simultaneous", solver="ADAMS"
+    )
+    s.set_params_dict(PARAMS)
+    ys, sens = s.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    assert np.isfinite(ys).all() and np.isfinite(np.asarray(sens)).all()
+    assert s.last_stats["n_factorizations"] == 0
+
+
 def test_adjoint_solver_routes_native(problem):
     """AdjointSolver(solver='ADAMS', adjoint_solver='ADAMS') at B=1 runs
     the native augmented-backward path and matches the JAX BDF/Hermite
