@@ -129,6 +129,19 @@ def compile_problem_c(problem, *, cache: bool = True):
         varmap,
         "double t, const double* y, const double* p, double* out",
     )
+    # explicit time derivative df/dt (zero for autonomous systems) — the
+    # quintic-Hermite recording needs fdot = J f + df/dt
+    dfdt = np.array(
+        [sy.diff(sy.sympify(e), sy.Symbol("__t", real=True)) for e in
+         np.asarray(problem._sym_dydt, dtype=object).reshape(-1)],
+        dtype=object,
+    )
+    dfdt_src = _emit_c_function(
+        "sunode_dfdt",
+        dfdt,
+        varmap,
+        "double t, const double* y, const double* p, double* out",
+    )
     # prologue mapping placeholders to array loads
     defines = []
     for i in range(n):
@@ -141,7 +154,7 @@ def compile_problem_c(problem, *, cache: bool = True):
             header[:1]
             + defines
             + header[1:]
-            + [rhs_src, jac_src, adj_src, quad_src, dfdp_src, "}"]
+            + [rhs_src, jac_src, adj_src, quad_src, dfdp_src, dfdt_src, "}"]
         )
         + "\n"
     )

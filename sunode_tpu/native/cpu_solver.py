@@ -27,6 +27,17 @@ __all__ = ["CpuSolver"]
 
 _RHS_T = ctypes.CFUNCTYPE(None)  # opaque; we pass raw pointers
 
+_STAT_KEYS = [
+    "n_steps",
+    "n_rhs_evals",
+    "n_jac_evals",
+    "n_factorizations",
+    "n_newton_iters",
+    "n_error_test_fails",
+    "n_conv_fails",
+    "final_order",
+]
+
 
 class CpuSolver:
     """Solve ODE problems on the host with the native C++ integrator.
@@ -46,6 +57,7 @@ class CpuSolver:
         n_threads: int = 0,
         method: str = "BDF",
         adams_max_order: int = 8,
+        hermite_order: int = 5,
     ):
         if method not in ("BDF", "ADAMS"):
             raise ValueError("method must be 'BDF' or 'ADAMS'")
@@ -58,6 +70,9 @@ class CpuSolver:
         self._n_threads = int(n_threads)
         self._method = method
         self._adams_max_order = int(adams_max_order)
+        if hermite_order not in (3, 5):
+            raise ValueError("hermite_order must be 3 or 5")
+        self._hermite_order = int(hermite_order)
         self._params = np.zeros(problem.n_all_params)
 
         self._core = ctypes.CDLL(str(native_lib_path()))
@@ -71,8 +86,16 @@ class CpuSolver:
         self._core.cvadams_solve_batch.restype = None
         self._core.cvadams_adjoint_solve.restype = ctypes.c_int
         self._core.cvadams_adjoint_backward.restype = ctypes.c_int
+        self._core.cvbdf_adjoint_solve.restype = ctypes.c_int
+        self._core.cvbdf_forward_record.restype = ctypes.c_void_p
+        self._core.cvbdf_backward_recorded.restype = ctypes.c_int
+        self._core.cvbdf_record_free.restype = None
+        self._core.cvbdf_adjoint_solve_batch.restype = None
+        self._core.cvadams_adjoint_solve_batch.restype = None
+        self._rec_handle: Optional[int] = None
         self._core.cvadams_sens_solve.restype = ctypes.c_int
         self._dfdp_ptr = ctypes.cast(self._plib.sunode_dfdp, ctypes.c_void_p)
+        self._dfdt_ptr = ctypes.cast(self._plib.sunode_dfdt, ctypes.c_void_p)
         self._adj_ptr = ctypes.cast(self._plib.sunode_adj_rhs, ctypes.c_void_p)
         self._quad_ptr = ctypes.cast(self._plib.sunode_quad_rhs, ctypes.c_void_p)
 
@@ -223,6 +246,7 @@ class CpuSolver:
         *,
         adjoint_reltol: Optional[float] = None,
         adjoint_abstol: Optional[float] = None,
+        params: Optional[np.ndarray] = None,
     ):
         """One native gradient pair: forward solve + backward adjoint.
 
@@ -230,67 +254,108 @@ class CpuSolver:
         ``(ys, lam0, dLdp)`` with ``lam0 = dL/dy0`` (n,) and ``dLdp``
         w.r.t. the derivative-params subset (n_params,).
 
-        The backward pass re-integrates ``[y; lambda; q]`` interval by
-        interval in reversed time (reference CVodeB structure,
-        solver.py:723-784; 'resolve'-style y instead of checkpoint
-        interpolation — y is reset to the recorded forward solution at
-        every observation, bounding drift).  Requires ``method='ADAMS'``
-        (functional iteration; the stiff adjoint lives on the JAX
-        Hermite-checkpoint path).
+        Two backward engines (reference CVodeB structure, solver.py:723-784):
+
+        - ``method='ADAMS'`` (non-stiff): re-integrates ``[y; lambda; q]``
+          interval by interval in reversed time ('resolve'-style y instead
+          of checkpoint interpolation — y is reset to the recorded forward
+          solution at every observation, bounding drift).
+        - ``method='BDF'`` (stiff): records (t, y, f[, fdot]) at every
+          accepted forward step (CVodeF analog, growable host storage — no
+          checkpoint cap, no thinning) and integrates the ``[lambda; q]``
+          system backward with modified-Newton BDF over
+          Hermite-interpolated y (CV_HERMITE analog).  With
+          ``hermite_order=5`` (default) the reconstruction is quintic
+          where the interval is non-stiff (h*||J||_inf <= 1) and falls
+          back to cubic beyond that — the h^2*(J f) quintic term
+          amplifies the forward solve's node error by (hL)^2 and is
+          poison in the stiff regime (see FwdRecord::eval, cvbdf.cpp).
         """
-        if self._method != "ADAMS":
-            raise SolverError(
-                "solve_adjoint requires method='ADAMS' (non-stiff); use the "
-                "JAX AdjointSolver for stiff problems"
-            )
         n = self._problem.n_states
         nq = self._problem.n_params
         y0 = np.ascontiguousarray(
             self._problem.states.coerce_flat(y0, xp=np), np.float64
         )
-        if y0.ndim != 1:
-            raise SolverError("solve_adjoint is the single-instance path")
         tvals = np.ascontiguousarray(tvals, np.float64)
         grads = np.ascontiguousarray(grads, np.float64)
         n_t = len(tvals)
-        if grads.shape != (n_t, n):
-            raise SolverError(f"grads must have shape {(n_t, n)}")
         a_rtol = self._rtol if adjoint_reltol is None else float(adjoint_reltol)
         a_atol = (
             float(np.max(self._atol))
             if adjoint_abstol is None
             else float(adjoint_abstol)
         )
+        if y0.ndim == 2:
+            return self._solve_adjoint_batch(
+                t0, tvals, y0, grads, a_rtol, a_atol, params
+            )
+        if params is not None:
+            raise SolverError(
+                "per-lane params only apply to the batched adjoint path"
+            )
+        if y0.ndim != 1:
+            raise SolverError("y0 must be 1-D (single) or 2-D (batch)")
+        if grads.shape != (n_t, n):
+            raise SolverError(f"grads must have shape {(n_t, n)}")
 
         ys = np.full((n_t, n), np.nan)
         lam0 = np.full(n, np.nan)
         dLdp = np.full(max(nq, 1), np.nan)
         stats = np.zeros(8, np.int64)
         dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
-        rc = self._core.cvadams_adjoint_solve(
-            ctypes.c_int(n),
-            ctypes.c_int(nq),
-            self._rhs_ptr,
-            self._adj_ptr,
-            self._quad_ptr,
-            ctypes.c_double(float(t0)),
-            dptr(y0),
-            dptr(self._params),
-            ctypes.c_int(n_t),
-            dptr(tvals),
-            dptr(grads),
-            ctypes.c_double(a_rtol),
-            dptr(self._atol),
-            ctypes.c_double(self._rtol),
-            dptr(self._atol),
-            ctypes.c_double(a_atol),
-            ctypes.c_int64(self._max_steps),
-            ctypes.c_int(self._adams_max_order),
-            dptr(ys),
-            dptr(lam0),
-            dptr(dLdp),
-            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        )
+        if self._method == "ADAMS":
+            rc = self._core.cvadams_adjoint_solve(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                self._rhs_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._adams_max_order),
+                dptr(ys),
+                dptr(lam0),
+                dptr(dLdp),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        else:
+            rc = self._core.cvbdf_adjoint_solve(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                self._dfdt_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._hermite_order),
+                dptr(ys),
+                dptr(lam0),
+                dptr(dLdp),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
         self.last_stats = dict(
             zip(
                 [
@@ -393,6 +458,219 @@ class CpuSolver:
                 f"{_STATUS_MESSAGES.get(rc, f'code {rc}')}"
             )
         return ys, sens[:, :nq, :]
+
+    def _solve_adjoint_batch(self, t0, tvals, y0, grads, a_rtol, a_atol, params):
+        """Threaded batch of full native gradient pairs — the multi-chain
+        gradient executor (the reference covers this with fork-per-chain
+        multiprocessing, README.md:233-238; here a C++ work-stealing pool,
+        cvbdf_adjoint_solve_batch / cvadams_adjoint_solve_batch).  Each lane
+        has its own ``y0``, cotangents and (optionally, via ``params`` of
+        shape (B, n_all_params)) its own parameter vector.  Failed lanes
+        keep NaN outputs and a nonzero entry in ``last_status`` — the
+        NaN-poison contract (reference as_pytensor.py:244-247) rather than
+        an exception, so one diverged chain can't kill a sampler sweep."""
+        n = self._problem.n_states
+        nq = self._problem.n_params
+        batch = y0.shape[0]
+        n_t = len(tvals)
+        if grads.shape != (batch, n_t, n):
+            raise SolverError(f"grads must have shape {(batch, n_t, n)}")
+        if params is None:
+            params = np.broadcast_to(self._params, (batch, self._params.size))
+        params = np.ascontiguousarray(params, np.float64)
+        if params.shape != (batch, self._params.size):
+            raise SolverError(
+                f"params must have shape {(batch, self._params.size)}"
+            )
+        ys = np.full((batch, n_t, n), np.nan)
+        lam0 = np.full((batch, n), np.nan)
+        dLdp = np.full((batch, max(nq, 1)), np.nan)
+        status = np.zeros(batch, np.int32)
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+        if self._method == "ADAMS":
+            self._core.cvadams_adjoint_solve_batch(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                self._rhs_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(params),
+                ctypes.c_int(params.shape[1]),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._adams_max_order),
+                ctypes.c_int(batch),
+                ctypes.c_int(self._n_threads),
+                dptr(ys),
+                dptr(lam0),
+                dptr(dLdp),
+                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            )
+        else:
+            self._core.cvbdf_adjoint_solve_batch(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                self._dfdt_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(params),
+                ctypes.c_int(params.shape[1]),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._hermite_order),
+                ctypes.c_int(batch),
+                ctypes.c_int(self._n_threads),
+                dptr(ys),
+                dptr(lam0),
+                dptr(dLdp),
+                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            )
+        self.last_status = status
+        return ys, lam0, dLdp[:, :nq]
+
+    # --- BDF record-handle pair (CVodeF / CVodeB split) ----------------
+    def _free_record(self) -> None:
+        if getattr(self, "_rec_handle", None):
+            self._core.cvbdf_record_free(ctypes.c_void_p(self._rec_handle))
+            self._rec_handle = None
+
+    def __del__(self):  # pragma: no cover - exercised implicitly
+        try:
+            self._free_record()
+        except Exception:
+            pass
+
+    def solve_forward_recorded(self, t0, tvals, y0):
+        """BDF forward solve that keeps the dense (t, y, f[, fdot]) Hermite
+        record alive in native memory (CVodeF analog) for a later
+        :meth:`solve_backward_recorded`.  Returns ``ys`` at ``tvals``."""
+        if self._method != "BDF":
+            raise SolverError("solve_forward_recorded requires method='BDF'")
+        n = self._problem.n_states
+        y0 = np.ascontiguousarray(
+            self._problem.states.coerce_flat(y0, xp=np), np.float64
+        )
+        if y0.ndim != 1:
+            raise SolverError("solve_forward_recorded is the single-instance path")
+        tvals = np.ascontiguousarray(tvals, np.float64)
+        n_t = len(tvals)
+        ys = np.full((n_t, n), np.nan)
+        stats = np.zeros(8, np.int64)
+        rc = ctypes.c_int(-1)
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+        self._free_record()
+        handle = self._core.cvbdf_forward_record(
+            ctypes.c_int(n),
+            self._rhs_ptr,
+            self._jac_ptr,
+            self._dfdt_ptr,
+            ctypes.c_double(float(t0)),
+            dptr(y0),
+            dptr(self._params),
+            ctypes.c_int(n_t),
+            dptr(tvals),
+            ctypes.c_double(self._rtol),
+            dptr(self._atol),
+            ctypes.c_int64(self._max_steps),
+            ctypes.c_int(self._hermite_order),
+            dptr(ys),
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.byref(rc),
+        )
+        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
+        if rc.value != 0 or not handle:
+            raise SolverError(
+                f"Native forward record failed: "
+                f"{_STATUS_MESSAGES.get(rc.value, f'code {rc.value}')}"
+            )
+        self._rec_handle = handle
+        self._rec_t0 = float(t0)
+        return ys
+
+    def solve_backward_recorded(
+        self,
+        t0,
+        tvals,
+        grads,
+        *,
+        adjoint_reltol: Optional[float] = None,
+        adjoint_abstol: Optional[float] = None,
+    ):
+        """Backward stiff adjoint against the record kept by
+        :meth:`solve_forward_recorded` (CVodeB/CV_HERMITE analog).  Returns
+        ``(lam0, dLdp)`` for ``L = sum_k grads[k] . y(t_k)``.  The record
+        stays alive, so multiple cotangent sets can be swept without
+        re-integrating forward."""
+        if self._rec_handle is None:
+            raise SolverError(
+                "solve_backward_recorded called before solve_forward_recorded"
+            )
+        n = self._problem.n_states
+        nq = self._problem.n_params
+        tvals = np.ascontiguousarray(tvals, np.float64)
+        grads = np.ascontiguousarray(grads, np.float64)
+        n_t = len(tvals)
+        if grads.shape != (n_t, n):
+            raise SolverError(f"grads must have shape {(n_t, n)}")
+        a_rtol = self._rtol if adjoint_reltol is None else float(adjoint_reltol)
+        a_atol = (
+            float(np.max(self._atol))
+            if adjoint_abstol is None
+            else float(adjoint_abstol)
+        )
+        lam0 = np.full(n, np.nan)
+        dLdp = np.full(max(nq, 1), np.nan)
+        stats = np.zeros(8, np.int64)
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+        rc = self._core.cvbdf_backward_recorded(
+            ctypes.c_void_p(self._rec_handle),
+            ctypes.c_int(n),
+            ctypes.c_int(nq),
+            self._jac_ptr,
+            self._adj_ptr,
+            self._quad_ptr,
+            self._dfdp_ptr,
+            dptr(self._params),
+            ctypes.c_double(float(t0)),
+            ctypes.c_int(n_t),
+            dptr(tvals),
+            dptr(grads),
+            ctypes.c_double(a_rtol),
+            dptr(self._atol),
+            ctypes.c_double(a_atol),
+            ctypes.c_int64(self._max_steps),
+            dptr(lam0),
+            dptr(dLdp),
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
+        if rc != 0:
+            raise SolverError(
+                f"Native backward solve failed: "
+                f"{_STATUS_MESSAGES.get(rc, f'code {rc}')}"
+            )
+        return lam0, dLdp[:nq]
 
     def solve_adjoint_backward(
         self,

@@ -23,6 +23,8 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <functional>
+#include <memory>
 #include <thread>
 #include <vector>
 #include <atomic>
@@ -157,6 +159,89 @@ struct Work {
         y(n), f(n), delta(n), err(n), y_out_row(n), piv(n) {}
 };
 
+// Forward-trajectory recorder + Hermite evaluator (CVodeF/CV_HERMITE
+// analog, reference solver.py:579-588 + 16_cvodes.h:40-41).  Host-side:
+// growable storage, no checkpoint cap and hence no thinning.  When an
+// `fdot` hook is set, rows carry (y, f, fdot) and evaluation is QUINTIC
+// Hermite — matching values, first and second derivatives at both nodes,
+// a C^2 reconstruction whose O(h^6) error floor lets the backward BDF
+// reach tolerances the cubic (O(h^4), C^1 kinks) cannot (same upgrade the
+// JAX path ships as hermite_order=5, ops/_recording.py).
+struct FwdRecord {
+  int n = 0;
+  // optional: fills fdot = J f + df/dt at a recorded point; returns the
+  // Lipschitz estimate ||J||_inf there (for the stiffness gate below).
+  // quintic_data tracks the storage layout independently of the hook, so
+  // a record can outlive the hook's captured pointers (handle API).
+  std::function<double(double, const double*, const double*, double*)> fdot;
+  bool quintic_data = false;
+  std::vector<double> ts;
+  std::vector<double> yf;  // per step: y (n), f (n) [, fdot (n)]
+  std::vector<double> Lf;  // per step: ||J||_inf (quintic mode only)
+  std::vector<double> fd_tmp;
+  int stride() const { return quintic_data ? 3 * n : 2 * n; }
+  void add(double t, const double* y, const double* f) {
+    if (!ts.empty() && t <= ts.back()) return;  // only strictly advancing
+    if (ts.empty()) quintic_data = (bool)fdot;
+    ts.push_back(t);
+    yf.insert(yf.end(), y, y + n);
+    yf.insert(yf.end(), f, f + n);
+    if (fdot) {
+      fd_tmp.resize(n);
+      Lf.push_back(fdot(t, y, f, fd_tmp.data()));
+      yf.insert(yf.end(), fd_tmp.begin(), fd_tmp.end());
+    }
+  }
+  // Hermite interpolation between the bracketing recorded steps (clamped)
+  void eval(double t, double* out) const {
+    const size_t st = stride();
+    size_t m = ts.size();
+    if (m == 1 || t <= ts.front()) {
+      const double* r = yf.data();
+      for (int i = 0; i < n; ++i) out[i] = r[i];
+      return;
+    }
+    if (t >= ts.back()) {
+      const double* r = yf.data() + (m - 1) * st;
+      for (int i = 0; i < n; ++i) out[i] = r[i];
+      return;
+    }
+    size_t hi = std::upper_bound(ts.begin(), ts.end(), t) - ts.begin();
+    size_t lo = hi - 1;
+    double t0 = ts[lo], t1 = ts[hi], h = t1 - t0;
+    double s = (t - t0) / h;
+    double s2 = s * s, s3 = s2 * s;
+    const double* r0 = yf.data() + lo * st;
+    const double* r1 = yf.data() + hi * st;
+    // Stiffness gate: the quintic's h^2 * (J f) term amplifies the forward
+    // solution's O(tol) node error by (h L)^2 (two exact solutions a
+    // distance d apart differ in curvature by ~L^2 d), and the J f product
+    // itself cancels catastrophically near stiff equilibria.  Quintic only
+    // pays off when h L <~ 1 — exactly the non-stiff regime; beyond it,
+    // cubic (CVODES's own CV_HERMITE choice) is strictly more accurate.
+    // Measured on Robertson t<=1e5 (fwd rtol 1e-10): ungated quintic
+    // max-rel interpolation error 2.7e-2 vs cubic 1.8e-8.
+    if (quintic_data && (ts[hi] - ts[lo]) * std::max(Lf[lo], Lf[hi]) <= 1.0) {
+      double s4 = s3 * s, s5 = s4 * s;
+      double H0 = 1 - 10 * s3 + 15 * s4 - 6 * s5;
+      double H1 = s - 6 * s3 + 8 * s4 - 3 * s5;
+      double H2 = 0.5 * (s2 - 3 * s3 + 3 * s4 - s5);
+      double H3 = 10 * s3 - 15 * s4 + 6 * s5;
+      double H4 = -4 * s3 + 7 * s4 - 3 * s5;
+      double H5 = 0.5 * (s3 - 2 * s4 + s5);
+      for (int i = 0; i < n; ++i)
+        out[i] = H0 * r0[i] + h * H1 * r0[n + i] + h * h * H2 * r0[2 * n + i] +
+                 H3 * r1[i] + h * H4 * r1[n + i] + h * h * H5 * r1[2 * n + i];
+    } else {
+      double h00 = 2 * s3 - 3 * s2 + 1, h10 = s3 - 2 * s2 + s;
+      double h01 = -2 * s3 + 3 * s2, h11 = s3 - s2;
+      for (int i = 0; i < n; ++i)
+        out[i] = h00 * r0[i] + h * h10 * r0[n + i] + h01 * r1[i] +
+                 h * h11 * r1[n + i];
+    }
+  }
+};
+
 double wrms(int n, const double* x, const double* scale) {
   double acc = 0.0;
   for (int i = 0; i < n; ++i) {
@@ -196,7 +281,7 @@ template <class F, class FJ>
 int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
               const double* params, int n_t, const double* tvals, double rtol,
               const double* atol, int64_t max_steps, double first_step,
-              double* ys_out, Stats* stats) {
+              double* ys_out, Stats* stats, FwdRecord* rec = nullptr) {
   const double gamma_tab[MAX_ORDER + 1] = {0, 1, 1.5, 1.5 + 1.0 / 3,
                                            1.5 + 1.0 / 3 + 0.25,
                                            1.5 + 1.0 / 3 + 0.25 + 0.2};
@@ -250,6 +335,11 @@ int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
   j_fn(t0, y0, params, w.J.data());
   stats->n_jac_evals++;
   J_current = true;
+
+  if (rec) {
+    rec->n = n;
+    rec->add(t0, y0, f0.data());
+  }
 
   double newton_tol =
       std::max(10 * 2.220446049250313e-16 / rtol, std::min(0.03, std::sqrt(rtol)));
@@ -357,6 +447,14 @@ int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
     ++stats->n_steps;
     ++n_equal;
     J_current = false;
+
+    if (rec) {
+      // fresh RHS at the accepted point (the Newton w.f is one iterate
+      // stale) — Hermite-quality recording costs one extra eval per step
+      f_fn(t, w.y.data(), params, w.f.data());
+      stats->n_rhs_evals++;
+      rec->add(t, w.y.data(), w.f.data());
+    }
 
     while (i_out < n_t && tvals[i_out] <= t + 1e-14 * std::fabs(t)) {
       interpolate(n, q, w.D.data(), t, h_use, tvals[i_out],
@@ -752,6 +850,78 @@ int adams_adjoint_backward(int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn,
   return 0;
 }
 
+// Stiff (BDF) adjoint backward pass against a Hermite-recorded forward
+// trajectory — the reference's CVodeF + CVodeB(CV_HERMITE) design
+// (solver.py:682-784): the lambda/quad system integrates backward with
+// modified-Newton BDF, y(t) reconstructed by cubic Hermite interpolation
+// of the recorded (t, y, f) steps.  State z = [lambda (n); q (nq)] in
+// reversed time tau = t_hi - t:
+//   lambda' = +J(t, yhat)^T lambda,   q' = +lambda^T df/dp(t, yhat)
+// Augmented Jacobian: [[J^T, 0], [dfdp^T, 0]] (exact — y is not a state).
+int bdf_adjoint_backward(int n, int nq, jac_fn j_fn, adj_rhs_fn adj_fn,
+                         adj_rhs_fn quad_fn, rhs_fn dfdp_fn,
+                         const FwdRecord& rec, const double* params,
+                         double t0, int n_t, const double* tvals,
+                         const double* grads, double rtol,
+                         const double* atol_lam, double atol_adj,
+                         int64_t max_steps, double* lam_out, double* quad_out,
+                         Stats* stats) {
+  const int m = n + nq;
+  std::vector<double> z(m), z_end(m), atol_z(m);
+  std::vector<double> yhat(n), Jbuf((size_t)n * n),
+      dfdp((size_t)n * std::max(nq, 1));
+  for (int i = 0; i < n; ++i) atol_z[i] = atol_lam[i];
+  for (int i = n; i < m; ++i) atol_z[i] = atol_adj;
+  for (int i = 0; i < m; ++i) z[i] = 0.0;
+
+  auto run_interval = [&](double t_hi, double t_lo) -> int {
+    double tau_end = t_hi - t_lo;
+    auto aug = [&](double tau, const double* zz, const double* /*p*/,
+                   double* out) {
+      double t = t_hi - tau;
+      rec.eval(t, yhat.data());
+      adj_fn(t, yhat.data(), zz, params, out);       // dlam/dt = -J^T lam
+      for (int i = 0; i < n; ++i) out[i] = -out[i];  // d/dtau flips sign
+      if (nq) quad_fn(t, yhat.data(), zz, params, out + n);
+    };
+    auto augjac = [&](double tau, const double* /*zz*/, const double* /*p*/,
+                      double* out) {
+      double t = t_hi - tau;
+      rec.eval(t, yhat.data());
+      j_fn(t, yhat.data(), params, Jbuf.data());
+      if (nq) dfdp_fn(t, yhat.data(), params, dfdp.data());
+      std::memset(out, 0, sizeof(double) * (size_t)m * m);
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j)
+          out[(size_t)i * m + j] = Jbuf[(size_t)j * n + i];
+      for (int k = 0; k < nq; ++k)
+        for (int j = 0; j < n; ++j)
+          out[(size_t)(n + k) * m + j] = dfdp[(size_t)j * nq + k];
+    };
+    double tv1[1] = {tau_end};
+    int rc = solve_one(m, aug, augjac, 0.0, z.data(), params, 1, tv1, rtol,
+                       atol_z.data(), max_steps, -1.0, z_end.data(), stats);
+    if (rc == 0) std::copy(z_end.begin(), z_end.end(), z.begin());
+    return rc;
+  };
+
+  for (int k = n_t - 1; k >= 1; --k) {
+    for (int i = 0; i < n; ++i) z[i] += grads[(size_t)k * n + i];
+    if (tvals[k] > tvals[k - 1]) {
+      int rc = run_interval(tvals[k], tvals[k - 1]);
+      if (rc != 0) return rc;
+    }
+  }
+  for (int i = 0; i < n; ++i) z[i] += grads[i];
+  if (tvals[0] > t0) {
+    int rc = run_interval(tvals[0], t0);
+    if (rc != 0) return rc;
+  }
+  for (int i = 0; i < n; ++i) lam_out[i] = z[i];
+  for (int k = 0; k < nq; ++k) quad_out[k] = z[n + k];
+  return 0;
+}
+
 // ---------------------------------------------------------------------
 // Forward sensitivities, CV_SIMULTANEOUS analog (reference _init_sens,
 // solver.py:360-392): augmented state [y; vec(S)] stepped together with
@@ -898,6 +1068,157 @@ int cvadams_adjoint_backward(int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn,
   return rc;
 }
 
+static void fill_stats(const Stats& st, int64_t* stats_out) {
+  if (!stats_out) return;
+  stats_out[0] = st.n_steps;
+  stats_out[1] = st.n_rhs_evals;
+  stats_out[2] = st.n_jac_evals;
+  stats_out[3] = st.n_factorizations;
+  stats_out[4] = st.n_newton_iters;
+  stats_out[5] = st.n_error_test_fails;
+  stats_out[6] = st.n_conv_fails;
+  stats_out[7] = st.final_order;
+}
+
+static void set_quintic_hook(FwdRecord& rec, int n, jac_fn j_fn,
+                             rhs_fn dfdt_fn, const double* params) {
+  // fdot = J f + df/dt (the same jvp the JAX recorder takes,
+  // ops/_recording.py fdot); returns ||J||_inf for the stiffness gate.
+  // The lambda owns its scratch so the record can outlive this frame
+  // (cvbdf_forward_record handle API).
+  auto Jr = std::make_shared<std::vector<double>>((size_t)n * n);
+  auto dfdt_buf = std::make_shared<std::vector<double>>(n);
+  rec.fdot = [n, j_fn, dfdt_fn, params, Jr, dfdt_buf](
+                 double t, const double* y, const double* f, double* fd) {
+    j_fn(t, y, params, Jr->data());
+    dfdt_fn(t, y, params, dfdt_buf->data());
+    double L = 0.0;
+    for (int i = 0; i < n; ++i) {
+      double acc = (*dfdt_buf)[i], row = 0.0;
+      const double* Ji = Jr->data() + (size_t)i * n;
+      for (int j = 0; j < n; ++j) {
+        acc += Ji[j] * f[j];
+        row += std::fabs(Ji[j]);
+      }
+      fd[i] = acc;
+      L = std::max(L, row);
+    }
+    return L;
+  };
+}
+
+// Full stiff adjoint gradient pair: recorded BDF forward (CVodeF analog)
+// + Hermite-interpolated BDF backward (CVodeB/CV_HERMITE analog).
+int cvbdf_adjoint_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
+                        adj_rhs_fn adj_fn, adj_rhs_fn quad_fn, rhs_fn dfdp_fn,
+                        rhs_fn dfdt_fn, double t0, const double* y0,
+                        const double* params, int n_t, const double* tvals,
+                        const double* grads, double rtol,
+                        const double* atol_lam, double fwd_rtol,
+                        const double* fwd_atol, double atol_adj,
+                        int64_t max_steps, int herm_order, double* ys_out,
+                        double* lam_out, double* quad_out,
+                        int64_t* stats_out) {
+  Stats st;
+  FwdRecord rec;
+  if (herm_order >= 5) set_quintic_hook(rec, n, j_fn, dfdt_fn, params);
+  int rc = solve_one(n, f_fn, j_fn, t0, y0, params, n_t, tvals, fwd_rtol,
+                     fwd_atol, max_steps, -1.0, ys_out, &st, &rec);
+  if (rc == 0) {
+    rc = bdf_adjoint_backward(n, nq, j_fn, adj_fn, quad_fn, dfdp_fn, rec,
+                              params, t0, n_t, tvals, grads, rtol, atol_lam,
+                              atol_adj, max_steps, lam_out, quad_out, &st);
+  }
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// Handle API: split forward-record / backward for class-style drivers
+// (AdjointSolver.solve_forward / solve_backward, reference CVodeF/CVodeB).
+// The returned handle owns the dense Hermite record; free it with
+// cvbdf_record_free.  On failure returns NULL (rc in *rc_out).
+void* cvbdf_forward_record(int n, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdt_fn,
+                           double t0, const double* y0, const double* params,
+                           int n_t, const double* tvals, double fwd_rtol,
+                           const double* fwd_atol, int64_t max_steps,
+                           int herm_order, double* ys_out, int64_t* stats_out,
+                           int* rc_out) {
+  Stats st;
+  auto* rec = new FwdRecord();
+  if (herm_order >= 5) set_quintic_hook(*rec, n, j_fn, dfdt_fn, params);
+  int rc = solve_one(n, f_fn, j_fn, t0, y0, params, n_t, tvals, fwd_rtol,
+                     fwd_atol, max_steps, -1.0, ys_out, &st, rec);
+  fill_stats(st, stats_out);
+  if (rc_out) *rc_out = rc;
+  if (rc != 0) {
+    delete rec;
+    return nullptr;
+  }
+  rec->fdot = nullptr;  // hook captures die with this frame; data is kept
+  return rec;
+}
+
+int cvbdf_backward_recorded(void* rec_handle, int n, int nq, jac_fn j_fn,
+                            adj_rhs_fn adj_fn, adj_rhs_fn quad_fn,
+                            rhs_fn dfdp_fn, const double* params, double t0,
+                            int n_t, const double* tvals, const double* grads,
+                            double rtol, const double* atol_lam,
+                            double atol_adj, int64_t max_steps,
+                            double* lam_out, double* quad_out,
+                            int64_t* stats_out) {
+  Stats st;
+  const auto* rec = static_cast<const FwdRecord*>(rec_handle);
+  int rc = bdf_adjoint_backward(n, nq, j_fn, adj_fn, quad_fn, dfdp_fn, *rec,
+                                params, t0, n_t, tvals, grads, rtol, atol_lam,
+                                atol_adj, max_steps, lam_out, quad_out, &st);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+void cvbdf_record_free(void* rec_handle) {
+  delete static_cast<FwdRecord*>(rec_handle);
+}
+
+// Diagnostic: run the recorded forward solve (as cvbdf_adjoint_solve
+// would), then evaluate the Hermite reconstruction at n_q query times.
+// Lets tests measure interpolant quality directly against a dense
+// tight-tolerance solve (tests/test_native.py).
+int cvbdf_interp_probe(int n, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdt_fn,
+                       double t0, const double* y0, const double* params,
+                       double t_end, double fwd_rtol, const double* fwd_atol,
+                       int64_t max_steps, int herm_order, int n_q,
+                       const double* tq, double* yq_out, int64_t* n_rec_out) {
+  Stats st;
+  FwdRecord rec;
+  std::vector<double> Jr((size_t)n * n), dfdt_buf(n);
+  if (herm_order >= 5) {
+    rec.fdot = [&](double t, const double* y, const double* f, double* fd) {
+      j_fn(t, y, params, Jr.data());
+      dfdt_fn(t, y, params, dfdt_buf.data());
+      double L = 0.0;
+      for (int i = 0; i < n; ++i) {
+        double acc = dfdt_buf[i], row = 0.0;
+        const double* Ji = Jr.data() + (size_t)i * n;
+        for (int j = 0; j < n; ++j) {
+          acc += Ji[j] * f[j];
+          row += std::fabs(Ji[j]);
+        }
+        fd[i] = acc;
+        L = std::max(L, row);
+      }
+      return L;
+    };
+  }
+  std::vector<double> ys_tmp(n);
+  double tv1[1] = {t_end};
+  int rc = solve_one(n, f_fn, j_fn, t0, y0, params, 1, tv1, fwd_rtol, fwd_atol,
+                     max_steps, -1.0, ys_tmp.data(), &st, &rec);
+  if (rc != 0) return rc;
+  for (int k = 0; k < n_q; ++k) rec.eval(tq[k], yq_out + (size_t)k * n);
+  if (n_rec_out) *n_rec_out = (int64_t)rec.ts.size();
+  return 0;
+}
+
 // Full adjoint gradient pair: forward Adams solve (emits ys at tvals),
 // then interval-wise backward augmented solve.  Returns lam(t0) = dL/dy0
 // and quad = dL/dp (derivative-param subset), for L = sum_k g_k . y(t_k).
@@ -978,6 +1299,72 @@ void cvbdf_solve_batch(int n, rhs_fn f_fn, jac_fn j_fn, double t0,
           n, f_fn, j_fn, t0, y0_batch + (size_t)b * n,
           params_batch + (size_t)b * n_params, n_t, tvals, rtol, atol,
           max_steps, -1.0, ys_out_batch + (size_t)b * n_t * n, &st);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < std::min(n_threads, batch); ++i)
+    pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+// Threaded batch of full stiff adjoint gradient pairs — the native
+// multi-chain gradient executor (replaces the reference's fork-per-chain
+// multiprocessing for samplers on host CPUs, README.md:233-238).  Each
+// lane has its own y0, params and cotangent set; per-lane status.
+void cvbdf_adjoint_solve_batch(
+    int n, int nq, rhs_fn f_fn, jac_fn j_fn, adj_rhs_fn adj_fn,
+    adj_rhs_fn quad_fn, rhs_fn dfdp_fn, rhs_fn dfdt_fn, double t0,
+    const double* y0_batch, const double* params_batch, int n_params, int n_t,
+    const double* tvals, const double* grads_batch, double rtol,
+    const double* atol_lam, double fwd_rtol, const double* fwd_atol,
+    double atol_adj, int64_t max_steps, int herm_order, int batch,
+    int n_threads, double* ys_out_batch, double* lam_out_batch,
+    double* quad_out_batch, int* status_out) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      status_out[b] = cvbdf_adjoint_solve(
+          n, nq, f_fn, j_fn, adj_fn, quad_fn, dfdp_fn, dfdt_fn, t0,
+          y0_batch + (size_t)b * n, params_batch + (size_t)b * n_params, n_t,
+          tvals, grads_batch + (size_t)b * n_t * n, rtol, atol_lam, fwd_rtol,
+          fwd_atol, atol_adj, max_steps, herm_order,
+          ys_out_batch + (size_t)b * n_t * n, lam_out_batch + (size_t)b * n,
+          quad_out_batch + (size_t)b * std::max(nq, 1), nullptr);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < std::min(n_threads, batch); ++i)
+    pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+// Same, non-stiff: threaded batch of Adams augmented-backward pairs.
+void cvadams_adjoint_solve_batch(
+    int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn, adj_rhs_fn quad_fn,
+    double t0, const double* y0_batch, const double* params_batch,
+    int n_params, int n_t, const double* tvals, const double* grads_batch,
+    double rtol, const double* atol_y, double fwd_rtol,
+    const double* fwd_atol, double atol_adj, int64_t max_steps, int max_order,
+    int batch, int n_threads, double* ys_out_batch, double* lam_out_batch,
+    double* quad_out_batch, int* status_out) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      status_out[b] = cvadams_adjoint_solve(
+          n, nq, f_fn, adj_fn, quad_fn, t0, y0_batch + (size_t)b * n,
+          params_batch + (size_t)b * n_params, n_t, tvals,
+          grads_batch + (size_t)b * n_t * n, rtol, atol_y, fwd_rtol, fwd_atol,
+          atol_adj, max_steps, max_order, ys_out_batch + (size_t)b * n_t * n,
+          lam_out_batch + (size_t)b * n,
+          quad_out_batch + (size_t)b * std::max(nq, 1), nullptr);
     }
   };
   std::vector<std::thread> pool;

@@ -812,12 +812,15 @@ class AdjointSolver(_SolverBase):
             rtol=adjoint_reltol, atol=adjoint_abstol, max_steps=max_steps
         )
 
-        # ADAMS/ADAMS single-chain fast path: route through the native C++
-        # augmented backward solve (native/cvbdf.cpp cvadams_adjoint_*,
-        # ~230us per LV gradient pair at rtol=1e-8 vs ~1.25ms for
-        # sunode/CVODES) — no checkpoints recorded; y is re-solved backward
-        # with per-observation resets to the forward solution, so the
-        # `interpolation` knob is moot on this path.  Opt out with
+        # Single-chain fast paths: route through the native C++ backward
+        # solves (native/cvbdf.cpp).  ADAMS/ADAMS uses the augmented
+        # re-solve (cvadams_adjoint_*, ~230us per LV gradient pair at
+        # rtol=1e-8 vs ~1.25ms for sunode/CVODES; y re-solved backward with
+        # per-observation resets, so `interpolation` is moot).  BDF/BDF
+        # with interpolation='hermite' uses the CVodeF/CVodeB split
+        # (cvbdf_forward_record keeps the dense per-step Hermite record in
+        # native memory; cvbdf_backward_recorded integrates the stiff
+        # lambda/quad system over it — ~430us per LV pair).  Opt out with
         # native_single=False.
         self._native_single_enabled = bool(native_single)
         self._init_derived()
@@ -1010,10 +1013,17 @@ class AdjointSolver(_SolverBase):
 
     def _native_adj_eligible(self) -> bool:
         o = self._options
+        kinds = (self._solver_kind, self._adjoint_solver_kind)
+        # BDF/BDF routes through the native CVodeF/CVodeB split
+        # (cvbdf_forward_record + cvbdf_backward_recorded): the dense
+        # per-step Hermite record lives in native memory, so only the
+        # 'hermite' interpolation mode maps onto it
+        kind_ok = kinds == ("ADAMS", "ADAMS") or (
+            kinds == ("BDF", "BDF") and self._interpolation == "hermite"
+        )
         return (
             self._native_single_enabled
-            and self._solver_kind == "ADAMS"
-            and self._adjoint_solver_kind == "ADAMS"
+            and kind_ok
             and self._linear_solver == "dense"
             and o.constraints is None
             and o.first_step is None
@@ -1034,8 +1044,9 @@ class AdjointSolver(_SolverBase):
                     reltol=float(self._options.rtol),
                     max_steps=int(self._options.max_steps)
                     * 2**self._max_retries,
-                    method="ADAMS",
+                    method=self._solver_kind,
                     adams_max_order=int(self._options.adams_max_order),
+                    hermite_order=int(self._options.hermite_order),
                 )
             except Exception:
                 self._native_adj_solver = None
@@ -1049,10 +1060,18 @@ class AdjointSolver(_SolverBase):
             ns = self._native_adj()
             if ns is not None:
                 ns._params = np.ascontiguousarray(self._params, np.float64)
-                ys = ns.solve(t0, np.asarray(tvals, np.float64), y0_flat)
+                if self._solver_kind == "BDF":
+                    # CVodeF analog: keep the dense Hermite record alive in
+                    # native memory for solve_backward
+                    ys = ns.solve_forward_recorded(
+                        t0, np.asarray(tvals, np.float64), y0_flat
+                    )
+                else:
+                    ys = ns.solve(t0, np.asarray(tvals, np.float64), y0_flat)
                 self.last_stats = dict(ns.last_stats)
                 self._last_forward = dict(
                     native_ys=ys,
+                    native_mode=self._solver_kind,
                     native_tvals=np.asarray(tvals, np.float64),
                     t0=float(t0),
                     params=self._params.copy(),
@@ -1110,14 +1129,24 @@ class AdjointSolver(_SolverBase):
                 )
             ns = self._native_adj()
             ns._params = np.ascontiguousarray(fwd["params"], np.float64)
-            lam0, quad = ns.solve_adjoint_backward(
-                tend,
-                fwd["native_tvals"],
-                fwd["native_ys"],
-                np.asarray(grads, np.float64),
-                adjoint_reltol=float(self._adjoint_options.rtol),
-                adjoint_abstol=float(np.max(self._adjoint_options.atol)),
-            )
+            if fwd.get("native_mode") == "BDF":
+                # CVodeB analog: stiff backward over the kept Hermite record
+                lam0, quad = ns.solve_backward_recorded(
+                    tend,
+                    fwd["native_tvals"],
+                    np.asarray(grads, np.float64),
+                    adjoint_reltol=float(self._adjoint_options.rtol),
+                    adjoint_abstol=float(np.max(self._adjoint_options.atol)),
+                )
+            else:
+                lam0, quad = ns.solve_adjoint_backward(
+                    tend,
+                    fwd["native_tvals"],
+                    fwd["native_ys"],
+                    np.asarray(grads, np.float64),
+                    adjoint_reltol=float(self._adjoint_options.rtol),
+                    adjoint_abstol=float(np.max(self._adjoint_options.atol)),
+                )
             self.last_stats = (self.last_stats or {}) | dict(ns.last_stats)
             if lamda_out is not None:
                 lamda_out[...] = -lam0

@@ -73,8 +73,12 @@ def test_thinning_level_in_stats_batched(lv_problem):
 def test_adjoint_solver_warns_on_thinning(lv_problem):
     from sunode_tpu.solver import AdjointSolver
 
+    # native_single=False: thinning is a JAX-checkpoint-path concept — the
+    # native CVodeF record is growable and never thins, so B=1 BDF/hermite
+    # would otherwise route around the machinery under test
     solver = AdjointSolver(
-        lv_problem, abstol=1e-8, reltol=1e-8, checkpoint_n=16
+        lv_problem, abstol=1e-8, reltol=1e-8, checkpoint_n=16,
+        native_single=False,
     )
     solver.set_params_dict(
         {"alpha": 1.0, "beta": 0.3, "gamma": 1.0, "delta": 0.4}
@@ -85,7 +89,8 @@ def test_adjoint_solver_warns_on_thinning(lv_problem):
 
     # an adequately sized buffer must stay silent
     solver2 = AdjointSolver(
-        lv_problem, abstol=1e-8, reltol=1e-8, checkpoint_n=4096
+        lv_problem, abstol=1e-8, reltol=1e-8, checkpoint_n=4096,
+        native_single=False,
     )
     solver2.set_params_dict(
         {"alpha": 1.0, "beta": 0.3, "gamma": 1.0, "delta": 0.4}

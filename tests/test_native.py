@@ -328,6 +328,199 @@ def test_adjoint_solver_routes_native(problem):
     np.testing.assert_allclose(lam, lam2, rtol=1e-4, atol=1e-7)
 
 
+def test_native_bdf_adjoint_matches_fd(problem):
+    """Native stiff adjoint pair (recorded BDF forward + Hermite-interpolated
+    BDF backward, cvbdf_adjoint_solve) vs central FD on the tight native
+    forward solve."""
+    rng = np.random.default_rng(0)
+    grads = rng.standard_normal((len(TVALS), 2))
+    y0 = np.array([10.0, 2.0])
+    s = CpuSolver(problem, abstol=1e-12, reltol=1e-10, method="BDF")
+    s.set_params_dict(PARAMS)
+    ys, lam0, dLdp = s.solve_adjoint(0.0, TVALS, y0, grads)
+    assert np.isfinite(ys).all()
+
+    def loss(y0v, pdv):
+        sl = CpuSolver(problem, abstol=1e-13, reltol=1e-13, method="BDF")
+        sl.set_params_dict(pdv)
+        return float((grads * sl.solve(0.0, TVALS, y0v)).sum())
+
+    eps = 1e-6
+    fd_y0 = np.array(
+        [
+            (loss(y0 + eps * np.eye(2)[i], PARAMS) - loss(y0 - eps * np.eye(2)[i], PARAMS))
+            / (2 * eps)
+            for i in range(2)
+        ]
+    )
+    np.testing.assert_allclose(lam0, fd_y0, rtol=1e-5, atol=1e-8)
+    pp = dict(PARAMS, alpha=PARAMS["alpha"] + eps)
+    pm = dict(PARAMS, alpha=PARAMS["alpha"] - eps)
+    fd_a = (loss(y0, pp) - loss(y0, pm)) / (2 * eps)
+    np.testing.assert_allclose(dLdp, [fd_a], rtol=1e-5, atol=1e-8)
+
+
+def _robertson_problem():
+    def rob(t, y, p):
+        r1 = p.k1 * y.a
+        r2 = p.k2 * y.b * y.b
+        r3 = p.k3 * y.b * y.c
+        return {"a": -r1 + r3, "b": r1 - r2 - r3, "c": r2}
+
+    return SympyProblem(
+        params={"k1": (), "k2": (), "k3": ()},
+        states={"a": (), "b": (), "c": ()},
+        rhs_sympy=rob,
+        derivative_params=[("k1",), ("k2",), ("k3",)],
+    )
+
+
+def test_native_bdf_adjoint_stiff_robertson():
+    """Regression: the stiff adjoint must survive Robertson out to t=1e5.
+
+    The quintic-Hermite forward record is poison there without the
+    h*||J||_inf stiffness gate (FwdRecord::eval) — the h^2 * (J f) term
+    amplifies node error by (hL)^2, and the ungated quintic reached
+    max-rel interpolation error 2.7e-2 (vs cubic 1.8e-8) and a 1e-4
+    gradient bias.  Gated, hermite_order 3 and 5 must agree and match FD.
+    """
+    prob = _robertson_problem()
+    pvals = {"k1": 0.04, "k2": 3e7, "k3": 1e4}
+    y0 = np.array([1.0, 0.0, 0.0])
+    tv = np.logspace(-3, 5, 18)
+    rng = np.random.default_rng(1)
+    grads = rng.standard_normal((len(tv), 3))
+
+    def loss(pdv):
+        sl = CpuSolver(prob, abstol=1e-16, reltol=1e-13, max_steps=10_000_000)
+        sl.set_params_dict(pdv)
+        return float((grads * sl.solve(0.0, tv, y0)).sum())
+
+    fd = np.zeros(3)
+    for i, k in enumerate(["k1", "k2", "k3"]):
+        eps = 1e-6 * pvals[k]  # per-parameter relative step (scales span 9 decades)
+        fd[i] = (loss(dict(pvals, **{k: pvals[k] + eps}))
+                 - loss(dict(pvals, **{k: pvals[k] - eps}))) / (2 * eps)
+
+    results = {}
+    for ho in (3, 5):
+        s = CpuSolver(
+            prob, abstol=1e-14, reltol=1e-10, max_steps=10_000_000,
+            hermite_order=ho,
+        )
+        s.set_params_dict(pvals)
+        ys, lam0, dLdp = s.solve_adjoint(
+            0.0, tv, y0, grads, adjoint_reltol=1e-8, adjoint_abstol=1e-12
+        )
+        assert np.isfinite(ys).all()
+        np.testing.assert_allclose(dLdp, fd, rtol=2e-5)
+        results[ho] = dLdp
+    np.testing.assert_allclose(results[3], results[5], rtol=1e-6)
+
+
+def test_native_bdf_adjoint_nonautonomous():
+    """Explicit-time RHS: the recorded fdot = J f + df/dt needs the codegen'd
+    sunode_dfdt term (codegen.py); adjoint vs FD on a forced linear decay."""
+    import sympy as sy
+
+    def rhs(t, y, p):
+        return {"x": -p.k * y.x + p.A * sy.sin(1.7 * t)}
+
+    prob = SympyProblem(
+        params={"k": (), "A": ()},
+        states={"x": ()},
+        rhs_sympy=rhs,
+        derivative_params=[("k",), ("A",)],
+    )
+    pvals = {"k": 0.8, "A": 1.3}
+    y0 = np.array([2.0])
+    tv = np.linspace(0, 8, 15)
+    grads = np.random.default_rng(2).standard_normal((15, 1))
+    assert "sunode_dfdt" in CpuSolver(prob).generated_source
+
+    def loss(pdv):
+        sl = CpuSolver(prob, abstol=1e-14, reltol=1e-12)
+        sl.set_params_dict(pdv)
+        return float((grads * sl.solve(0.0, tv, y0)).sum())
+
+    eps = 1e-6
+    fd = np.array(
+        [
+            (loss(dict(pvals, **{k: pvals[k] + eps}))
+             - loss(dict(pvals, **{k: pvals[k] - eps}))) / (2 * eps)
+            for k in ("k", "A")
+        ]
+    )
+    s = CpuSolver(prob, abstol=1e-12, reltol=1e-10)
+    s.set_params_dict(pvals)
+    _, _, dLdp = s.solve_adjoint(0.0, tv, y0, grads)
+    np.testing.assert_allclose(dLdp, fd, rtol=1e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("method", ["BDF", "ADAMS"])
+def test_native_adjoint_batch(problem, method):
+    """Threaded batch of gradient pairs (cv*_adjoint_solve_batch): per-lane
+    y0/params/cotangents, exact agreement with the single-lane path, and the
+    NaN-poison contract on failed lanes (reference as_pytensor.py:244-247 —
+    one diverged chain must not kill the sweep)."""
+    B = 6
+    rng = np.random.default_rng(3)
+    y0b = np.abs(np.array([10.0, 2.0]) + 0.1 * rng.normal(size=(B, 2)))
+    gb = rng.standard_normal((B, len(TVALS), 2))
+    s = CpuSolver(problem, method=method, reltol=1e-8, abstol=1e-10)
+    s.set_params_dict(PARAMS)
+    pb = np.broadcast_to(s._params, (B, s._params.size)).copy()
+    pb[:, 0] *= 1 + 0.01 * rng.normal(size=B)  # perturb alpha per lane
+    ys, lam, dldp = s.solve_adjoint(0.0, TVALS, y0b, gb, params=pb)
+    assert (s.last_status == 0).all()
+    assert ys.shape == (B, len(TVALS), 2) and dldp.shape == (B, 1)
+    for b in (0, B - 1):
+        s._params = np.ascontiguousarray(pb[b])
+        ys1, lam1, d1 = s.solve_adjoint(0.0, TVALS, y0b[b], gb[b])
+        np.testing.assert_allclose(ys[b], ys1, rtol=1e-12)
+        np.testing.assert_allclose(lam[b], lam1, rtol=1e-12)
+        np.testing.assert_allclose(dldp[b], d1, rtol=1e-12)
+    # NaN-poison: an exploding lane fails alone, others untouched
+    y0bad = y0b.copy()
+    y0bad[2] = [1e300, 1e300]
+    ys2, lam2, d2 = s.solve_adjoint(0.0, TVALS, y0bad, gb, params=pb)
+    assert s.last_status[2] != 0
+    assert np.isnan(d2[2]).all() and np.isnan(lam2[2]).all()
+    ok = [b for b in range(B) if b != 2]
+    assert (s.last_status[ok] == 0).all()
+    np.testing.assert_allclose(d2[ok], dldp[ok], rtol=1e-12)
+
+
+def test_adjoint_solver_routes_native_bdf(problem):
+    """AdjointSolver (default BDF/BDF, hermite) at B=1 runs the native
+    CVodeF/CVodeB split (cvbdf_forward_record + cvbdf_backward_recorded)
+    and matches the JAX Hermite-checkpoint adjoint."""
+    from sunode_tpu.solver import AdjointSolver
+
+    s = AdjointSolver(problem, reltol=1e-8, abstol=1e-8)
+    s.set_params_dict(PARAMS)
+    ys = s.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
+    assert s._last_forward.get("native_mode") == "BDF"
+    grads = np.ones((len(TVALS), 2))
+    quad, lam = s.solve_backward(TVALS[-1], 0.0, TVALS, grads)
+    # a second backward over the SAME record (multi-cotangent sweep)
+    quad_b, lam_b = s.solve_backward(TVALS[-1], 0.0, TVALS, 2.0 * grads)
+    np.testing.assert_allclose(quad_b, 2.0 * np.asarray(quad), rtol=1e-7)
+
+    s2 = AdjointSolver(problem, reltol=1e-8, abstol=1e-8, native_single=False)
+    s2.set_params_dict(PARAMS)
+    s2.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
+    assert "native_ys" not in s2._last_forward
+    quad2, lam2 = s2.solve_backward(TVALS[-1], 0.0, TVALS, grads)
+    np.testing.assert_allclose(quad, quad2, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(lam, lam2, rtol=1e-4, atol=1e-6)
+    # 'polynomial' interpolation has no native record analog -> JAX path
+    s3 = AdjointSolver(problem, reltol=1e-8, abstol=1e-8, interpolation="polynomial")
+    s3.set_params_dict(PARAMS)
+    s3.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
+    assert "native_ys" not in s3._last_forward
+
+
 def test_native_robertson_cross_check():
     """Stiff golden-value agreement between the C++ and JAX BDF cores."""
     import jax.numpy as jnp
