@@ -73,6 +73,7 @@ def make_hermite_eval(saved: dict) -> Callable:
     """
     ts, ys, fs, n_saved = saved["t"], saved["y"], saved["f"], saved["n_saved"]
     fds = saved.get("fd")
+    Ls = saved.get("L")
 
     def y_at(t):
         # bracketing interval [i, i+1]; ts padded with +inf so searchsorted
@@ -85,23 +86,37 @@ def make_hermite_eval(saved: dict) -> Callable:
         tau = jnp.clip((t - t0) / h, 0.0, 1.0)
         y0, y1 = ys[i], ys[i + 1]
         f0, f1 = fs[i], fs[i + 1]
-        if fds is not None:
-            H0, H1, H2, H3, H4, H5 = _quintic_basis(tau)
-            fd0, fd1 = fds[i], fds[i + 1]
-            h2 = h * h
-            return (
-                H0 * y0
-                + H1 * h * f0
-                + H2 * h2 * fd0
-                + H3 * y1
-                + H4 * h * f1
-                + H5 * h2 * fd1
-            )
         h00 = (1 + 2 * tau) * (1 - tau) ** 2
         h10 = tau * (1 - tau) ** 2
         h01 = tau**2 * (3 - 2 * tau)
         h11 = tau**2 * (tau - 1)
-        return h00 * y0 + h10 * h * f0 + h01 * y1 + h11 * h * f1
+        cubic = h00 * y0 + h10 * h * f0 + h01 * y1 + h11 * h * f1
+        if fds is None:
+            return cubic
+        H0, H1, H2, H3, H4, H5 = _quintic_basis(tau)
+        fd0, fd1 = fds[i], fds[i + 1]
+        h2 = h * h
+        quintic = (
+            H0 * y0
+            + H1 * h * f0
+            + H2 * h2 * fd0
+            + H3 * y1
+            + H4 * h * f1
+            + H5 * h2 * fd1
+        )
+        if Ls is None:
+            return quintic
+        # Stiffness gate: the h^2*(J f) quintic term amplifies the forward
+        # solution's O(tol) node error by (hL)^2 (two exact solutions a
+        # distance d apart differ in curvature by ~L^2 d), and J f cancels
+        # catastrophically near stiff equilibria — exactly where BDF takes
+        # h L >> 1 steps.  Ungated quintic measured 2.7e-2 max-rel
+        # interpolation error vs cubic's 1.8e-8 on Robertson to t=1e5, a
+        # 1e-4 gradient bias.  Quintic only where h L <= 1 (the same gate
+        # the native engine applies, cvbdf.cpp FwdRecord::eval); cubic —
+        # CVODES's own CV_HERMITE choice — everywhere else.
+        ok = h * jnp.maximum(Ls[i], Ls[i + 1]) <= 1.0
+        return jnp.where(ok, quintic, cubic)
 
     return y_at
 
@@ -496,16 +511,21 @@ def adjoint_backward_transition_batched(
         resid_gate, growth_gate = 1e-6, 1e10
     else:
         resid_gate, growth_gate = 1e-3, 3e4
+    # division floor must be representable in the working dtype: a bare
+    # 1e-300 underflows to +0.0 in f32, turning an all-zero cotangent row
+    # into 0/0 = NaN and silently disabling the `ill` gate (NaN > gate is
+    # False) — use the dtype's own tiny instead
+    div_floor = float(jnp.finfo(dtype).tiny)
     if n_t > 1:
         resid = jnp.einsum("bkij,bkj->bki", M_obs, x) - g_rev
         g_mag = jnp.max(jnp.abs(g_rev), axis=2)  # (B, n_t-1)
         rel_resid = jnp.max(
-            jnp.max(jnp.abs(resid), axis=2) / (g_mag + 1e-300), axis=1
+            jnp.max(jnp.abs(resid), axis=2) / (g_mag + div_floor), axis=1
         )
         growth = jnp.max(
             jnp.max(jnp.abs(M_obs), axis=(2, 3))
             * jnp.max(jnp.abs(x), axis=2)
-            / (g_mag + 1e-300),
+            / (g_mag + div_floor),
             axis=1,
         )
     else:
@@ -516,7 +536,7 @@ def adjoint_backward_transition_batched(
         growth,
         jnp.max(jnp.abs(M_end), axis=(1, 2))
         * jnp.max(jnp.abs(x_sum), axis=1)
-        / (jnp.max(jnp.abs(grads), axis=(1, 2)) + 1e-300),
+        / (jnp.max(jnp.abs(grads), axis=(1, 2)) + div_floor),
     )
     ill = (rel_resid > resid_gate) | (growth > growth_gate)
 
@@ -596,6 +616,7 @@ def make_hermite_eval_batched(saved: dict) -> Callable:
         yf = saved["yf"]
         S, W, B = yf.shape
         quintic = "fd" in saved
+        Ls = saved.get("L")  # (S, B) per-row ||J|| for the stiffness gate
         n = W // 3 if quintic else W // 2
         lanes = jnp.arange(B)
 
@@ -610,28 +631,36 @@ def make_hermite_eval_batched(saved: dict) -> Callable:
             y1, f1 = r1[:n], r1[n : 2 * n]
             h = t1 - t0
             tau = jnp.clip((t - t0) / h, 0.0, 1.0)
-            if quintic:
-                fd0, fd1 = r0[2 * n :], r1[2 * n :]
-                H0, H1, H2, H3, H4, H5 = _quintic_basis(tau)
-                h2 = h * h
-                return (
-                    H0[None] * y0
-                    + (H1 * h)[None] * f0
-                    + (H2 * h2)[None] * fd0
-                    + H3[None] * y1
-                    + (H4 * h)[None] * f1
-                    + (H5 * h2)[None] * fd1
-                )
             h00 = (1 + 2 * tau) * (1 - tau) ** 2
             h10 = tau * (1 - tau) ** 2
             h01 = tau**2 * (3 - 2 * tau)
             h11 = tau**2 * (tau - 1)
-            return (
+            cubic = (
                 h00[None] * y0
                 + (h10 * h)[None] * f0
                 + h01[None] * y1
                 + (h11 * h)[None] * f1
             )
+            if not quintic:
+                return cubic
+            fd0, fd1 = r0[2 * n :], r1[2 * n :]
+            H0, H1, H2, H3, H4, H5 = _quintic_basis(tau)
+            h2 = h * h
+            quin = (
+                H0[None] * y0
+                + (H1 * h)[None] * f0
+                + (H2 * h2)[None] * fd0
+                + H3[None] * y1
+                + (H4 * h)[None] * f1
+                + (H5 * h2)[None] * fd1
+            )
+            if Ls is None:
+                return quin
+            # per-lane stiffness gate h*L <= 1 — the h^2*(J f) term
+            # amplifies node error by (hL)^2 in stiff regions; cubic
+            # fallback beyond (see make_hermite_eval / cvbdf.cpp)
+            ok = h * jnp.maximum(Ls[i, lanes], Ls[i + 1, lanes]) <= 1.0
+            return jnp.where(ok[None], quin, cubic)
 
         return y_at
 

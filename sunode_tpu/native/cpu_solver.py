@@ -212,21 +212,7 @@ class CpuSolver:
                     dptr(ys),
                     stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 )
-            self.last_stats = dict(
-                zip(
-                    [
-                        "n_steps",
-                        "n_rhs_evals",
-                        "n_jac_evals",
-                        "n_factorizations",
-                        "n_newton_iters",
-                        "n_error_test_fails",
-                        "n_conv_fails",
-                        "final_order",
-                    ],
-                    stats.tolist(),
-                )
-            )
+            self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
             if rc != 0:
                 raise SolverError(
                     f"Native solve failed: {_STATUS_MESSAGES.get(rc, f'code {rc}')}"
@@ -356,21 +342,7 @@ class CpuSolver:
                 dptr(dLdp),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
-        self.last_stats = dict(
-            zip(
-                [
-                    "n_steps",
-                    "n_rhs_evals",
-                    "n_jac_evals",
-                    "n_factorizations",
-                    "n_newton_iters",
-                    "n_error_test_fails",
-                    "n_conv_fails",
-                    "final_order",
-                ],
-                stats.tolist(),
-            )
-        )
+        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
         if rc != 0:
             raise SolverError(
                 f"Native adjoint solve failed: "
@@ -437,21 +409,7 @@ class CpuSolver:
             dptr(sens),
             stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
-        self.last_stats = dict(
-            zip(
-                [
-                    "n_steps",
-                    "n_rhs_evals",
-                    "n_jac_evals",
-                    "n_factorizations",
-                    "n_newton_iters",
-                    "n_error_test_fails",
-                    "n_conv_fails",
-                    "final_order",
-                ],
-                stats.tolist(),
-            )
-        )
+        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
         if rc != 0:
             raise SolverError(
                 f"Native sensitivity solve failed: "
@@ -725,21 +683,7 @@ class CpuSolver:
             dptr(dLdp),
             stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
-        self.last_stats = dict(
-            zip(
-                [
-                    "n_steps",
-                    "n_rhs_evals",
-                    "n_jac_evals",
-                    "n_factorizations",
-                    "n_newton_iters",
-                    "n_error_test_fails",
-                    "n_conv_fails",
-                    "final_order",
-                ],
-                stats.tolist(),
-            )
-        )
+        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
         if rc != 0:
             raise SolverError(
                 f"Native adjoint backward failed: "

@@ -972,6 +972,18 @@ int adams_sens_solve_one(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
   return rc;
 }
 
+static void fill_stats(const Stats& st, int64_t* stats_out) {
+  if (!stats_out) return;
+  stats_out[0] = st.n_steps;
+  stats_out[1] = st.n_rhs_evals;
+  stats_out[2] = st.n_jac_evals;
+  stats_out[3] = st.n_factorizations;
+  stats_out[4] = st.n_newton_iters;
+  stats_out[5] = st.n_error_test_fails;
+  stats_out[6] = st.n_conv_fails;
+  stats_out[7] = st.final_order;
+}
+
 }  // namespace
 
 extern "C" {
@@ -983,16 +995,7 @@ int cvbdf_solve(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
   Stats st;
   int rc = solve_one(n, f_fn, j_fn, t0, y0, params, n_t, tvals, rtol, atol,
                      max_steps, first_step, ys_out, &st);
-  if (stats_out) {
-    stats_out[0] = st.n_steps;
-    stats_out[1] = st.n_rhs_evals;
-    stats_out[2] = st.n_jac_evals;
-    stats_out[3] = st.n_factorizations;
-    stats_out[4] = st.n_newton_iters;
-    stats_out[5] = st.n_error_test_fails;
-    stats_out[6] = st.n_conv_fails;
-    stats_out[7] = st.final_order;
-  }
+  fill_stats(st, stats_out);
   return rc;
 }
 
@@ -1004,16 +1007,7 @@ int cvadams_solve(int n, rhs_fn f_fn, double t0, const double* y0,
   Stats st;
   int rc = adams_solve_one(n, f_fn, t0, y0, params, n_t, tvals, rtol, atol,
                            max_steps, first_step, max_order, ys_out, &st);
-  if (stats_out) {
-    stats_out[0] = st.n_steps;
-    stats_out[1] = st.n_rhs_evals;
-    stats_out[2] = st.n_jac_evals;
-    stats_out[3] = st.n_factorizations;
-    stats_out[4] = st.n_newton_iters;
-    stats_out[5] = st.n_error_test_fails;
-    stats_out[6] = st.n_conv_fails;
-    stats_out[7] = st.final_order;
-  }
+  fill_stats(st, stats_out);
   return rc;
 }
 
@@ -1027,16 +1021,7 @@ int cvadams_sens_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
   int rc = adams_sens_solve_one(n, nq, f_fn, j_fn, dfdp_fn, t0, y0, sens0,
                                 params, n_t, tvals, rtol, atol, atol_sens,
                                 max_steps, max_order, ys_out, sens_out, &st);
-  if (stats_out) {
-    stats_out[0] = st.n_steps;
-    stats_out[1] = st.n_rhs_evals;
-    stats_out[2] = st.n_jac_evals;
-    stats_out[3] = st.n_factorizations;
-    stats_out[4] = st.n_newton_iters;
-    stats_out[5] = st.n_error_test_fails;
-    stats_out[6] = st.n_conv_fails;
-    stats_out[7] = st.final_order;
-  }
+  fill_stats(st, stats_out);
   return rc;
 }
 
@@ -1055,29 +1040,8 @@ int cvadams_adjoint_backward(int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn,
                                   n_t, tvals, ys_fwd, grads, rtol, atol_y,
                                   atol_adj, max_steps, max_order, lam_out,
                                   quad_out, &st);
-  if (stats_out) {
-    stats_out[0] = st.n_steps;
-    stats_out[1] = st.n_rhs_evals;
-    stats_out[2] = st.n_jac_evals;
-    stats_out[3] = st.n_factorizations;
-    stats_out[4] = st.n_newton_iters;
-    stats_out[5] = st.n_error_test_fails;
-    stats_out[6] = st.n_conv_fails;
-    stats_out[7] = st.final_order;
-  }
+  fill_stats(st, stats_out);
   return rc;
-}
-
-static void fill_stats(const Stats& st, int64_t* stats_out) {
-  if (!stats_out) return;
-  stats_out[0] = st.n_steps;
-  stats_out[1] = st.n_rhs_evals;
-  stats_out[2] = st.n_jac_evals;
-  stats_out[3] = st.n_factorizations;
-  stats_out[4] = st.n_newton_iters;
-  stats_out[5] = st.n_error_test_fails;
-  stats_out[6] = st.n_conv_fails;
-  stats_out[7] = st.final_order;
 }
 
 static void set_quintic_hook(FwdRecord& rec, int n, jac_fn j_fn,
@@ -1240,16 +1204,7 @@ int cvadams_adjoint_solve(int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn,
                                 atol_adj, max_steps, max_order, lam_out,
                                 quad_out, &st);
   }
-  if (stats_out) {
-    stats_out[0] = st.n_steps;
-    stats_out[1] = st.n_rhs_evals;
-    stats_out[2] = st.n_jac_evals;
-    stats_out[3] = st.n_factorizations;
-    stats_out[4] = st.n_newton_iters;
-    stats_out[5] = st.n_error_test_fails;
-    stats_out[6] = st.n_conv_fails;
-    stats_out[7] = st.final_order;
-  }
+  fill_stats(st, stats_out);
   return rc;
 }
 

@@ -161,17 +161,23 @@ def finalize_saved_batched(sv, n: int, thinning: bool):
         if thinning
         else sv["n_saved"]
     )
+    # quintic rows carry fdot; BDF quintic rows additionally carry a
+    # trailing per-lane L ~ ||J|| scalar for the evaluator's stiffness gate
+    has_L = buf.shape[1] == 2 + 3 * n
+    yf_end = 1 + 3 * n if (has_L or buf.shape[1] == 1 + 3 * n) else 1 + 2 * n
     out = {
         "t": buf[:, 0, :],
         "y": buf[:, 1 : n + 1, :],
         "f": buf[:, n + 1 : 2 * n + 1, :],
         # (S, 2n|3n, B) y|f[|fd] table: fast Hermite row gathers
-        "yf": buf[:, 1:, :],
+        "yf": buf[:, 1:yf_end, :],
         "n_saved": n_rows,
         "overflow": sv["overflow"],
     }
-    if buf.shape[1] == 1 + 3 * n:  # quintic rows carry fdot
-        out["fd"] = buf[:, 2 * n + 1 :, :]
+    if yf_end == 1 + 3 * n:
+        out["fd"] = buf[:, 2 * n + 1 : 3 * n + 1, :]
+    if has_L:
+        out["L"] = buf[:, 1 + 3 * n, :]
     return out
 
 

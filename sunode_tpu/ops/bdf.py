@@ -142,11 +142,15 @@ class BDFOptions(NamedTuple):
     # row and double the recording stride instead of failing — see
     # ops/_recording.py.  False restores the legacy clamp+overflow behavior.
     checkpoint_thinning: bool = True
-    # Hermite checkpoint degree: 5 records (t, y, f, fdot) per accepted step
-    # (fdot = J f + f_t, one extra jvp per step) and the adjoint interpolates
-    # with QUINTIC Hermite — O(h^6) reconstruction error vs cubic O(h^4),
-    # closing the accuracy gap to the resolve/transition adjoint modes while
-    # staying stiff-safe.  3 = CVODES CV_HERMITE parity (t, y, f only).
+    # Hermite checkpoint degree: 5 records (t, y, f, fdot, ||J||) per
+    # accepted step (fdot = J f + f_t, one extra jvp per step) and the
+    # adjoint interpolates with QUINTIC Hermite — O(h^6) reconstruction
+    # error vs cubic O(h^4), closing the accuracy gap to the
+    # resolve/transition adjoint modes.  Stiff-safe via a per-interval
+    # gate: quintic only where h*||J|| <= 1, cubic fallback beyond (the
+    # h^2*(J f) term amplifies node error by (h*||J||)^2 in the stiff
+    # regime — see adjoint.py make_hermite_eval).  3 = CVODES CV_HERMITE
+    # parity (t, y, f only).
     hermite_order: int = 5
 
 
@@ -480,20 +484,6 @@ def bdf_solve(
     if options.hermite_order not in (3, 5):
         raise ValueError("options.hermite_order must be 3 or 5")
     rec_fd = save_steps > 0 and options.hermite_order == 5
-    if save_steps > 0:
-        from sunode_tpu.ops._recording import fdot, init_saved_single
-
-        # packed (t | y | f [| fdot]) rows: ONE scatter per accepted step.
-        # +inf time padding so searchsorted in the adjoint works directly.
-        row_parts = [t0[None], y0, f0]
-        if rec_fd:
-            row_parts.append(fdot(rhs, t0, y0, f0, params))
-        row0 = jnp.concatenate(row_parts)
-        buf0 = jnp.full((save_steps, row0.shape[0]), jnp.inf, dtype)
-        buf0 = buf0.at[:, 1:].set(0.0).at[0].set(row0)
-        saved0 = init_saved_single(buf0, thinning)
-    else:
-        saved0 = None
 
     # combined output buffer (n_t, n_tot), sliced at the end
     zs0 = jnp.full((n_t, n_tot), jnp.nan, dtype)
@@ -516,6 +506,41 @@ def bdf_solve(
         # iteration; starting from J=0 would silently run functional
         # iteration instead.
         J0 = jac(t0, y0, params)
+
+    def _lip_norm(J):
+        # Lipschitz estimate for the quintic stiffness gate: dense ->
+        # ||J||_inf (max abs row sum); banded storage -> ||J||_1 (column
+        # sums — an equally valid scale); matrix-free spgmr has no J, so
+        # +inf forces the evaluator's cubic fallback (stiff + matrix-free
+        # is exactly where the quintic data cannot be trusted).  A stale
+        # Newton Jacobian is fine — the gate is an order-of-magnitude test.
+        if use_spgmr:
+            return jnp.asarray(jnp.inf, dtype)
+        if use_band:
+            return jnp.max(jnp.sum(jnp.abs(J), axis=0))
+        return jnp.max(jnp.sum(jnp.abs(J), axis=1))
+
+    if save_steps > 0:
+        from sunode_tpu.ops._recording import fdot, init_saved_single
+
+        # packed (t | y | f [| fdot | L]) rows: ONE scatter per accepted
+        # step.  +inf time padding so searchsorted in the adjoint works
+        # directly.  Quintic rows also carry L ~ ||J|| so the evaluator can
+        # gate the h^2*(J f) term on h*L <= 1 — in stiff regions (h L >> 1,
+        # where BDF lives by design) that term amplifies the forward
+        # solution's O(tol) node error by (hL)^2 and the ungated quintic is
+        # strictly WORSE than cubic (measured 2.7e-2 vs 1.8e-8 max-rel
+        # interpolation error on Robertson t<=1e5; see adjoint.py).
+        row_parts = [t0[None], y0, f0]
+        if rec_fd:
+            row_parts.append(fdot(rhs, t0, y0, f0, params))
+            row_parts.append(_lip_norm(J0)[None])
+        row0 = jnp.concatenate(row_parts)
+        buf0 = jnp.full((save_steps, row0.shape[0]), jnp.inf, dtype)
+        buf0 = buf0.at[:, 1:].set(0.0).at[0].set(row0)
+        saved0 = init_saved_single(buf0, thinning)
+    else:
+        saved0 = None
 
     # h: desired next step size; h_D: spacing the difference arrays currently
     # represent.  Rescaling to h happens lazily at the start of each attempt
@@ -867,6 +892,7 @@ def bdf_solve(
             row_parts_r = [t_new[None], y_new, f_acc]
             if rec_fd:
                 row_parts_r.append(fdot(rhs, t_new, y_new, f_acc, params))
+                row_parts_r.append(_lip_norm(c["J"])[None])
             row = jnp.concatenate(row_parts_r)
             sv = record_step_single(c["saved"], accept, row, save_steps, thinning)
         else:
@@ -1087,7 +1113,8 @@ def bdf_solve(
             "overflow": overflow,
         }
         if rec_fd:
-            saved_out["fd"] = buf[:, 2 * n + 1 :]
+            saved_out["fd"] = buf[:, 2 * n + 1 : 3 * n + 1]
+            saved_out["L"] = buf[:, 3 * n + 1]
     else:
         saved_out = None
     zs = final["zs"]

@@ -333,20 +333,6 @@ def bdf_solve_batched(
     save_steps = int(options.save_steps)
     thinning = bool(options.checkpoint_thinning)
     rec_fd = save_steps > 0 and options.hermite_order == 5
-    if save_steps > 0:
-        from sunode_tpu.ops._recording import fdot, init_saved_batched
-
-        # (slot, 1+(2|3)n, B); slot = shared attempt counter -> in-place
-        # updates; hermite_order=5 appends fdot rows for quintic Hermite
-        row_parts0 = [t0_b[None, :], y0, f0]
-        if rec_fd:
-            row_parts0.append(fdot(rhs_b, t0_b, y0, f0, params))
-        row0 = jnp.concatenate(row_parts0)  # (W, B)
-        buf0 = jnp.full((save_steps, row0.shape[0], B), jnp.inf, dtype)
-        buf0 = buf0.at[:, 1:, :].set(0.0).at[0].set(row0)
-        saved0 = init_saved_batched(buf0, thinning)
-    else:
-        saved0 = None
 
     zs0 = jnp.full((n_t, nt_tot, B), jnp.nan, dtype)
     emit_mask0 = tvals[:, None] <= t0[None, :]  # (n_t, B) per-lane
@@ -356,6 +342,30 @@ def bdf_solve_batched(
     J0 = jac_b(t0_b, y0, params)  # (n, n, B)
     eye_b = jnp.eye(n, dtype=dtype)[:, :, None]
     factors0 = factor_newton_b(jnp.broadcast_to(eye_b, (n, n, B)))
+
+    def _lip_norm_b(J):
+        # per-lane ||J||_inf for the quintic stiffness gate (the batched
+        # core is dense-only); stale Newton J is fine — order-of-magnitude
+        return jnp.max(jnp.sum(jnp.abs(J), axis=1), axis=0)  # (B,)
+
+    if save_steps > 0:
+        from sunode_tpu.ops._recording import fdot, init_saved_batched
+
+        # (slot, 1+(2|3)n[+1], B); slot = shared attempt counter ->
+        # in-place updates; hermite_order=5 appends fdot rows for quintic
+        # Hermite plus a per-lane L ~ ||J||_inf row so the evaluator can
+        # gate the h^2*(J f) term on h*L <= 1 (poison when h L >> 1 — see
+        # ops/bdf.py and adjoint.py)
+        row_parts0 = [t0_b[None, :], y0, f0]
+        if rec_fd:
+            row_parts0.append(fdot(rhs_b, t0_b, y0, f0, params))
+            row_parts0.append(_lip_norm_b(J0)[None, :])
+        row0 = jnp.concatenate(row_parts0)  # (W, B)
+        buf0 = jnp.full((save_steps, row0.shape[0], B), jnp.inf, dtype)
+        buf0 = buf0.at[:, 1:, :].set(0.0).at[0].set(row0)
+        saved0 = init_saved_batched(buf0, thinning)
+    else:
+        saved0 = None
 
     zeros_i = jnp.zeros((B,), jnp.int32)
     carry0 = dict(
@@ -643,14 +653,9 @@ def bdf_solve_batched(
         if with_sens and bool(options.sens_staggered):
             # the state's OWN error test gates acceptance, and the
             # step-reduction factor must see the state failure too (a gated
-            # sens corrector left the d_z sens block zero) — see bdf.py
-            err_y_only2 = jnp.sqrt(
-                jnp.mean(
-                    ((error_const[q][None, :] * d_corr) * w_z[sl_y]) ** 2,
-                    axis=0,
-                )
-            )
-            err_norm_tot = jnp.maximum(err_norm_tot, err_y_only2)
+            # sens corrector left the d_z sens block zero) — see bdf.py;
+            # err_y_only is the gate norm already computed above
+            err_norm_tot = jnp.maximum(err_norm_tot, err_y_only)
             err_ok = (err_norm_tot <= 1.0) & state_err_ok
         else:
             err_ok = err_norm_tot <= 1.0
@@ -688,6 +693,7 @@ def bdf_solve_batched(
             row_parts_r = [t_new[None, :], y_new, f_acc]
             if rec_fd:
                 row_parts_r.append(fdot(rhs_b, t_new, y_new, f_acc, params))
+                row_parts_r.append(_lip_norm_b(c["J"])[None, :])
             row = jnp.concatenate(row_parts_r)  # (W, B)
             pad = jnp.concatenate(
                 [

@@ -38,6 +38,10 @@ class SolverError(RuntimeError):
     """Raised when the integrator fails (reference solver.py SolverError)."""
 
 
+# step budgets are traced as int32 (one compiled executable across
+# retries); clamp so huge max_steps or 2**retry growth can't overflow
+_I32_MAX = 2**31 - 1
+
 _STATUS_MESSAGES = {
     1: "too many steps (max_steps exceeded; CV_TOO_MUCH_WORK analog)",
     2: "step size underflow (CV_TOO_CLOSE/CV_CONV_FAILURE analog)",
@@ -304,7 +308,10 @@ class Solver(_SolverBase):
 
                     eps = jnp.sqrt(jnp.finfo(y.dtype).eps)
                     nv = jnp.sqrt(jnp.sum(v * v))
-                    sig = eps * jnp.maximum(nv, 1.0) / jnp.maximum(nv, 1e-300)
+                    # floor must stay representable in the working dtype
+                    # (1e-300 underflows to 0 in f32 -> inf sig -> NaN)
+                    tiny = jnp.finfo(y.dtype).tiny
+                    sig = eps * jnp.maximum(nv, 1.0) / jnp.maximum(nv, tiny)
                     return (rhs(t, y + sig * v, p) - rhs(t, y, p)) / sig
 
                 self._jac_prod = fd_jac_prod
@@ -626,7 +633,9 @@ class Solver(_SolverBase):
         )
         fs0 = np.full((B,), fs_init) if batched else np.float64(fs_init)
         fn = self._solver_fn(len(tvals), batched)
-        max_steps = jnp.asarray(self._options.max_steps, jnp.int32)
+        max_steps = jnp.asarray(
+            min(int(self._options.max_steps), _I32_MAX), jnp.int32
+        )
         tv = jnp.asarray(tvals, jnp.float64)
         ys, sens, status, stats = fn(
             jnp.asarray(t0_arr),
@@ -668,7 +677,8 @@ class Solver(_SolverBase):
             # total envelope still grows like the reference's bounded
             # retries — but only ACTUAL remaining steps are consumed
             ms_retry = jnp.asarray(
-                self._options.max_steps * 2**retry, jnp.int32
+                min(int(self._options.max_steps) * 2**retry, _I32_MAX),
+                jnp.int32,
             )
             ys2, sens2, status2, stats2 = fn(
                 jnp.asarray(t_res if batched else np.float64(t_res)),
@@ -910,6 +920,7 @@ class AdjointSolver(_SolverBase):
             "_jit_cache",
             "_last_forward",
             "last_stats",
+            "_native_adj_solver",
         ):
             state.pop(key, None)
         return state
@@ -984,6 +995,8 @@ class AdjointSolver(_SolverBase):
                     }
                     if "fd" in saved:
                         saved_b["fd"] = saved["fd"][:, :, None]
+                    if "L" in saved:
+                        saved_b["L"] = saved["L"][:, None]
                     adj = adjoint_backward_batched(
                         aj_rhs, aj_jac, q_rhs, saved_b, t0, tvals,
                         grads[None], params[None], n_deriv, opts,
@@ -1163,8 +1176,10 @@ class AdjointSolver(_SolverBase):
             jnp.asarray(fwd["params"]),
         )
         fn = self._backward_fn(len(tvals))
-        base_ms = self._adjoint_options.max_steps
-        lam, quad, status, stats = fn(*args, jnp.asarray(base_ms, jnp.int32))
+        base_ms = int(self._adjoint_options.max_steps)
+        lam, quad, status, stats = fn(
+            *args, jnp.asarray(min(base_ms, _I32_MAX), jnp.int32)
+        )
         # bounded backward retries on step-budget exhaustion (the reference
         # retries CVodeB up to 50 times, solver.py:759-768); the budget is a
         # traced argument, so retries reuse the compiled executable
@@ -1172,7 +1187,7 @@ class AdjointSolver(_SolverBase):
         while np.any(np.asarray(status) == 1) and retry < self._max_retries:
             retry += 1
             lam, quad, status, stats = fn(
-                *args, jnp.asarray(base_ms * 2**retry, jnp.int32)
+                *args, jnp.asarray(min(base_ms * 2**retry, _I32_MAX), jnp.int32)
             )
         lam = np.asarray(lam)
         quad = np.asarray(quad)

@@ -335,3 +335,53 @@ def test_nuts_tiny_warmup_keeps_mass():
     )
     np.testing.assert_allclose(np.asarray(res.inv_mass), 1.0, rtol=1e-12)
     assert np.isfinite(np.asarray(res.samples)).all()
+
+
+# --- round-3 self-review findings (second pass) -----------------------------
+
+
+def test_transition_monitor_zero_cotangent_rows_f32(lv_problem):
+    """A loss touching only the last observation leaves all-zero cotangent
+    rows; in f32 the old +1e-300 division floor underflowed to 0, making
+    0/0 = NaN disable the ill-conditioning gate AND poison the stats.
+    rel_resid/growth must stay finite with zero rows."""
+    from sunode_tpu.adjoint import adjoint_backward_transition_batched
+    from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+
+    rhs, jac = lv_problem.make_rhs(), lv_problem.make_jac_dense()
+    aj_jac = lv_problem.make_adjoint_jac_dense()
+    dfdp = lv_problem.make_dfdp()
+    for dtype in (jnp.float64, jnp.float32):
+        rtol = 1e-8 if dtype == jnp.float64 else 1e-5
+        y0 = jnp.asarray(np.broadcast_to([10.0, 2.0], (3, 2)).copy(), dtype)
+        p = jnp.asarray(
+            np.broadcast_to([1.0, 0.3, 1.0, 0.4], (3, 4)).copy(), dtype
+        )
+        tv = jnp.asarray(np.linspace(1.0, 6.0, 4), dtype)
+        opts = BDFOptions(rtol=rtol, atol=rtol)
+        res = bdf_solve_batched(rhs, jac, 0.0, y0, p, tv, opts)
+        assert np.asarray(res.status == 0).all()
+        grads = np.zeros((3, 4, 2), dtype=np.dtype(dtype))
+        grads[:, -1, :] = 1.0  # ONLY the last observation
+        adj = adjoint_backward_transition_batched(
+            rhs, aj_jac, dfdp, 0.0, tv, jnp.asarray(grads), p, 2,
+            jnp.asarray(np.asarray(res.ys)[:, -1, :], dtype), opts,
+        )
+        assert np.isfinite(
+            np.asarray(adj.stats["transition_rel_residual"])
+        ).all(), dtype
+        assert np.isfinite(np.asarray(adj.stats["transition_growth"])).all(), dtype
+        assert np.asarray(adj.status == 0).all()
+        assert np.isfinite(np.asarray(adj.lamda)).all()
+
+
+def test_huge_max_steps_clamps_to_i32(lv_problem):
+    """Step budgets are traced as int32; max_steps past 2**31 must clamp
+    instead of raising OverflowError (previously worked when the budget was
+    a static Python int)."""
+    from sunode_tpu.solver import Solver
+
+    s = Solver(lv_problem, abstol=1e-8, reltol=1e-8, max_steps=2**33)
+    s.set_params_dict({"alpha": 1.0, "beta": 0.3, "gamma": 1.0, "delta": 0.4})
+    ys = s.solve(0.0, np.asarray(TVALS), np.array([10.0, 2.0]))
+    assert np.isfinite(ys).all()

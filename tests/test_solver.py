@@ -207,6 +207,28 @@ def test_adjoint_solver_pickling(problem):
     assert np.isfinite(y_out).all()
 
 
+def test_adjoint_solver_pickles_after_solve(problem):
+    """Pickling must also work AFTER the first solve: the lazily-built
+    native CpuSolver (ctypes.CDLL handles) is excluded from __getstate__
+    (previously only the fresh object pickled)."""
+    import pickle
+
+    solver = AdjointSolver(problem, abstol=1e-8, reltol=1e-8)
+    solver.set_params_dict(PARAMS)
+    ys = solver.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
+    s2 = pickle.loads(pickle.dumps(solver))  # must not raise on CDLL handles
+    s2.set_params_dict(PARAMS)
+    ys2 = s2.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
+    np.testing.assert_allclose(ys2, ys, rtol=1e-10)
+    # Solver too (its native handle was already excluded; keep it covered)
+    fs = Solver(problem, abstol=1e-8, reltol=1e-8)
+    fs.set_params_dict(PARAMS)
+    out = fs.solve(0.0, TVALS, np.array([10.0, 2.0]))
+    fs2 = pickle.loads(pickle.dumps(fs))
+    fs2.set_params_dict(PARAMS)
+    np.testing.assert_allclose(fs2.solve(0.0, TVALS, np.array([10.0, 2.0])), out, rtol=1e-10)
+
+
 def test_batched_solve_adams(problem):
     solver = Solver(problem, solver="ADAMS", abstol=1e-9, reltol=1e-9)
     solver.set_params_dict(PARAMS)
