@@ -58,26 +58,41 @@ def build_native_lib(src: Path, out: Path, extra: list[str] | None = None) -> No
 
 
 def _emit_c_function(name: str, exprs, varmap: dict, args_sig: str) -> str:
-    """One C function assigning CSE'd expressions into out[]."""
+    """One C function assigning CSE'd expressions into out[].
+
+    Structural zeros are handled with one ``memset`` followed by only the
+    nonzero assignments — Jacobians are mostly zeros, so this keeps both
+    the generated source and the CSE pass proportional to nnz rather than
+    to the full buffer size.
+    """
     exprs = np.asarray(exprs, dtype=object).reshape(-1)
     if exprs.size == 0:
         return f"void {name}({args_sig}) {{ (void)out; }}"
-    repl, reduced = sy.cse([sy.sympify(e) for e in exprs], sy.numbered_symbols("x_"))
-    lines = [f"void {name}({args_sig}) {{"]
-    subs = {sy.Symbol(k, real=True): sy.Symbol(v, real=True) for k, v in varmap.items()}
+    sympified = [sy.sympify(e) for e in exprs]
+    nz = [(i, e) for i, e in enumerate(sympified) if e != 0]
+    lines = [
+        f"void {name}({args_sig}) {{",
+        f"  memset(out, 0, {exprs.size} * sizeof(double));",
+    ]
+    if nz:
+        repl, reduced = sy.cse([e for _, e in nz], sy.numbered_symbols("x_"))
+        subs = {
+            sy.Symbol(k, real=True): sy.Symbol(v, real=True)
+            for k, v in varmap.items()
+        }
 
-    def pr(e):
-        return sy.ccode(e.xreplace(subs))
+        def pr(e):
+            return sy.ccode(e.xreplace(subs))
 
-    for sym, sub in repl:
-        lines.append(f"  const double {sym.name} = {pr(sub)};")
-    for i, e in enumerate(reduced):
-        lines.append(f"  out[{i}] = {pr(e)};")
+        for sym, sub in repl:
+            lines.append(f"  const double {sym.name} = {pr(sub)};")
+        for (i, _), e in zip(nz, reduced):
+            lines.append(f"  out[{i}] = {pr(e)};")
     lines.append("}")
     return "\n".join(lines)
 
 
-def compile_problem_c(problem, *, cache: bool = True):
+def compile_problem_c(problem, *, cache: bool = True, band=None):
     """Generate + compile C functions for a SympyProblem; return a ctypes lib
     exposing (all row-major):
 
@@ -86,6 +101,13 @@ def compile_problem_c(problem, *, cache: bool = True):
     - ``sunode_adj_rhs(t, y, lam, p, out)``  — dlambda/dt = -J^T lambda
     - ``sunode_quad_rhs(t, y, lam, p, out)`` — lambda^T df/dp (derivative
       params subset, reference CVQuadRhsFnB analog)
+
+    With ``band=(lower, upper)`` additionally emits
+    ``sunode_jac_banded(t, y, p, out)`` filling scipy-style banded storage
+    ``out[(u+i-j)*n + j] = J(i, j)`` of shape (l+u+1, n) — consumed by the
+    native banded-Newton path (``cvbdf_solve_banded``); raises ``ValueError``
+    if the symbolic Jacobian has a structurally nonzero entry outside the
+    declared band (the reference's sunmatrix_band would silently drop it).
     """
     n = problem.n_states
     # C-identifier varmap: __y_0 -> y[0] etc.  ccode can't print indexing via
@@ -100,7 +122,7 @@ def compile_problem_c(problem, *, cache: bool = True):
     varmap["__t"] = "t"
 
     header = [
-        "#include <math.h>",
+        "#include <math.h>\n#include <string.h>",
         'extern "C" {',
     ]
     rhs_src = _emit_c_function(
@@ -142,6 +164,30 @@ def compile_problem_c(problem, *, cache: bool = True):
         varmap,
         "double t, const double* y, const double* p, double* out",
     )
+    band_src = []
+    if band is not None:
+        lo, up = int(band[0]), int(band[1])
+        jac = np.asarray(problem._sym_dydt_jac, dtype=object).reshape(n, n)
+        ab = np.full((lo + up + 1, n), sy.Integer(0), dtype=object)
+        for i in range(n):
+            for j in range(n):
+                e = sy.sympify(jac[i, j])
+                if e == 0:
+                    continue
+                if j - i > up or i - j > lo:
+                    raise ValueError(
+                        f"Jacobian entry ({i},{j}) is structurally nonzero "
+                        f"outside the declared band (lower={lo}, upper={up})"
+                    )
+                ab[up + i - j, j] = e
+        band_src = [
+            _emit_c_function(
+                "sunode_jac_banded",
+                ab,
+                varmap,
+                "double t, const double* y, const double* p, double* out",
+            )
+        ]
     # prologue mapping placeholders to array loads
     defines = []
     for i in range(n):
@@ -154,7 +200,9 @@ def compile_problem_c(problem, *, cache: bool = True):
             header[:1]
             + defines
             + header[1:]
-            + [rhs_src, jac_src, adj_src, quad_src, dfdp_src, dfdt_src, "}"]
+            + [rhs_src, jac_src, adj_src, quad_src, dfdp_src, dfdt_src]
+            + band_src
+            + ["}"]
         )
         + "\n"
     )

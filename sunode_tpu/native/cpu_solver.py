@@ -58,9 +58,27 @@ class CpuSolver:
         method: str = "BDF",
         adams_max_order: int = 8,
         hermite_order: int = 5,
+        linear_solver: str = "dense",
+        linear_solver_kwargs: Optional[Mapping[str, Any]] = None,
     ):
         if method not in ("BDF", "ADAMS"):
             raise ValueError("method must be 'BDF' or 'ADAMS'")
+        if linear_solver not in ("dense", "band"):
+            raise ValueError("linear_solver must be 'dense' or 'band'")
+        if linear_solver == "band" and method != "BDF":
+            raise ValueError(
+                "linear_solver='band' requires method='BDF' (Adams uses "
+                "functional iteration — no Newton matrix)"
+            )
+        self._band: Optional[tuple[int, int]] = None
+        if linear_solver == "band":
+            kw = dict(linear_solver_kwargs or {})
+            if "lower_bandwidth" not in kw or "upper_bandwidth" not in kw:
+                raise ValueError(
+                    "linear_solver='band' requires linear_solver_kwargs with "
+                    "'lower_bandwidth' and 'upper_bandwidth'"
+                )
+            self._band = (int(kw["lower_bandwidth"]), int(kw["upper_bandwidth"]))
         self._problem = problem
         self._rtol = float(reltol)
         self._atol = np.broadcast_to(
@@ -76,9 +94,15 @@ class CpuSolver:
         self._params = np.zeros(problem.n_all_params)
 
         self._core = ctypes.CDLL(str(native_lib_path()))
-        self._plib = compile_problem_c(problem)
+        self._plib = compile_problem_c(problem, band=self._band)
         self._rhs_ptr = ctypes.cast(self._plib.sunode_rhs, ctypes.c_void_p)
         self._jac_ptr = ctypes.cast(self._plib.sunode_jac, ctypes.c_void_p)
+        if self._band is not None:
+            self._jacband_ptr = ctypes.cast(
+                self._plib.sunode_jac_banded, ctypes.c_void_p
+            )
+            self._core.cvbdf_solve_banded.restype = ctypes.c_int
+            self._core.cvbdf_solve_banded_batch.restype = None
 
         self._core.cvbdf_solve.restype = ctypes.c_int
         self._core.cvbdf_solve_batch.restype = None
@@ -151,6 +175,27 @@ class CpuSolver:
                     dptr(ys),
                     status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                 )
+            elif self._band is not None:
+                self._core.cvbdf_solve_banded_batch(
+                    ctypes.c_int(n),
+                    ctypes.c_int(self._band[0]),
+                    ctypes.c_int(self._band[1]),
+                    self._rhs_ptr,
+                    self._jacband_ptr,
+                    ctypes.c_double(float(t0)),
+                    dptr(y0),
+                    dptr(params),
+                    ctypes.c_int(params.shape[1]),
+                    ctypes.c_int(n_t),
+                    dptr(tvals),
+                    ctypes.c_double(self._rtol),
+                    dptr(self._atol),
+                    ctypes.c_int64(self._max_steps),
+                    ctypes.c_int(batch),
+                    ctypes.c_int(self._n_threads),
+                    dptr(ys),
+                    status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                )
             else:
                 self._core.cvbdf_solve_batch(
                     ctypes.c_int(n),
@@ -192,6 +237,25 @@ class CpuSolver:
                     ctypes.c_int64(self._max_steps),
                     ctypes.c_double(-1.0),
                     ctypes.c_int(self._adams_max_order),
+                    dptr(ys),
+                    stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                )
+            elif self._band is not None:
+                rc = self._core.cvbdf_solve_banded(
+                    ctypes.c_int(n),
+                    ctypes.c_int(self._band[0]),
+                    ctypes.c_int(self._band[1]),
+                    self._rhs_ptr,
+                    self._jacband_ptr,
+                    ctypes.c_double(float(t0)),
+                    dptr(y0),
+                    dptr(self._params),
+                    ctypes.c_int(n_t),
+                    dptr(tvals),
+                    ctypes.c_double(self._rtol),
+                    dptr(self._atol),
+                    ctypes.c_int64(self._max_steps),
+                    ctypes.c_double(-1.0),
                     dptr(ys),
                     stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 )

@@ -94,6 +94,113 @@ void lu_solve(int n, const double* lu, const int* piv, double* b) {
 }
 
 // ---------------------------------------------------------------------
+// banded LU with partial pivoting (LAPACK gbtrf/gbtrs-style), the native
+// analog of ops/banded.py (and of the reference's sunlinsol_band /
+// sunlinsol_lapackband, ref build_cvodes.py:45-72).  Storage: row-major
+// (2l+u+1, n) with element A(i,j) at ab[(l+u+i-j)*n + j]; rows 0..l-1 are
+// fill-in space for the pivoted U (a swapped-in row k+p, p<=l, carries
+// entries up to column k+p+u <= k+l+u).  O(n*(l+u)^2) per factorization.
+// ---------------------------------------------------------------------
+bool gb_factor(int n, int l, int u, double* ab, int* piv) {
+  const int w = l + u;
+  for (int k = 0; k < n; ++k) {
+    int km = std::min(l, n - 1 - k);
+    int p = 0;
+    double best = std::fabs(ab[(size_t)w * n + k]);  // A(k, k)
+    for (int d = 1; d <= km; ++d) {
+      double v = std::fabs(ab[(size_t)(w + d) * n + k]);  // A(k+d, k)
+      if (v > best) { best = v; p = d; }
+    }
+    piv[k] = p;
+    int jmax = std::min(k + w, n - 1);
+    if (p != 0)
+      for (int j = k; j <= jmax; ++j)
+        std::swap(ab[(size_t)(w + k - j) * n + j],
+                  ab[(size_t)(w + k + p - j) * n + j]);
+    double pivval = ab[(size_t)w * n + k];
+    if (pivval == 0.0 || !std::isfinite(pivval)) return false;
+    for (int d = 1; d <= km; ++d) {
+      double m = ab[(size_t)(w + d) * n + k] / pivval;
+      ab[(size_t)(w + d) * n + k] = m;
+      for (int j = k + 1; j <= jmax; ++j)
+        ab[(size_t)(w + k + d - j) * n + j] -=
+            m * ab[(size_t)(w + k - j) * n + j];
+    }
+  }
+  return true;
+}
+
+void gb_solve(int n, int l, int u, const double* ab, const int* piv,
+              double* b) {
+  const int w = l + u;
+  for (int k = 0; k < n; ++k) {
+    if (piv[k]) std::swap(b[k], b[k + piv[k]]);
+    int km = std::min(l, n - 1 - k);
+    for (int d = 1; d <= km; ++d)
+      b[k + d] -= ab[(size_t)(w + d) * n + k] * b[k];
+  }
+  for (int k = n - 1; k >= 0; --k) {
+    int jmax = std::min(k + w, n - 1);
+    double acc = b[k];
+    for (int j = k + 1; j <= jmax; ++j)
+      acc -= ab[(size_t)(w + k - j) * n + j] * b[j];
+    b[k] = acc / ab[(size_t)w * n + k];
+  }
+}
+
+// ---------------------------------------------------------------------
+// Newton linear-solver policies for the BDF core: evaluate J, factor
+// M = I - c J, back-substitute.  Dense keeps the original O(n^3) LU;
+// Band keeps banded storage end to end (jacband_fn fills (l+u+1, n) with
+// ab[(u+i-j)*n + j] = J(i,j)) so a bandwidth-w system factors in
+// O(n*w^2) — the reference's linear_solver='band' on the native path.
+// ---------------------------------------------------------------------
+template <class FJ>
+struct DenseLin {
+  int n;
+  FJ j_fn;
+  std::vector<double> J, M;
+  std::vector<int> piv;
+  DenseLin(int n_, FJ j)
+      : n(n_), j_fn(std::move(j)), J((size_t)n_ * n_), M((size_t)n_ * n_),
+        piv(n_) {}
+  void jac(double t, const double* y, const double* params) {
+    j_fn(t, y, params, J.data());
+  }
+  bool factor(double c) {
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j)
+        M[(size_t)i * n + j] = (i == j ? 1.0 : 0.0) - c * J[(size_t)i * n + j];
+    return lu_factor(n, M.data(), piv.data());
+  }
+  void solve(double* b) const { lu_solve(n, M.data(), piv.data(), b); }
+};
+
+template <class FJB>
+struct BandLin {
+  int n, l, u;
+  FJB jb_fn;
+  std::vector<double> Jab, Mab;  // (l+u+1, n) and (2l+u+1, n)
+  std::vector<int> piv;
+  BandLin(int n_, int l_, int u_, FJB jb)
+      : n(n_), l(l_), u(u_), jb_fn(std::move(jb)),
+        Jab((size_t)(l_ + u_ + 1) * n_), Mab((size_t)(2 * l_ + u_ + 1) * n_),
+        piv(n_) {}
+  void jac(double t, const double* y, const double* params) {
+    jb_fn(t, y, params, Jab.data());
+  }
+  bool factor(double c) {
+    std::fill(Mab.begin(), Mab.end(), 0.0);
+    for (int r = 0; r <= l + u; ++r)
+      for (int j = 0; j < n; ++j)
+        Mab[(size_t)(l + r) * n + j] = -c * Jab[(size_t)r * n + j];
+    for (int j = 0; j < n; ++j) Mab[(size_t)(l + u) * n + j] += 1.0;
+    return gb_factor(n, l, u, Mab.data(), piv.data());
+  }
+  void solve(double* b) const { gb_solve(n, l, u, Mab.data(), piv.data(), b); }
+};
+
+// ---------------------------------------------------------------------
 // difference-array helpers
 // ---------------------------------------------------------------------
 void build_R(int q, double factor, double R[KD][KD]) {
@@ -152,11 +259,10 @@ void interpolate(int n, int q, const double* D, double t_n, double h,
 }
 
 struct Work {
-  std::vector<double> D, J, M, y_pred, psi, scale, d, y, f, delta, err, y_out_row;
-  std::vector<int> piv;
+  std::vector<double> D, y_pred, psi, scale, d, y, f, delta, err, y_out_row;
   explicit Work(int n)
-      : D(KD * n), J(n * n), M(n * n), y_pred(n), psi(n), scale(n), d(n),
-        y(n), f(n), delta(n), err(n), y_out_row(n), piv(n) {}
+      : D(KD * n), y_pred(n), psi(n), scale(n), d(n), y(n), f(n), delta(n),
+        err(n), y_out_row(n) {}
 };
 
 // Forward-trajectory recorder + Hermite evaluator (CVodeF/CV_HERMITE
@@ -277,11 +383,12 @@ double initial_h(int n, F&& f_fn, double t0, const double* y0,
   return std::max(h, 1e-12);
 }
 
-template <class F, class FJ>
-int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
-              const double* params, int n_t, const double* tvals, double rtol,
-              const double* atol, int64_t max_steps, double first_step,
-              double* ys_out, Stats* stats, FwdRecord* rec = nullptr) {
+template <class F, class LIN>
+int solve_one_lin(int n, F&& f_fn, LIN& lin, double t0, const double* y0,
+                  const double* params, int n_t, const double* tvals,
+                  double rtol, const double* atol, int64_t max_steps,
+                  double first_step, double* ys_out, Stats* stats,
+                  FwdRecord* rec = nullptr) {
   const double gamma_tab[MAX_ORDER + 1] = {0, 1, 1.5, 1.5 + 1.0 / 3,
                                            1.5 + 1.0 / 3 + 0.25,
                                            1.5 + 1.0 / 3 + 0.25 + 0.2};
@@ -332,7 +439,7 @@ int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
   }
 
   // initial Jacobian (CVODES evaluates before the first Newton)
-  j_fn(t0, y0, params, w.J.data());
+  lin.jac(t0, y0, params);
   stats->n_jac_evals++;
   J_current = true;
 
@@ -359,10 +466,7 @@ int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
     double c = h_use / alpha[q];
 
     if (need_factor || std::fabs(c / (c_factored == 0 ? 1.0 : c_factored) - 1.0) > 1e-12) {
-      for (int i = 0; i < n; ++i)
-        for (int j = 0; j < n; ++j)
-          w.M[i * n + j] = (i == j ? 1.0 : 0.0) - c * w.J[i * n + j];
-      if (!lu_factor(n, w.M.data(), w.piv.data())) return 4;
+      if (!lin.factor(c)) return 4;
       stats->n_factorizations++;
       c_factored = c;
       need_factor = false;
@@ -395,7 +499,7 @@ int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
         w.delta[i] = c * w.f[i] - w.psi[i] - w.d[i];
       }
       if (bad) break;
-      lu_solve(n, w.M.data(), w.piv.data(), w.delta.data());
+      lin.solve(w.delta.data());
       double dy = wrms(n, w.delta.data(), w.scale.data());
       if (!std::isfinite(dy)) { bad = true; break; }
       double rate = dy / dy_old;
@@ -410,7 +514,7 @@ int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
 
     if (!conv || bad) {
       if (!J_current) {
-        j_fn(t_new, w.y_pred.data(), params, w.J.data());
+        lin.jac(t_new, w.y_pred.data(), params);
         stats->n_jac_evals++;
         J_current = true;
         need_factor = true;
@@ -499,6 +603,18 @@ int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
   }
   stats->final_order = q;
   return 0;
+}
+
+// dense-Newton entry (the original solve_one signature)
+template <class F, class FJ>
+int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
+              const double* params, int n_t, const double* tvals, double rtol,
+              const double* atol, int64_t max_steps, double first_step,
+              double* ys_out, Stats* stats, FwdRecord* rec = nullptr) {
+  DenseLin<std::decay_t<FJ>> lin(n, std::forward<FJ>(j_fn));
+  return solve_one_lin(n, std::forward<F>(f_fn), lin, t0, y0, params, n_t,
+                       tvals, rtol, atol, max_steps, first_step, ys_out,
+                       stats, rec);
 }
 
 // ---------------------------------------------------------------------
@@ -997,6 +1113,52 @@ int cvbdf_solve(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
                      max_steps, first_step, ys_out, &st);
   fill_stats(st, stats_out);
   return rc;
+}
+
+// Banded-Newton BDF solve: j_fn fills (l+u+1, n) banded storage
+// ab[(u+i-j)*n + j] = J(i,j).  O(n*(l+u)^2) per factorization instead of
+// the dense O(n^3) — the reference's linear_solver='band'
+// (ref solver.py:326-358 + sunlinsol_band) on the native host path.
+int cvbdf_solve_banded(int n, int lower, int upper, rhs_fn f_fn,
+                       jac_fn jb_fn, double t0, const double* y0,
+                       const double* params, int n_t, const double* tvals,
+                       double rtol, const double* atol, int64_t max_steps,
+                       double first_step, double* ys_out,
+                       int64_t* stats_out) {
+  Stats st;
+  BandLin<jac_fn> lin(n, lower, upper, jb_fn);
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, rtol,
+                         atol, max_steps, first_step, ys_out, &st);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+void cvbdf_solve_banded_batch(int n, int lower, int upper, rhs_fn f_fn,
+                              jac_fn jb_fn, double t0, const double* y0_batch,
+                              const double* params_batch, int n_params,
+                              int n_t, const double* tvals, double rtol,
+                              const double* atol, int64_t max_steps, int batch,
+                              int n_threads, double* ys_out_batch,
+                              int* status_out) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    BandLin<jac_fn> lin(n, lower, upper, jb_fn);
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      Stats st;
+      status_out[b] = solve_one_lin(
+          n, f_fn, lin, t0, y0_batch + (size_t)b * n,
+          params_batch + (size_t)b * n_params, n_t, tvals, rtol, atol,
+          max_steps, -1.0, ys_out_batch + (size_t)b * n_t * n, &st);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < std::min(n_threads, batch); ++i)
+    pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 int cvadams_solve(int n, rhs_fn f_fn, double t0, const double* y0,

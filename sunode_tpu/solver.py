@@ -409,11 +409,18 @@ class Solver(_SolverBase):
 
     def _native_eligible(self) -> bool:
         o = self._options
+        # 'band' routes to the native gbtrf/gbtrs Newton (cvbdf_solve_banded)
+        # — BDF only; a SympyProblem is required for banded codegen.
+        ls_ok = self._linear_solver == "dense" or (
+            self._linear_solver == "band"
+            and self._solver_kind == "BDF"
+            and hasattr(self._problem, "_sym_dydt_jac")
+        )
         return (
             self._native_single_enabled
             and self._solver_kind in ("BDF", "ADAMS")
             and not self._compute_sens
-            and self._linear_solver == "dense"
+            and ls_ok
             and o.constraints is None
             and o.first_step is None
             and (self._solver_kind == "ADAMS" or o.max_order == MAX_ORDER)
@@ -446,6 +453,16 @@ class Solver(_SolverBase):
             try:
                 from sunode_tpu.native.cpu_solver import CpuSolver
 
+                ls_kw = {}
+                if self._linear_solver == "band":
+                    kw = self._linear_solver_kwargs
+                    ls_kw = dict(
+                        linear_solver="band",
+                        linear_solver_kwargs=dict(
+                            lower_bandwidth=int(kw["lower_bandwidth"]),
+                            upper_bandwidth=int(kw["upper_bandwidth"]),
+                        ),
+                    )
                 self._native_solver = CpuSolver(
                     self._problem,
                     abstol=np.asarray(self._options.atol),
@@ -454,6 +471,7 @@ class Solver(_SolverBase):
                     * 2**self._max_retries,
                     method=self._solver_kind,
                     adams_max_order=int(self._options.adams_max_order),
+                    **ls_kw,
                 )
             except Exception:
                 self._native_solver = None

@@ -551,3 +551,106 @@ def test_native_robertson_cross_check():
 
     err = np.abs(out_native - out_jax) / (np.abs(out_jax) + 1e-14)
     assert err.max() < 1e-5, f"cross-impl max rel err {err.max():.2e}"
+
+
+# --- banded Newton on the native path (cvbdf_solve_banded) ---------------
+
+_N_RD = 16
+
+
+def _rd_problem():
+    """1-D reaction-diffusion chain: stiff, tridiagonal Jacobian."""
+
+    def rhs(t, y, p):
+        u = y.u
+        out = []
+        for i in range(_N_RD):
+            left = u[i - 1] if i > 0 else 0
+            right = u[i + 1] if i < _N_RD - 1 else 0
+            out.append(p.k * (left - 2 * u[i] + right) + p.r * u[i] * (1 - u[i]))
+        return {"u": np.array(out, dtype=object)}
+
+    return SympyProblem(
+        params={"k": (), "r": ()},
+        states={"u": (_N_RD,)},
+        rhs_sympy=rhs,
+        derivative_params=[("k",)],
+    )
+
+
+def test_native_banded_matches_dense():
+    """Banded gbtrf/gbtrs Newton (O(n*w^2)) reproduces the dense-LU solve
+    on a stiff tridiagonal system — same steps, same factorizations
+    (reference linear_solver='band', solver.py:326-358 + sunlinsol_band)."""
+    prob = _rd_problem()
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(_N_RD) / (_N_RD - 1))
+    tvals = np.array([0.05, 0.2, 0.5, 1.0])
+    pvals = {"k": 80.0, "r": 1.5}
+
+    dense = CpuSolver(prob, abstol=1e-10, reltol=1e-10)
+    band = CpuSolver(
+        prob,
+        abstol=1e-10,
+        reltol=1e-10,
+        linear_solver="band",
+        linear_solver_kwargs=dict(lower_bandwidth=1, upper_bandwidth=1),
+    )
+    for s in (dense, band):
+        s.set_params_dict(pvals)
+    ys_d = dense.solve(0.0, tvals, y0)
+    ys_b = band.solve(0.0, tvals, y0)
+    np.testing.assert_allclose(ys_b, ys_d, rtol=1e-6, atol=1e-10)
+    assert band.last_stats["n_factorizations"] > 0
+    assert band.last_stats["n_steps"] == dense.last_stats["n_steps"]
+    assert "sunode_jac_banded" in band.generated_source
+
+    # threaded batch path (cvbdf_solve_banded_batch)
+    y0b = np.stack([y0, 0.8 * y0, 1.2 * y0])
+    ys_bb = band.solve(0.0, tvals, y0b)
+    ys_db = dense.solve(0.0, tvals, y0b)
+    np.testing.assert_allclose(ys_bb, ys_db, rtol=1e-6, atol=1e-10)
+    assert (band.last_status == 0).all()
+
+
+def test_native_banded_rejects_out_of_band(problem):
+    """A structurally nonzero Jacobian entry outside the declared band is a
+    hard codegen error (the reference's sunmatrix_band would silently
+    truncate it)."""
+    with pytest.raises(ValueError, match="outside the declared band"):
+        CpuSolver(
+            problem,  # LV: dense 2x2 Jacobian
+            linear_solver="band",
+            linear_solver_kwargs=dict(lower_bandwidth=0, upper_bandwidth=0),
+        )
+
+
+def test_native_banded_requires_bdf(problem):
+    with pytest.raises(ValueError, match="requires method='BDF'"):
+        CpuSolver(
+            problem,
+            method="ADAMS",
+            linear_solver="band",
+            linear_solver_kwargs=dict(lower_bandwidth=1, upper_bandwidth=1),
+        )
+
+
+def test_solver_class_routes_native_banded():
+    """Solver(linear_solver='band') at B=1 routes to cvbdf_solve_banded and
+    matches the dense class solve."""
+    prob = _rd_problem()
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(_N_RD) / (_N_RD - 1))
+    tvals = np.array([0.05, 0.2, 0.5])
+    s = Solver(
+        prob,
+        abstol=1e-10,
+        reltol=1e-10,
+        linear_solver="band",
+        linear_solver_kwargs=dict(lower_bandwidth=1, upper_bandwidth=1),
+    )
+    s.set_params_dict({"k": 80.0, "r": 1.5})
+    assert s._native_eligible()
+    ys = s.solve(0.0, tvals, y0)
+    assert s._native_single() is not None
+    sd = Solver(prob, abstol=1e-10, reltol=1e-10)
+    sd.set_params_dict({"k": 80.0, "r": 1.5})
+    np.testing.assert_allclose(ys, sd.solve(0.0, tvals, y0), rtol=1e-6, atol=1e-10)
