@@ -103,6 +103,10 @@ class CpuSolver:
             )
             self._core.cvbdf_solve_banded.restype = ctypes.c_int
             self._core.cvbdf_solve_banded_batch.restype = None
+            self._core.cvbdf_adjoint_solve_banded.restype = ctypes.c_int
+            self._core.cvbdf_adjoint_solve_banded_batch.restype = None
+            self._core.cvbdf_forward_record_banded.restype = ctypes.c_void_p
+            self._core.cvbdf_backward_recorded_banded.restype = ctypes.c_int
 
         self._core.cvbdf_solve.restype = ctypes.c_int
         self._core.cvbdf_solve_batch.restype = None
@@ -378,6 +382,36 @@ class CpuSolver:
                 dptr(dLdp),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
+        elif self._band is not None:
+            rc = self._core.cvbdf_adjoint_solve_banded(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                ctypes.c_int(self._band[0]),
+                ctypes.c_int(self._band[1]),
+                self._rhs_ptr,
+                self._jacband_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                self._dfdt_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._hermite_order),
+                dptr(ys),
+                dptr(lam0),
+                dptr(dLdp),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
         else:
             rc = self._core.cvbdf_adjoint_solve(
                 ctypes.c_int(n),
@@ -537,6 +571,39 @@ class CpuSolver:
                 dptr(dLdp),
                 status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             )
+        elif self._band is not None:
+            self._core.cvbdf_adjoint_solve_banded_batch(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                ctypes.c_int(self._band[0]),
+                ctypes.c_int(self._band[1]),
+                self._rhs_ptr,
+                self._jacband_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                self._dfdt_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(params),
+                ctypes.c_int(params.shape[1]),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._hermite_order),
+                ctypes.c_int(batch),
+                ctypes.c_int(self._n_threads),
+                dptr(ys),
+                dptr(lam0),
+                dptr(dLdp),
+                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            )
         else:
             self._core.cvbdf_adjoint_solve_batch(
                 ctypes.c_int(n),
@@ -602,24 +669,46 @@ class CpuSolver:
         rc = ctypes.c_int(-1)
         dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
         self._free_record()
-        handle = self._core.cvbdf_forward_record(
-            ctypes.c_int(n),
-            self._rhs_ptr,
-            self._jac_ptr,
-            self._dfdt_ptr,
-            ctypes.c_double(float(t0)),
-            dptr(y0),
-            dptr(self._params),
-            ctypes.c_int(n_t),
-            dptr(tvals),
-            ctypes.c_double(self._rtol),
-            dptr(self._atol),
-            ctypes.c_int64(self._max_steps),
-            ctypes.c_int(self._hermite_order),
-            dptr(ys),
-            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.byref(rc),
-        )
+        if self._band is not None:
+            handle = self._core.cvbdf_forward_record_banded(
+                ctypes.c_int(n),
+                ctypes.c_int(self._band[0]),
+                ctypes.c_int(self._band[1]),
+                self._rhs_ptr,
+                self._jacband_ptr,
+                self._dfdt_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._hermite_order),
+                dptr(ys),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.byref(rc),
+            )
+        else:
+            handle = self._core.cvbdf_forward_record(
+                ctypes.c_int(n),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._dfdt_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._hermite_order),
+                dptr(ys),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.byref(rc),
+            )
         self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
         if rc.value != 0 or not handle:
             raise SolverError(
@@ -665,27 +754,52 @@ class CpuSolver:
         dLdp = np.full(max(nq, 1), np.nan)
         stats = np.zeros(8, np.int64)
         dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
-        rc = self._core.cvbdf_backward_recorded(
-            ctypes.c_void_p(self._rec_handle),
-            ctypes.c_int(n),
-            ctypes.c_int(nq),
-            self._jac_ptr,
-            self._adj_ptr,
-            self._quad_ptr,
-            self._dfdp_ptr,
-            dptr(self._params),
-            ctypes.c_double(float(t0)),
-            ctypes.c_int(n_t),
-            dptr(tvals),
-            dptr(grads),
-            ctypes.c_double(a_rtol),
-            dptr(self._atol),
-            ctypes.c_double(a_atol),
-            ctypes.c_int64(self._max_steps),
-            dptr(lam0),
-            dptr(dLdp),
-            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        )
+        if self._band is not None:
+            rc = self._core.cvbdf_backward_recorded_banded(
+                ctypes.c_void_p(self._rec_handle),
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                ctypes.c_int(self._band[0]),
+                ctypes.c_int(self._band[1]),
+                self._jacband_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                dptr(self._params),
+                ctypes.c_double(float(t0)),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                dptr(lam0),
+                dptr(dLdp),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        else:
+            rc = self._core.cvbdf_backward_recorded(
+                ctypes.c_void_p(self._rec_handle),
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                self._jac_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                dptr(self._params),
+                ctypes.c_double(float(t0)),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                dptr(lam0),
+                dptr(dLdp),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
         self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
         if rc != 0:
             raise SolverError(

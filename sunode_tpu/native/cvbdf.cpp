@@ -966,6 +966,44 @@ int adams_adjoint_backward(int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn,
   return 0;
 }
 
+// Linear-solver policy for the augmented adjoint state z = [lambda; q]:
+// the augmented Jacobian is [[J^T, 0], [dfdp^T, 0]] (y is not a state), so
+// the Newton matrix M = I - c*Jaug = [[I - c J^T, 0], [-c dfdp^T, I]] is
+// block LOWER-TRIANGULAR.  Only the n x n lambda block needs factoring —
+// delta_q = r_q + c * dfdp^T delta_lam follows exactly — which drops the
+// dense cost from (n+nq)^3 to n^3 and lets the lambda block use the banded
+// LU (J^T of a (l,u)-banded J is (u,l)-banded).  `fill` must populate the
+// inner policy's J storage with J^T (and `dfdp`) at the interpolated yhat.
+template <class INNER>
+struct AdjointLin {
+  int n, nq;
+  INNER inner;  // policy for the (I - c J^T) lambda block
+  // fill(tau, inner, dfdp): evaluate yhat(t_hi - tau) from the record and
+  // populate inner's J storage with J^T plus the dfdp block (the Jacobian
+  // depends on yhat(t), not on z, so the z argument of jac() is unused)
+  std::function<void(double tau, INNER& inner, double* dfdp)> fill;
+  std::vector<double> dfdp;  // (n, nq) row-major
+  double c_cur = 0.0;
+  AdjointLin(int n_, int nq_, INNER in)
+      : n(n_), nq(nq_), inner(std::move(in)),
+        dfdp((size_t)n_ * std::max(nq_, 1)) {}
+  void jac(double tau, const double* /*z*/, const double* /*params*/) {
+    fill(tau, inner, dfdp.data());
+  }
+  bool factor(double c) {
+    c_cur = c;
+    return inner.factor(c);
+  }
+  void solve(double* b) const {
+    inner.solve(b);  // delta_lam in b[0..n)
+    for (int k = 0; k < nq; ++k) {
+      double acc = 0.0;
+      for (int i = 0; i < n; ++i) acc += dfdp[(size_t)i * nq + k] * b[i];
+      b[n + k] += c_cur * acc;
+    }
+  }
+};
+
 // Stiff (BDF) adjoint backward pass against a Hermite-recorded forward
 // trajectory — the reference's CVodeF + CVodeB(CV_HERMITE) design
 // (solver.py:682-784): the lambda/quad system integrates backward with
@@ -973,19 +1011,20 @@ int adams_adjoint_backward(int n, int nq, rhs_fn f_fn, adj_rhs_fn adj_fn,
 // of the recorded (t, y, f) steps.  State z = [lambda (n); q (nq)] in
 // reversed time tau = t_hi - t:
 //   lambda' = +J(t, yhat)^T lambda,   q' = +lambda^T df/dp(t, yhat)
-// Augmented Jacobian: [[J^T, 0], [dfdp^T, 0]] (exact — y is not a state).
-int bdf_adjoint_backward(int n, int nq, jac_fn j_fn, adj_rhs_fn adj_fn,
-                         adj_rhs_fn quad_fn, rhs_fn dfdp_fn,
-                         const FwdRecord& rec, const double* params,
-                         double t0, int n_t, const double* tvals,
-                         const double* grads, double rtol,
-                         const double* atol_lam, double atol_adj,
-                         int64_t max_steps, double* lam_out, double* quad_out,
-                         Stats* stats) {
+// Templated on the lambda-block linear solver via MAKE_LIN(yhat_buf,
+// tau_to_t) -> AdjointLin; see the dense/banded drivers below.
+template <class MAKE_LIN>
+int bdf_adjoint_backward_lin(int n, int nq, adj_rhs_fn adj_fn,
+                             adj_rhs_fn quad_fn, MAKE_LIN&& make_lin,
+                             const FwdRecord& rec, const double* params,
+                             double t0, int n_t, const double* tvals,
+                             const double* grads, double rtol,
+                             const double* atol_lam, double atol_adj,
+                             int64_t max_steps, double* lam_out,
+                             double* quad_out, Stats* stats) {
   const int m = n + nq;
   std::vector<double> z(m), z_end(m), atol_z(m);
-  std::vector<double> yhat(n), Jbuf((size_t)n * n),
-      dfdp((size_t)n * std::max(nq, 1));
+  std::vector<double> yhat(n);
   for (int i = 0; i < n; ++i) atol_z[i] = atol_lam[i];
   for (int i = n; i < m; ++i) atol_z[i] = atol_adj;
   for (int i = 0; i < m; ++i) z[i] = 0.0;
@@ -1000,23 +1039,11 @@ int bdf_adjoint_backward(int n, int nq, jac_fn j_fn, adj_rhs_fn adj_fn,
       for (int i = 0; i < n; ++i) out[i] = -out[i];  // d/dtau flips sign
       if (nq) quad_fn(t, yhat.data(), zz, params, out + n);
     };
-    auto augjac = [&](double tau, const double* /*zz*/, const double* /*p*/,
-                      double* out) {
-      double t = t_hi - tau;
-      rec.eval(t, yhat.data());
-      j_fn(t, yhat.data(), params, Jbuf.data());
-      if (nq) dfdp_fn(t, yhat.data(), params, dfdp.data());
-      std::memset(out, 0, sizeof(double) * (size_t)m * m);
-      for (int i = 0; i < n; ++i)
-        for (int j = 0; j < n; ++j)
-          out[(size_t)i * m + j] = Jbuf[(size_t)j * n + i];
-      for (int k = 0; k < nq; ++k)
-        for (int j = 0; j < n; ++j)
-          out[(size_t)(n + k) * m + j] = dfdp[(size_t)j * nq + k];
-    };
+    auto lin = make_lin(yhat, t_hi);
     double tv1[1] = {tau_end};
-    int rc = solve_one(m, aug, augjac, 0.0, z.data(), params, 1, tv1, rtol,
-                       atol_z.data(), max_steps, -1.0, z_end.data(), stats);
+    int rc = solve_one_lin(m, aug, lin, 0.0, z.data(), params, 1, tv1, rtol,
+                           atol_z.data(), max_steps, -1.0, z_end.data(),
+                           stats);
     if (rc == 0) std::copy(z_end.begin(), z_end.end(), z.begin());
     return rc;
   };
@@ -1036,6 +1063,75 @@ int bdf_adjoint_backward(int n, int nq, jac_fn j_fn, adj_rhs_fn adj_fn,
   for (int i = 0; i < n; ++i) lam_out[i] = z[i];
   for (int k = 0; k < nq; ++k) quad_out[k] = z[n + k];
   return 0;
+}
+
+// Dense lambda-block driver (the original bdf_adjoint_backward surface).
+int bdf_adjoint_backward(int n, int nq, jac_fn j_fn, adj_rhs_fn adj_fn,
+                         adj_rhs_fn quad_fn, rhs_fn dfdp_fn,
+                         const FwdRecord& rec, const double* params,
+                         double t0, int n_t, const double* tvals,
+                         const double* grads, double rtol,
+                         const double* atol_lam, double atol_adj,
+                         int64_t max_steps, double* lam_out, double* quad_out,
+                         Stats* stats) {
+  std::vector<double> Jbuf((size_t)n * n);
+  auto make_lin = [&](std::vector<double>& yhat, double t_hi) {
+    AdjointLin<DenseLin<jac_fn>> lin(n, nq, DenseLin<jac_fn>(n, j_fn));
+    lin.fill = [&, t_hi](double tau, DenseLin<jac_fn>& inner, double* dfdp) {
+      double t = t_hi - tau;
+      rec.eval(t, yhat.data());
+      j_fn(t, yhat.data(), params, Jbuf.data());
+      for (int i = 0; i < n; ++i)
+        for (int j = 0; j < n; ++j)
+          inner.J[(size_t)i * n + j] = Jbuf[(size_t)j * n + i];
+      if (nq) dfdp_fn(t, yhat.data(), params, dfdp);
+    };
+    return lin;
+  };
+  return bdf_adjoint_backward_lin(n, nq, adj_fn, quad_fn, make_lin, rec,
+                                  params, t0, n_t, tvals, grads, rtol,
+                                  atol_lam, atol_adj, max_steps, lam_out,
+                                  quad_out, stats);
+}
+
+// Banded lambda-block driver: jb_fn fills (l+u+1, n) banded J; the
+// backward Newton factors I - c J^T with the banded LU at the transposed
+// bandwidths (lower=u, upper=l) — O(n*(l+u)^2) stiff gradients.
+int bdf_adjoint_backward_band(int n, int nq, int l, int u, jac_fn jb_fn,
+                              adj_rhs_fn adj_fn, adj_rhs_fn quad_fn,
+                              rhs_fn dfdp_fn, const FwdRecord& rec,
+                              const double* params, double t0, int n_t,
+                              const double* tvals, const double* grads,
+                              double rtol, const double* atol_lam,
+                              double atol_adj, int64_t max_steps,
+                              double* lam_out, double* quad_out,
+                              Stats* stats) {
+  const int w = l + u;
+  std::vector<double> Jab((size_t)(w + 1) * n);
+  auto make_lin = [&](std::vector<double>& yhat, double t_hi) {
+    using BL = BandLin<jac_fn>;
+    AdjointLin<BL> lin(n, nq, BL(n, /*lower=*/u, /*upper=*/l, jb_fn));
+    lin.fill = [&, t_hi](double tau, BL& inner, double* dfdp) {
+      double t = t_hi - tau;
+      rec.eval(t, yhat.data());
+      jb_fn(t, yhat.data(), params, Jab.data());
+      // transpose in banded storage: J^T has (lower, upper) = (u, l), so
+      // JabT[(l + i - j)*n + j] = J(j, i) = Jab[(u + j - i)*n + i]
+      // i.e. JabT[r*n + j] = Jab[(w - r)*n + (j + r - l)]  (zero-padded)
+      for (int r = 0; r <= w; ++r)
+        for (int j = 0; j < n; ++j) {
+          int i = j + r - l;
+          inner.Jab[(size_t)r * n + j] =
+              (i >= 0 && i < n) ? Jab[(size_t)(w - r) * n + i] : 0.0;
+        }
+      if (nq) dfdp_fn(t, yhat.data(), params, dfdp);
+    };
+    return lin;
+  };
+  return bdf_adjoint_backward_lin(n, nq, adj_fn, quad_fn, make_lin, rec,
+                                  params, t0, n_t, tvals, grads, rtol,
+                                  atol_lam, atol_adj, max_steps, lam_out,
+                                  quad_out, stats);
 }
 
 // ---------------------------------------------------------------------
@@ -1233,6 +1329,95 @@ static void set_quintic_hook(FwdRecord& rec, int n, jac_fn j_fn,
   };
 }
 
+static void set_quintic_hook_banded(FwdRecord& rec, int n, int l, int u,
+                                    jac_fn jb_fn, rhs_fn dfdt_fn,
+                                    const double* params) {
+  // banded analog of set_quintic_hook: fdot = J f + df/dt and ||J||_inf
+  // from the (l+u+1, n) banded Jacobian — O(n*w) per recorded step.
+  auto Jab = std::make_shared<std::vector<double>>((size_t)(l + u + 1) * n);
+  auto dfdt_buf = std::make_shared<std::vector<double>>(n);
+  rec.fdot = [n, l, u, jb_fn, dfdt_fn, params, Jab, dfdt_buf](
+                 double t, const double* y, const double* f, double* fd) {
+    jb_fn(t, y, params, Jab->data());
+    dfdt_fn(t, y, params, dfdt_buf->data());
+    double L = 0.0;
+    for (int i = 0; i < n; ++i) {
+      double acc = (*dfdt_buf)[i], row = 0.0;
+      int jlo = std::max(0, i - l), jhi = std::min(n - 1, i + u);
+      for (int j = jlo; j <= jhi; ++j) {
+        double v = (*Jab)[(size_t)(u + i - j) * n + j];
+        acc += v * f[j];
+        row += std::fabs(v);
+      }
+      fd[i] = acc;
+      L = std::max(L, row);
+    }
+    return L;
+  };
+}
+
+// Banded stiff adjoint gradient pair: banded-Newton BDF forward with
+// Hermite recording + banded-Newton backward over the record (the
+// lambda-block Newton matrix I - c J^T factors at the transposed
+// bandwidths; the quadrature rows are eliminated exactly — see
+// AdjointLin).  O(n*(l+u)^2) per factorization end to end.
+int cvbdf_adjoint_solve_banded(
+    int n, int nq, int lower, int upper, rhs_fn f_fn, jac_fn jb_fn,
+    adj_rhs_fn adj_fn, adj_rhs_fn quad_fn, rhs_fn dfdp_fn, rhs_fn dfdt_fn,
+    double t0, const double* y0, const double* params, int n_t,
+    const double* tvals, const double* grads, double rtol,
+    const double* atol_lam, double fwd_rtol, const double* fwd_atol,
+    double atol_adj, int64_t max_steps, int herm_order, double* ys_out,
+    double* lam_out, double* quad_out, int64_t* stats_out) {
+  Stats st;
+  FwdRecord rec;
+  if (herm_order >= 5)
+    set_quintic_hook_banded(rec, n, lower, upper, jb_fn, dfdt_fn, params);
+  BandLin<jac_fn> lin(n, lower, upper, jb_fn);
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, fwd_rtol,
+                         fwd_atol, max_steps, -1.0, ys_out, &st, &rec);
+  if (rc == 0) {
+    rc = bdf_adjoint_backward_band(n, nq, lower, upper, jb_fn, adj_fn,
+                                   quad_fn, dfdp_fn, rec, params, t0, n_t,
+                                   tvals, grads, rtol, atol_lam, atol_adj,
+                                   max_steps, lam_out, quad_out, &st);
+  }
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+void cvbdf_adjoint_solve_banded_batch(
+    int n, int nq, int lower, int upper, rhs_fn f_fn, jac_fn jb_fn,
+    adj_rhs_fn adj_fn, adj_rhs_fn quad_fn, rhs_fn dfdp_fn, rhs_fn dfdt_fn,
+    double t0, const double* y0_batch, const double* params_batch,
+    int n_params, int n_t, const double* tvals, const double* grads_batch,
+    double rtol, const double* atol_lam, double fwd_rtol,
+    const double* fwd_atol, double atol_adj, int64_t max_steps,
+    int herm_order, int batch, int n_threads, double* ys_out_batch,
+    double* lam_out_batch, double* quad_out_batch, int* status_out) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      status_out[b] = cvbdf_adjoint_solve_banded(
+          n, nq, lower, upper, f_fn, jb_fn, adj_fn, quad_fn, dfdp_fn,
+          dfdt_fn, t0, y0_batch + (size_t)b * n,
+          params_batch + (size_t)b * n_params, n_t, tvals,
+          grads_batch + (size_t)b * n_t * n, rtol, atol_lam, fwd_rtol,
+          fwd_atol, atol_adj, max_steps, herm_order,
+          ys_out_batch + (size_t)b * n_t * n, lam_out_batch + (size_t)b * n,
+          quad_out_batch + (size_t)b * std::max(nq, 1), nullptr);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < std::min(n_threads, batch); ++i)
+    pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
 // Full stiff adjoint gradient pair: recorded BDF forward (CVodeF analog)
 // + Hermite-interpolated BDF backward (CVodeB/CV_HERMITE analog).
 int cvbdf_adjoint_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
@@ -1303,6 +1488,49 @@ int cvbdf_backward_recorded(void* rec_handle, int n, int nq, jac_fn j_fn,
 
 void cvbdf_record_free(void* rec_handle) {
   delete static_cast<FwdRecord*>(rec_handle);
+}
+
+// Banded handle-API pair (CVodeF/CVodeB split with banded Newton).
+void* cvbdf_forward_record_banded(int n, int lower, int upper, rhs_fn f_fn,
+                                  jac_fn jb_fn, rhs_fn dfdt_fn, double t0,
+                                  const double* y0, const double* params,
+                                  int n_t, const double* tvals,
+                                  double fwd_rtol, const double* fwd_atol,
+                                  int64_t max_steps, int herm_order,
+                                  double* ys_out, int64_t* stats_out,
+                                  int* rc_out) {
+  Stats st;
+  auto* rec = new FwdRecord();
+  if (herm_order >= 5)
+    set_quintic_hook_banded(*rec, n, lower, upper, jb_fn, dfdt_fn, params);
+  BandLin<jac_fn> lin(n, lower, upper, jb_fn);
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, fwd_rtol,
+                         fwd_atol, max_steps, -1.0, ys_out, &st, rec);
+  fill_stats(st, stats_out);
+  if (rc_out) *rc_out = rc;
+  if (rc != 0) {
+    delete rec;
+    return nullptr;
+  }
+  rec->fdot = nullptr;  // hook captures die with this frame; data is kept
+  return rec;
+}
+
+int cvbdf_backward_recorded_banded(
+    void* rec_handle, int n, int nq, int lower, int upper, jac_fn jb_fn,
+    adj_rhs_fn adj_fn, adj_rhs_fn quad_fn, rhs_fn dfdp_fn,
+    const double* params, double t0, int n_t, const double* tvals,
+    const double* grads, double rtol, const double* atol_lam,
+    double atol_adj, int64_t max_steps, double* lam_out, double* quad_out,
+    int64_t* stats_out) {
+  Stats st;
+  const auto* rec = static_cast<const FwdRecord*>(rec_handle);
+  int rc = bdf_adjoint_backward_band(n, nq, lower, upper, jb_fn, adj_fn,
+                                     quad_fn, dfdp_fn, *rec, params, t0, n_t,
+                                     tvals, grads, rtol, atol_lam, atol_adj,
+                                     max_steps, lam_out, quad_out, &st);
+  fill_stats(st, stats_out);
+  return rc;
 }
 
 // Diagnostic: run the recorded forward solve (as cvbdf_adjoint_solve

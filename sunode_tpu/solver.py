@@ -1052,10 +1052,17 @@ class AdjointSolver(_SolverBase):
         kind_ok = kinds == ("ADAMS", "ADAMS") or (
             kinds == ("BDF", "BDF") and self._interpolation == "hermite"
         )
+        # banded Newton routes natively on the BDF/BDF path only (the
+        # ADAMS pair has no Newton matrix; banded codegen needs sympy)
+        ls_ok = self._linear_solver == "dense" or (
+            self._linear_solver == "band"
+            and kinds == ("BDF", "BDF")
+            and hasattr(self._problem, "_sym_dydt_jac")
+        )
         return (
             self._native_single_enabled
             and kind_ok
-            and self._linear_solver == "dense"
+            and ls_ok
             and o.constraints is None
             and o.first_step is None
             and not np.isfinite(o.max_step)
@@ -1069,6 +1076,16 @@ class AdjointSolver(_SolverBase):
             try:
                 from sunode_tpu.native.cpu_solver import CpuSolver
 
+                ls_kw = {}
+                if self._linear_solver == "band":
+                    kw = self._linear_solver_kwargs
+                    ls_kw = dict(
+                        linear_solver="band",
+                        linear_solver_kwargs=dict(
+                            lower_bandwidth=int(kw["lower_bandwidth"]),
+                            upper_bandwidth=int(kw["upper_bandwidth"]),
+                        ),
+                    )
                 self._native_adj_solver = CpuSolver(
                     self._problem,
                     abstol=np.asarray(self._options.atol),
@@ -1078,6 +1095,7 @@ class AdjointSolver(_SolverBase):
                     method=self._solver_kind,
                     adams_max_order=int(self._options.adams_max_order),
                     hermite_order=int(self._options.hermite_order),
+                    **ls_kw,
                 )
             except Exception:
                 self._native_adj_solver = None

@@ -654,3 +654,83 @@ def test_solver_class_routes_native_banded():
     sd = Solver(prob, abstol=1e-10, reltol=1e-10)
     sd.set_params_dict({"k": 80.0, "r": 1.5})
     np.testing.assert_allclose(ys, sd.solve(0.0, tvals, y0), rtol=1e-6, atol=1e-10)
+
+
+def test_native_banded_adjoint_matches_dense_and_fd():
+    """Banded stiff adjoint (block-triangular augmented Newton: banded
+    lambda block at transposed bandwidths + exact quad elimination)
+    reproduces the dense adjoint and central finite differences."""
+    prob = _rd_problem()
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(_N_RD) / (_N_RD - 1))
+    tvals = np.array([0.05, 0.2, 0.5, 1.0])
+    pv = {"k": 80.0, "r": 1.5}
+    rng = np.random.default_rng(0)
+    grads = rng.standard_normal((len(tvals), _N_RD))
+
+    dense = CpuSolver(prob, abstol=1e-10, reltol=1e-10)
+    band = CpuSolver(
+        prob,
+        abstol=1e-10,
+        reltol=1e-10,
+        linear_solver="band",
+        linear_solver_kwargs=dict(lower_bandwidth=1, upper_bandwidth=1),
+    )
+    for s in (dense, band):
+        s.set_params_dict(pv)
+    _, lam_d, q_d = dense.solve_adjoint(0.0, tvals, y0, grads)
+    _, lam_b, q_b = band.solve_adjoint(0.0, tvals, y0, grads)
+    np.testing.assert_allclose(lam_b, lam_d, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(q_b, q_d, rtol=1e-5, atol=1e-9)
+
+    def loss(kv):
+        s = CpuSolver(prob, abstol=1e-12, reltol=1e-12)
+        s.set_params_dict({"k": kv, "r": 1.5})
+        return float(np.sum(grads * s.solve(0.0, tvals, y0)))
+
+    eps = 1e-5
+    fd_k = (loss(80.0 + eps) - loss(80.0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(q_b[0], fd_k, rtol=1e-4)
+
+    # recorded CVodeF/CVodeB split over the same banded record
+    ys2 = band.solve_forward_recorded(0.0, tvals, y0)
+    lam2, q2 = band.solve_backward_recorded(0.0, tvals, grads)
+    np.testing.assert_allclose(lam2, lam_b, rtol=1e-6)
+    np.testing.assert_allclose(q2, q_b, rtol=1e-6)
+
+    # threaded banded gradient-pair batch
+    y0b = np.stack([y0, 0.9 * y0])
+    gb = np.stack([grads, grads])
+    _, lamb, qb = band.solve_adjoint(0.0, tvals, y0b, gb)
+    assert (band.last_status == 0).all()
+    np.testing.assert_allclose(lamb[0], lam_b, rtol=1e-6)
+
+
+def test_adjoint_solver_routes_native_banded():
+    """AdjointSolver(linear_solver='band') at B=1 runs the native banded
+    CVodeF/CVodeB split and matches the dense-class adjoint."""
+    from sunode_tpu.solver import AdjointSolver
+
+    prob = _rd_problem()
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(_N_RD) / (_N_RD - 1))
+    tvals = np.array([0.05, 0.2, 0.5])
+    grads = np.ones((len(tvals), _N_RD))
+
+    s = AdjointSolver(
+        prob,
+        reltol=1e-8,
+        abstol=1e-8,
+        linear_solver="band",
+        linear_solver_kwargs=dict(lower_bandwidth=1, upper_bandwidth=1),
+    )
+    s.set_params_dict({"k": 80.0, "r": 1.5})
+    assert s._native_adj_eligible()
+    s.solve_forward(0.0, tvals, y0)
+    assert s._last_forward.get("native_mode") == "BDF"
+    quad, lam = s.solve_backward(tvals[-1], 0.0, tvals, grads)
+
+    sd = AdjointSolver(prob, reltol=1e-8, abstol=1e-8)
+    sd.set_params_dict({"k": 80.0, "r": 1.5})
+    sd.solve_forward(0.0, tvals, y0)
+    quad_d, lam_d = sd.solve_backward(tvals[-1], 0.0, tvals, grads)
+    np.testing.assert_allclose(np.asarray(quad), np.asarray(quad_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_d), rtol=1e-5, atol=1e-8)
