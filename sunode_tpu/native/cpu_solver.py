@@ -462,9 +462,11 @@ class CpuSolver:
         d y_i(t_m) / d p_k`` over the derivative-params subset.  The
         augmented state [y; vec(S)] is error-controlled jointly
         (CVodeSensEEtolerances + SetSensErrCon semantics,
-        reference solver.py:360-392).  Requires ``method='ADAMS'``."""
-        if self._method != "ADAMS":
-            raise SolverError("solve_sens requires method='ADAMS'")
+        reference solver.py:360-392).  ``method='ADAMS'`` uses functional
+        iteration; ``method='BDF'`` uses modified Newton with ONE shared
+        I - cJ factorization across the y and sensitivity blocks (banded
+        when ``linear_solver='band'``) — the CVODES linear-algebra
+        structure for stiff sensitivities."""
         n = self._problem.n_states
         nq = self._problem.n_params
         y0 = np.ascontiguousarray(
@@ -486,27 +488,75 @@ class CpuSolver:
         sens = np.full((n_t, max(nq, 1), n), np.nan)
         stats = np.zeros(8, np.int64)
         dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
-        rc = self._core.cvadams_sens_solve(
-            ctypes.c_int(n),
-            ctypes.c_int(nq),
-            self._rhs_ptr,
-            self._jac_ptr,
-            self._dfdp_ptr,
-            ctypes.c_double(float(t0)),
-            dptr(y0),
-            dptr(sens0),
-            dptr(self._params),
-            ctypes.c_int(n_t),
-            dptr(tvals),
-            ctypes.c_double(self._rtol),
-            dptr(self._atol),
-            ctypes.c_double(a_sens),
-            ctypes.c_int64(self._max_steps),
-            ctypes.c_int(self._adams_max_order),
-            dptr(ys),
-            dptr(sens),
-            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        )
+        if self._method == "ADAMS":
+            rc = self._core.cvadams_sens_solve(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(sens0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_sens),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._adams_max_order),
+                dptr(ys),
+                dptr(sens),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        elif self._band is not None:
+            self._core.cvbdf_sens_solve_banded.restype = ctypes.c_int
+            rc = self._core.cvbdf_sens_solve_banded(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                ctypes.c_int(self._band[0]),
+                ctypes.c_int(self._band[1]),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._jacband_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(sens0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_sens),
+                ctypes.c_int64(self._max_steps),
+                dptr(ys),
+                dptr(sens),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        else:
+            self._core.cvbdf_sens_solve.restype = ctypes.c_int
+            rc = self._core.cvbdf_sens_solve(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(sens0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_sens),
+                ctypes.c_int64(self._max_steps),
+                dptr(ys),
+                dptr(sens),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
         self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
         if rc != 0:
             raise SolverError(

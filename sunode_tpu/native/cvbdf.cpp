@@ -1134,6 +1134,28 @@ int bdf_adjoint_backward_band(int n, int nq, int l, int u, jac_fn jb_fn,
                                   quad_out, stats);
 }
 
+// Newton policy for the simultaneous-sensitivity augmented system
+// z = [y; S_1..S_k]: the modified-Newton matrix is block-diagonal with
+// every diagonal block equal to M = I - c J(t, y) (the off-diagonal
+// d(J S_k)/dy coupling involves second derivatives, which CVODES's
+// staggered/simultaneous correctors also drop) — so ONE factorization of
+// the n x n block serves all 1 + k block solves.  INNER is DenseLin or
+// BandLin; the Jacobian is evaluated at the y part of z.
+template <class INNER>
+struct BlockDiagLin {
+  int n, blocks;
+  INNER inner;
+  BlockDiagLin(int n_, int blocks_, INNER in)
+      : n(n_), blocks(blocks_), inner(std::move(in)) {}
+  void jac(double t, const double* z, const double* params) {
+    inner.jac(t, z, params);  // J at the y block (first n entries)
+  }
+  bool factor(double c) { return inner.factor(c); }
+  void solve(double* b) const {
+    for (int blk = 0; blk < blocks; ++blk) inner.solve(b + (size_t)blk * n);
+  }
+};
+
 // ---------------------------------------------------------------------
 // Forward sensitivities, CV_SIMULTANEOUS analog (reference _init_sens,
 // solver.py:360-392): augmented state [y; vec(S)] stepped together with
@@ -1174,6 +1196,56 @@ int adams_sens_solve_one(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
   int rc = adams_solve_one(nz, aug, t0, z0.data(), params, n_t, tvals, rtol,
                            atol_z.data(), max_steps, -1.0, max_order,
                            zbuf.data(), stats);
+  for (int m = 0; m < n_t; ++m) {
+    const double* row = zbuf.data() + (size_t)m * nz;
+    for (int i = 0; i < n; ++i) ys_out[(size_t)m * n + i] = row[i];
+    for (int k = 0; k < nq; ++k)
+      for (int i = 0; i < n; ++i)
+        sens_out[((size_t)m * nq + k) * n + i] = row[n + k * n + i];
+  }
+  return rc;
+}
+
+// Same augmentation on the stiff (BDF, modified-Newton) core: the Newton
+// matrix is block-diagonal with identical I - cJ blocks (BlockDiagLin),
+// so sensitivities cost one shared factorization + k extra back-subs per
+// iteration — the CVODES CV_SIMULTANEOUS linear-algebra structure.
+template <class MK>
+int bdf_sens_solve_common(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
+                          rhs_fn dfdp_fn, MK&& make_inner, double t0,
+                          const double* y0, const double* sens0,
+                          const double* params, int n_t, const double* tvals,
+                          double rtol, const double* atol, double atol_sens,
+                          int64_t max_steps, double* ys_out, double* sens_out,
+                          Stats* stats) {
+  const int nz = n + nq * n;
+  std::vector<double> z0(nz), atol_z(nz), zbuf((size_t)n_t * nz);
+  std::vector<double> Jbuf((size_t)n * n), dfdp((size_t)n * std::max(nq, 1));
+  for (int i = 0; i < n; ++i) z0[i] = y0[i];
+  for (int k = 0; k < nq; ++k)
+    for (int i = 0; i < n; ++i) z0[n + k * n + i] = sens0[k * n + i];
+  for (int i = 0; i < n; ++i) atol_z[i] = atol[i];
+  for (int i = n; i < nz; ++i) atol_z[i] = atol_sens;
+
+  auto aug = [&](double t, const double* zz, const double* /*p*/, double* out) {
+    f_fn(t, zz, params, out);
+    j_fn(t, zz, params, Jbuf.data());
+    dfdp_fn(t, zz, params, dfdp.data());
+    for (int k = 0; k < nq; ++k) {
+      const double* Sk = zz + n + k * n;
+      double* Ok = out + n + k * n;
+      for (int i = 0; i < n; ++i) {
+        double acc = dfdp[(size_t)i * nq + k];
+        const double* Ji = Jbuf.data() + (size_t)i * n;
+        for (int j = 0; j < n; ++j) acc += Ji[j] * Sk[j];
+        Ok[i] = acc;
+      }
+    }
+  };
+  auto lin = make_inner();
+  int rc = solve_one_lin(nz, aug, lin, t0, z0.data(), params, n_t, tvals,
+                         rtol, atol_z.data(), max_steps, -1.0, zbuf.data(),
+                         stats);
   for (int m = 0; m < n_t; ++m) {
     const double* row = zbuf.data() + (size_t)m * nz;
     for (int i = 0; i < n; ++i) ys_out[(size_t)m * n + i] = row[i];
@@ -1279,6 +1351,48 @@ int cvadams_sens_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
   int rc = adams_sens_solve_one(n, nq, f_fn, j_fn, dfdp_fn, t0, y0, sens0,
                                 params, n_t, tvals, rtol, atol, atol_sens,
                                 max_steps, max_order, ys_out, sens_out, &st);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// Stiff simultaneous sensitivities: BDF modified Newton with ONE shared
+// I - cJ factorization across the y and all k sensitivity blocks
+// (CV_SIMULTANEOUS; reference _init_sens, solver.py:360-392).
+int cvbdf_sens_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdp_fn,
+                     double t0, const double* y0, const double* sens0,
+                     const double* params, int n_t, const double* tvals,
+                     double rtol, const double* atol, double atol_sens,
+                     int64_t max_steps, double* ys_out, double* sens_out,
+                     int64_t* stats_out) {
+  Stats st;
+  auto mk = [&]() {
+    return BlockDiagLin<DenseLin<jac_fn>>(n, 1 + nq, DenseLin<jac_fn>(n, j_fn));
+  };
+  int rc = bdf_sens_solve_common(n, nq, f_fn, j_fn, dfdp_fn, mk, t0, y0,
+                                 sens0, params, n_t, tvals, rtol, atol,
+                                 atol_sens, max_steps, ys_out, sens_out, &st);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// Banded-Newton variant: jb_fn fills (l+u+1, n) banded J for the shared
+// block factorization; the aug RHS still uses the dense j_fn for J S_k.
+int cvbdf_sens_solve_banded(int n, int nq, int lower, int upper, rhs_fn f_fn,
+                            jac_fn j_fn, jac_fn jb_fn, rhs_fn dfdp_fn,
+                            double t0, const double* y0, const double* sens0,
+                            const double* params, int n_t,
+                            const double* tvals, double rtol,
+                            const double* atol, double atol_sens,
+                            int64_t max_steps, double* ys_out,
+                            double* sens_out, int64_t* stats_out) {
+  Stats st;
+  auto mk = [&]() {
+    return BlockDiagLin<BandLin<jac_fn>>(
+        n, 1 + nq, BandLin<jac_fn>(n, lower, upper, jb_fn));
+  };
+  int rc = bdf_sens_solve_common(n, nq, f_fn, j_fn, dfdp_fn, mk, t0, y0,
+                                 sens0, params, n_t, tvals, rtol, atol,
+                                 atol_sens, max_steps, ys_out, sens_out, &st);
   fill_stats(st, stats_out);
   return rc;
 }

@@ -432,15 +432,24 @@ class Solver(_SolverBase):
 
     def _native_sens_eligible(self) -> bool:
         o = self._options
+        # ADAMS: functional-iteration augmented solve.  BDF: modified
+        # Newton with one shared I - cJ factorization across the y and
+        # sensitivity blocks (cvbdf_sens_solve[_banded]).
+        ls_ok = self._linear_solver == "dense" or (
+            self._linear_solver == "band"
+            and self._solver_kind == "BDF"
+            and hasattr(self._problem, "_sym_dydt_jac")
+        )
         return (
             self._native_single_enabled
-            and self._solver_kind == "ADAMS"
+            and self._solver_kind in ("ADAMS", "BDF")
             and self._compute_sens
             and self._sens_mode == "simultaneous"
             and o.sens_pbar is None
-            and self._linear_solver == "dense"
+            and ls_ok
             and o.constraints is None
             and o.first_step is None
+            and (self._solver_kind == "ADAMS" or o.max_order == MAX_ORDER)
             and not np.isfinite(o.max_step)
             and o.min_step == 0.0
             and o.save_steps == 0
@@ -614,9 +623,10 @@ class Solver(_SolverBase):
                     return y_out
                 return ys
 
-        # B=1 simultaneous-sensitivity fast path (ADAMS): the native
-        # augmented [y; vec(S)] solve — same augmentation the jitted path
-        # uses, without the whole-batch dispatch machinery
+        # B=1 simultaneous-sensitivity fast path (ADAMS functional or BDF
+        # shared-factorization Newton): the native augmented [y; vec(S)]
+        # solve — same augmentation the jitted path uses, without the
+        # whole-batch dispatch machinery
         if not batched and self._native_sens_eligible():
             ns = self._native_single()
             if ns is not None:

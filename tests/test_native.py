@@ -734,3 +734,71 @@ def test_adjoint_solver_routes_native_banded():
     quad_d, lam_d = sd.solve_backward(tvals[-1], 0.0, tvals, grads)
     np.testing.assert_allclose(np.asarray(quad), np.asarray(quad_d), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_d), rtol=1e-5, atol=1e-8)
+
+
+def test_native_bdf_sens_robertson():
+    """Stiff simultaneous sensitivities on the BDF core: one shared I - cJ
+    factorization across the y and sensitivity blocks (CV_SIMULTANEOUS,
+    reference _init_sens solver.py:360-392), FD-validated on Robertson."""
+
+    def rob(t, y, p):
+        r1 = p.k1 * y.a
+        r2 = p.k2 * y.b * y.b
+        r3 = p.k3 * y.b * y.c
+        return {"a": -r1 + r3, "b": r1 - r2 - r3, "c": r2}
+
+    prob = SympyProblem(
+        params={"k1": (), "k2": (), "k3": ()},
+        states={"a": (), "b": (), "c": ()},
+        rhs_sympy=rob,
+        derivative_params=[("k1",), ("k3",)],
+    )
+    tvals = np.array([4.0 * 10.0**k for k in range(-1, 5)])
+    pv = {"k1": 0.04, "k2": 3e7, "k3": 1e4}
+    y0 = np.array([1.0, 0.0, 0.0])
+
+    s = CpuSolver(prob, abstol=1e-12, reltol=1e-9, method="BDF")
+    s.set_params_dict(pv)
+    ys, sens = s.solve_sens(0.0, tvals, y0)
+    assert s.last_stats["n_factorizations"] > 0
+
+    def sol(k1):
+        c = CpuSolver(prob, abstol=1e-14, reltol=1e-12)
+        c.set_params_dict({"k1": k1, "k2": 3e7, "k3": 1e4})
+        return c.solve(0.0, tvals, y0)
+
+    eps = 1e-8
+    fd = (sol(0.04 + eps) - sol(0.04 - eps)) / (2 * eps)
+    rel = np.abs(sens[:, 0, :] - fd) / (np.abs(fd) + 1e-3)
+    assert rel.max() < 1e-3, rel.max()
+
+    # class API routes B=1 BDF simultaneous sens natively
+    sc = Solver(prob, abstol=1e-12, reltol=1e-9, sens_mode="simultaneous")
+    sc.set_params_dict(pv)
+    assert sc._native_sens_eligible()
+    ys2, sens2 = sc.solve(0.0, tvals, y0)
+    np.testing.assert_allclose(np.asarray(ys2), ys, rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(sens2), sens, rtol=1e-6, atol=1e-10)
+
+
+def test_native_bdf_sens_banded_matches_dense():
+    """Banded shared-factorization sensitivities match the dense path."""
+    prob = _rd_problem()
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(_N_RD) / (_N_RD - 1))
+    tvals = np.array([0.05, 0.2, 0.5])
+    pv = {"k": 80.0, "r": 1.5}
+    dense = CpuSolver(prob, abstol=1e-10, reltol=1e-10, method="BDF")
+    band = CpuSolver(
+        prob,
+        abstol=1e-10,
+        reltol=1e-10,
+        method="BDF",
+        linear_solver="band",
+        linear_solver_kwargs=dict(lower_bandwidth=1, upper_bandwidth=1),
+    )
+    for s in (dense, band):
+        s.set_params_dict(pv)
+    ys_d, sens_d = dense.solve_sens(0.0, tvals, y0)
+    ys_b, sens_b = band.solve_sens(0.0, tvals, y0)
+    np.testing.assert_allclose(ys_b, ys_d, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(sens_b, sens_d, rtol=1e-6, atol=1e-8)
