@@ -60,9 +60,12 @@ class CpuSolver:
         hermite_order: int = 5,
         linear_solver: str = "dense",
         linear_solver_kwargs: Optional[Mapping[str, Any]] = None,
+        constraints=None,
     ):
         if method not in ("BDF", "ADAMS"):
             raise ValueError("method must be 'BDF' or 'ADAMS'")
+        if constraints is not None and method != "BDF":
+            raise ValueError("constraints require method='BDF'")
         if linear_solver not in ("dense", "band"):
             raise ValueError("linear_solver must be 'dense' or 'band'")
         if linear_solver == "band" and method != "BDF":
@@ -92,6 +95,16 @@ class CpuSolver:
             raise ValueError("hermite_order must be 3 or 5")
         self._hermite_order = int(hermite_order)
         self._params = np.zeros(problem.n_all_params)
+        # CVodeSetConstraints parity: per-state 0 none, +-1 sign, +-2 strict
+        self._cons: Optional[np.ndarray] = None
+        if constraints is not None:
+            self._cons = np.ascontiguousarray(
+                np.broadcast_to(
+                    np.asarray(constraints, np.float64), (problem.n_states,)
+                )
+            ).copy()
+            if not np.isin(self._cons, [0.0, 1.0, -1.0, 2.0, -2.0]).all():
+                raise ValueError("constraints entries must be 0, +-1 or +-2")
 
         self._core = ctypes.CDLL(str(native_lib_path()))
         self._plib = compile_problem_c(problem, band=self._band)
@@ -138,6 +151,12 @@ class CpuSolver:
 
     def make_output_buffers(self, tvals):
         return np.zeros((len(tvals), self._problem.n_states))
+
+    def _cons_ptr(self):
+        """Constraints array pointer for the C entries (NULL when unset)."""
+        if self._cons is None:
+            return None
+        return self._cons.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
     @property
     def generated_source(self) -> str:
@@ -199,6 +218,7 @@ class CpuSolver:
                     ctypes.c_int(self._n_threads),
                     dptr(ys),
                     status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    self._cons_ptr(),
                 )
             else:
                 self._core.cvbdf_solve_batch(
@@ -218,6 +238,7 @@ class CpuSolver:
                     ctypes.c_int(self._n_threads),
                     dptr(ys),
                     status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    self._cons_ptr(),
                 )
             self.last_status = status
             if (status != 0).any():
@@ -262,6 +283,7 @@ class CpuSolver:
                     ctypes.c_double(-1.0),
                     dptr(ys),
                     stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    self._cons_ptr(),
                 )
             else:
                 rc = self._core.cvbdf_solve(
@@ -279,6 +301,7 @@ class CpuSolver:
                     ctypes.c_double(-1.0),
                     dptr(ys),
                     stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    self._cons_ptr(),
                 )
             self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
             if rc != 0:
@@ -534,6 +557,7 @@ class CpuSolver:
                 dptr(ys),
                 dptr(sens),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
             )
         else:
             self._core.cvbdf_sens_solve.restype = ctypes.c_int
@@ -556,6 +580,7 @@ class CpuSolver:
                 dptr(ys),
                 dptr(sens),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
             )
         self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
         if rc != 0:

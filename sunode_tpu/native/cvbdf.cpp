@@ -388,7 +388,8 @@ int solve_one_lin(int n, F&& f_fn, LIN& lin, double t0, const double* y0,
                   const double* params, int n_t, const double* tvals,
                   double rtol, const double* atol, int64_t max_steps,
                   double first_step, double* ys_out, Stats* stats,
-                  FwdRecord* rec = nullptr) {
+                  FwdRecord* rec = nullptr,
+                  const double* cons = nullptr) {
   const double gamma_tab[MAX_ORDER + 1] = {0, 1, 1.5, 1.5 + 1.0 / 3,
                                            1.5 + 1.0 / 3 + 0.25,
                                            1.5 + 1.0 / 3 + 0.25 + 0.2};
@@ -544,6 +545,28 @@ int solve_one_lin(int n, F&& f_fn, LIN& lin, double t0, const double* y0,
       continue;
     }
 
+    // constraint check (CVodeSetConstraints semantics, mirrors
+    // ops/bdf.py: 0 none, 1 >=0, -1 <=0, 2 >0, -2 <0; a converged,
+    // error-passing step that violates a constraint rejects with the
+    // CVODES ETACF factor 0.25)
+    if (cons) {
+      bool viol = false;
+      for (int i = 0; i < n && !viol; ++i) {
+        double ci = cons[i], yi = w.y[i];
+        viol = (ci == 1.0 && yi < 0) || (ci == -1.0 && yi > 0) ||
+               (ci == 2.0 && yi <= 0) || (ci == -2.0 && yi >= 0);
+      }
+      if (viol) {
+        stats->n_error_test_fails++;
+        if (++consec_err >= MAX_CONSECUTIVE_FAILS) return 4;
+        rescale_D(n, q, 0.25, w.D.data());
+        h = h_use * 0.25;
+        need_factor = true;
+        n_equal = 0;
+        continue;
+      }
+    }
+
     // accept
     consec_err = consec_conv = 0;
     update_D(n, q, w.d.data(), w.D.data());
@@ -610,11 +633,12 @@ template <class F, class FJ>
 int solve_one(int n, F&& f_fn, FJ&& j_fn, double t0, const double* y0,
               const double* params, int n_t, const double* tvals, double rtol,
               const double* atol, int64_t max_steps, double first_step,
-              double* ys_out, Stats* stats, FwdRecord* rec = nullptr) {
+              double* ys_out, Stats* stats, FwdRecord* rec = nullptr,
+              const double* cons = nullptr) {
   DenseLin<std::decay_t<FJ>> lin(n, std::forward<FJ>(j_fn));
   return solve_one_lin(n, std::forward<F>(f_fn), lin, t0, y0, params, n_t,
                        tvals, rtol, atol, max_steps, first_step, ys_out,
-                       stats, rec);
+                       stats, rec, cons);
 }
 
 // ---------------------------------------------------------------------
@@ -1217,9 +1241,14 @@ int bdf_sens_solve_common(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
                           const double* params, int n_t, const double* tvals,
                           double rtol, const double* atol, double atol_sens,
                           int64_t max_steps, double* ys_out, double* sens_out,
-                          Stats* stats) {
+                          Stats* stats, const double* cons = nullptr) {
   const int nz = n + nq * n;
   std::vector<double> z0(nz), atol_z(nz), zbuf((size_t)n_t * nz);
+  std::vector<double> cons_z;
+  if (cons) {  // constraints apply to the y block only
+    cons_z.assign(nz, 0.0);
+    std::copy(cons, cons + n, cons_z.begin());
+  }
   std::vector<double> Jbuf((size_t)n * n), dfdp((size_t)n * std::max(nq, 1));
   for (int i = 0; i < n; ++i) z0[i] = y0[i];
   for (int k = 0; k < nq; ++k)
@@ -1245,7 +1274,7 @@ int bdf_sens_solve_common(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
   auto lin = make_inner();
   int rc = solve_one_lin(nz, aug, lin, t0, z0.data(), params, n_t, tvals,
                          rtol, atol_z.data(), max_steps, -1.0, zbuf.data(),
-                         stats);
+                         stats, nullptr, cons ? cons_z.data() : nullptr);
   for (int m = 0; m < n_t; ++m) {
     const double* row = zbuf.data() + (size_t)m * nz;
     for (int i = 0; i < n; ++i) ys_out[(size_t)m * n + i] = row[i];
@@ -1275,10 +1304,12 @@ extern "C" {
 int cvbdf_solve(int n, rhs_fn f_fn, jac_fn j_fn, double t0, const double* y0,
                 const double* params, int n_t, const double* tvals,
                 double rtol, const double* atol, int64_t max_steps,
-                double first_step, double* ys_out, int64_t* stats_out) {
+                double first_step, double* ys_out, int64_t* stats_out,
+                const double* constraints) {
   Stats st;
   int rc = solve_one(n, f_fn, j_fn, t0, y0, params, n_t, tvals, rtol, atol,
-                     max_steps, first_step, ys_out, &st);
+                     max_steps, first_step, ys_out, &st, nullptr,
+                     constraints);
   fill_stats(st, stats_out);
   return rc;
 }
@@ -1291,12 +1322,13 @@ int cvbdf_solve_banded(int n, int lower, int upper, rhs_fn f_fn,
                        jac_fn jb_fn, double t0, const double* y0,
                        const double* params, int n_t, const double* tvals,
                        double rtol, const double* atol, int64_t max_steps,
-                       double first_step, double* ys_out,
-                       int64_t* stats_out) {
+                       double first_step, double* ys_out, int64_t* stats_out,
+                       const double* constraints) {
   Stats st;
   BandLin<jac_fn> lin(n, lower, upper, jb_fn);
   int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, rtol,
-                         atol, max_steps, first_step, ys_out, &st);
+                         atol, max_steps, first_step, ys_out, &st, nullptr,
+                         constraints);
   fill_stats(st, stats_out);
   return rc;
 }
@@ -1307,7 +1339,7 @@ void cvbdf_solve_banded_batch(int n, int lower, int upper, rhs_fn f_fn,
                               int n_t, const double* tvals, double rtol,
                               const double* atol, int64_t max_steps, int batch,
                               int n_threads, double* ys_out_batch,
-                              int* status_out) {
+                              int* status_out, const double* constraints) {
   if (n_threads <= 0)
     n_threads = std::max(1u, std::thread::hardware_concurrency());
   std::atomic<int> next(0);
@@ -1320,7 +1352,8 @@ void cvbdf_solve_banded_batch(int n, int lower, int upper, rhs_fn f_fn,
       status_out[b] = solve_one_lin(
           n, f_fn, lin, t0, y0_batch + (size_t)b * n,
           params_batch + (size_t)b * n_params, n_t, tvals, rtol, atol,
-          max_steps, -1.0, ys_out_batch + (size_t)b * n_t * n, &st);
+          max_steps, -1.0, ys_out_batch + (size_t)b * n_t * n, &st, nullptr,
+          constraints);
     }
   };
   std::vector<std::thread> pool;
@@ -1363,14 +1396,15 @@ int cvbdf_sens_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdp_fn,
                      const double* params, int n_t, const double* tvals,
                      double rtol, const double* atol, double atol_sens,
                      int64_t max_steps, double* ys_out, double* sens_out,
-                     int64_t* stats_out) {
+                     int64_t* stats_out, const double* constraints) {
   Stats st;
   auto mk = [&]() {
     return BlockDiagLin<DenseLin<jac_fn>>(n, 1 + nq, DenseLin<jac_fn>(n, j_fn));
   };
   int rc = bdf_sens_solve_common(n, nq, f_fn, j_fn, dfdp_fn, mk, t0, y0,
                                  sens0, params, n_t, tvals, rtol, atol,
-                                 atol_sens, max_steps, ys_out, sens_out, &st);
+                                 atol_sens, max_steps, ys_out, sens_out, &st,
+                                 constraints);
   fill_stats(st, stats_out);
   return rc;
 }
@@ -1384,7 +1418,8 @@ int cvbdf_sens_solve_banded(int n, int nq, int lower, int upper, rhs_fn f_fn,
                             const double* tvals, double rtol,
                             const double* atol, double atol_sens,
                             int64_t max_steps, double* ys_out,
-                            double* sens_out, int64_t* stats_out) {
+                            double* sens_out, int64_t* stats_out,
+                            const double* constraints) {
   Stats st;
   auto mk = [&]() {
     return BlockDiagLin<BandLin<jac_fn>>(
@@ -1392,7 +1427,8 @@ int cvbdf_sens_solve_banded(int n, int nq, int lower, int upper, rhs_fn f_fn,
   };
   int rc = bdf_sens_solve_common(n, nq, f_fn, j_fn, dfdp_fn, mk, t0, y0,
                                  sens0, params, n_t, tvals, rtol, atol,
-                                 atol_sens, max_steps, ys_out, sens_out, &st);
+                                 atol_sens, max_steps, ys_out, sens_out, &st,
+                                 constraints);
   fill_stats(st, stats_out);
   return rc;
 }
@@ -1745,7 +1781,8 @@ void cvbdf_solve_batch(int n, rhs_fn f_fn, jac_fn j_fn, double t0,
                        const double* y0_batch, const double* params_batch,
                        int n_params, int n_t, const double* tvals, double rtol,
                        const double* atol, int64_t max_steps, int batch,
-                       int n_threads, double* ys_out_batch, int* status_out) {
+                       int n_threads, double* ys_out_batch, int* status_out,
+                       const double* constraints) {
   if (n_threads <= 0)
     n_threads = std::max(1u, std::thread::hardware_concurrency());
   std::atomic<int> next(0);
@@ -1757,7 +1794,8 @@ void cvbdf_solve_batch(int n, rhs_fn f_fn, jac_fn j_fn, double t0,
       status_out[b] = solve_one(
           n, f_fn, j_fn, t0, y0_batch + (size_t)b * n,
           params_batch + (size_t)b * n_params, n_t, tvals, rtol, atol,
-          max_steps, -1.0, ys_out_batch + (size_t)b * n_t * n, &st);
+          max_steps, -1.0, ys_out_batch + (size_t)b * n_t * n, &st, nullptr,
+          constraints);
     }
   };
   std::vector<std::thread> pool;

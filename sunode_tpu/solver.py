@@ -416,12 +416,15 @@ class Solver(_SolverBase):
             and self._solver_kind == "BDF"
             and hasattr(self._problem, "_sym_dydt_jac")
         )
+        # constraints route natively on BDF (CVodeSetConstraints parity in
+        # solve_one_lin); the Adams core has no constraint hook
+        cons_ok = o.constraints is None or self._solver_kind == "BDF"
         return (
             self._native_single_enabled
             and self._solver_kind in ("BDF", "ADAMS")
             and not self._compute_sens
             and ls_ok
-            and o.constraints is None
+            and cons_ok
             and o.first_step is None
             and (self._solver_kind == "ADAMS" or o.max_order == MAX_ORDER)
             and not np.isfinite(o.max_step)
@@ -447,7 +450,7 @@ class Solver(_SolverBase):
             and self._sens_mode == "simultaneous"
             and o.sens_pbar is None
             and ls_ok
-            and o.constraints is None
+            and (o.constraints is None or self._solver_kind == "BDF")
             and o.first_step is None
             and (self._solver_kind == "ADAMS" or o.max_order == MAX_ORDER)
             and not np.isfinite(o.max_step)
@@ -472,6 +475,7 @@ class Solver(_SolverBase):
                             upper_bandwidth=int(kw["upper_bandwidth"]),
                         ),
                     )
+                cons = self._options.constraints
                 self._native_solver = CpuSolver(
                     self._problem,
                     abstol=np.asarray(self._options.atol),
@@ -480,6 +484,7 @@ class Solver(_SolverBase):
                     * 2**self._max_retries,
                     method=self._solver_kind,
                     adams_max_order=int(self._options.adams_max_order),
+                    constraints=None if cons is None else np.asarray(cons),
                     **ls_kw,
                 )
             except Exception:

@@ -802,3 +802,54 @@ def test_native_bdf_sens_banded_matches_dense():
     ys_b, sens_b = band.solve_sens(0.0, tvals, y0)
     np.testing.assert_allclose(ys_b, ys_d, rtol=1e-6, atol=1e-10)
     np.testing.assert_allclose(sens_b, sens_d, rtol=1e-6, atol=1e-8)
+
+
+def test_native_constraints_robertson():
+    """CVodeSetConstraints parity on the native core: a converged,
+    error-passing step that violates a constraint rejects with factor 0.25
+    (mirrors ops/bdf.py); positivity holds and the constrained JAX path
+    agrees."""
+
+    def rob(t, y, p):
+        r1 = p.k1 * y.a
+        r2 = p.k2 * y.b * y.b
+        r3 = p.k3 * y.b * y.c
+        return {"a": -r1 + r3, "b": r1 - r2 - r3, "c": r2}
+
+    prob = SympyProblem(
+        params={"k1": (), "k2": (), "k3": ()},
+        states={"a": (), "b": (), "c": ()},
+        rhs_sympy=rob,
+        derivative_params=[],
+    )
+    tvals = np.array([4.0 * 10.0**k for k in range(-1, 6)])
+    pv = {"k1": 0.04, "k2": 3e7, "k3": 1e4}
+    y0 = np.array([1.0, 0.0, 0.0])
+
+    c = CpuSolver(prob, abstol=1e-12, reltol=1e-6, constraints=[1.0, 1.0, 1.0])
+    c.set_params_dict(pv)
+    ys = c.solve(0.0, tvals, y0)
+    assert (ys >= 0).all()
+
+    s = Solver(
+        prob, abstol=1e-12, reltol=1e-6, constraints=np.array([1.0, 1.0, 1.0])
+    )
+    s.set_params_dict(pv)
+    assert s._native_eligible()
+    np.testing.assert_allclose(np.asarray(s.solve(0.0, tvals, y0)), ys,
+                               rtol=1e-8, atol=1e-14)
+
+    sj = Solver(
+        prob,
+        abstol=1e-12,
+        reltol=1e-6,
+        constraints=np.array([1.0, 1.0, 1.0]),
+        native_single=False,
+    )
+    sj.set_params_dict(pv)
+    ys_j = np.asarray(sj.solve(0.0, tvals, y0))
+    rel = np.abs(ys - ys_j) / (np.abs(ys_j) + 1e-14)
+    assert rel.max() < 1e-3
+
+    with pytest.raises(ValueError, match="constraints require method='BDF'"):
+        CpuSolver(prob, method="ADAMS", constraints=[1.0, 1.0, 1.0])
