@@ -92,7 +92,7 @@ def _emit_c_function(name: str, exprs, varmap: dict, args_sig: str) -> str:
     return "\n".join(lines)
 
 
-def compile_problem_c(problem, *, cache: bool = True, band=None):
+def compile_problem_c(problem, *, cache: bool = True, band=None, band_perm=None):
     """Generate + compile C functions for a SympyProblem; return a ctypes lib
     exposing (all row-major):
 
@@ -108,6 +108,14 @@ def compile_problem_c(problem, *, cache: bool = True, band=None):
     native banded-Newton path (``cvbdf_solve_banded``); raises ``ValueError``
     if the symbolic Jacobian has a structurally nonzero entry outside the
     declared band (the reference's sunmatrix_band would silently drop it).
+
+    ``band_perm`` (with ``band``): a permutation array (permuted index ->
+    original index, e.g. an RCM ordering from ``ops/sparsity.py``); the
+    banded storage then holds the PERMUTED matrix J_p = P J P^T with
+    ``out[(u + ip - jp)*n + jp] = J(perm[ip], perm[jp])`` — the native
+    sparse-direct analog (the reference's KLU role): the exact symbolic
+    pattern is concentrated into a band and factored at the permuted
+    bandwidth.
     """
     n = problem.n_states
     # C-identifier varmap: __y_0 -> y[0] etc.  ccode can't print indexing via
@@ -167,6 +175,8 @@ def compile_problem_c(problem, *, cache: bool = True, band=None):
     band_src = []
     if band is not None:
         lo, up = int(band[0]), int(band[1])
+        if band_perm is not None:
+            inv = np.argsort(np.asarray(band_perm, np.int64))
         jac = np.asarray(problem._sym_dydt_jac, dtype=object).reshape(n, n)
         ab = np.full((lo + up + 1, n), sy.Integer(0), dtype=object)
         for i in range(n):
@@ -174,12 +184,15 @@ def compile_problem_c(problem, *, cache: bool = True, band=None):
                 e = sy.sympify(jac[i, j])
                 if e == 0:
                     continue
-                if j - i > up or i - j > lo:
+                ip, jp = (
+                    (int(inv[i]), int(inv[j])) if band_perm is not None else (i, j)
+                )
+                if jp - ip > up or ip - jp > lo:
                     raise ValueError(
                         f"Jacobian entry ({i},{j}) is structurally nonzero "
                         f"outside the declared band (lower={lo}, upper={up})"
                     )
-                ab[up + i - j, j] = e
+                ab[up + ip - jp, jp] = e
         band_src = [
             _emit_c_function(
                 "sunode_jac_banded",

@@ -66,14 +66,15 @@ class CpuSolver:
             raise ValueError("method must be 'BDF' or 'ADAMS'")
         if constraints is not None and method != "BDF":
             raise ValueError("constraints require method='BDF'")
-        if linear_solver not in ("dense", "band"):
-            raise ValueError("linear_solver must be 'dense' or 'band'")
-        if linear_solver == "band" and method != "BDF":
+        if linear_solver not in ("dense", "band", "sparse"):
+            raise ValueError("linear_solver must be 'dense', 'band' or 'sparse'")
+        if linear_solver in ("band", "sparse") and method != "BDF":
             raise ValueError(
-                "linear_solver='band' requires method='BDF' (Adams uses "
-                "functional iteration — no Newton matrix)"
+                f"linear_solver='{linear_solver}' requires method='BDF' "
+                "(Adams uses functional iteration — no Newton matrix)"
             )
         self._band: Optional[tuple[int, int]] = None
+        self._perm: Optional[np.ndarray] = None
         if linear_solver == "band":
             kw = dict(linear_solver_kwargs or {})
             if "lower_bandwidth" not in kw or "upper_bandwidth" not in kw:
@@ -82,6 +83,22 @@ class CpuSolver:
                     "'lower_bandwidth' and 'upper_bandwidth'"
                 )
             self._band = (int(kw["lower_bandwidth"]), int(kw["upper_bandwidth"]))
+        elif linear_solver == "sparse":
+            # the native KLU analog: exact symbolic sparsity -> RCM
+            # permutation -> banded LU at the permuted bandwidth
+            # (mirrors the JAX 'sparse' path, ops/sparsity.py)
+            from sunode_tpu.ops.sparsity import SparsePlan
+
+            if not hasattr(problem, "_sym_dydt_jac"):
+                raise ValueError(
+                    "linear_solver='sparse' requires a SympyProblem (the "
+                    "structural pattern comes from the symbolic Jacobian)"
+                )
+            jac = np.asarray(problem._sym_dydt_jac, dtype=object)
+            pattern = np.vectorize(lambda e: e != 0)(jac).astype(bool)
+            plan = SparsePlan(pattern)
+            self._band = (int(plan.lower), int(plan.upper))
+            self._perm = np.ascontiguousarray(plan.perm, np.int64)
         self._problem = problem
         self._rtol = float(reltol)
         self._atol = np.broadcast_to(
@@ -107,7 +124,9 @@ class CpuSolver:
                 raise ValueError("constraints entries must be 0, +-1 or +-2")
 
         self._core = ctypes.CDLL(str(native_lib_path()))
-        self._plib = compile_problem_c(problem, band=self._band)
+        self._plib = compile_problem_c(
+            problem, band=self._band, band_perm=self._perm
+        )
         self._rhs_ptr = ctypes.cast(self._plib.sunode_rhs, ctypes.c_void_p)
         self._jac_ptr = ctypes.cast(self._plib.sunode_jac, ctypes.c_void_p)
         if self._band is not None:
@@ -157,6 +176,13 @@ class CpuSolver:
         if self._cons is None:
             return None
         return self._cons.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+    def _perm_ptr(self):
+        """RCM permutation pointer for the banded entries (NULL = identity,
+        i.e. plain ``linear_solver='band'``)."""
+        if self._perm is None:
+            return None
+        return self._perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
     @property
     def generated_source(self) -> str:
@@ -219,6 +245,7 @@ class CpuSolver:
                     dptr(ys),
                     status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                     self._cons_ptr(),
+                    self._perm_ptr(),
                 )
             else:
                 self._core.cvbdf_solve_batch(
@@ -284,6 +311,7 @@ class CpuSolver:
                     dptr(ys),
                     stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                     self._cons_ptr(),
+                    self._perm_ptr(),
                 )
             else:
                 rc = self._core.cvbdf_solve(
@@ -434,6 +462,7 @@ class CpuSolver:
                 dptr(lam0),
                 dptr(dLdp),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._perm_ptr(),
             )
         else:
             rc = self._core.cvbdf_adjoint_solve(
@@ -558,6 +587,7 @@ class CpuSolver:
                 dptr(sens),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 self._cons_ptr(),
+                self._perm_ptr(),
             )
         else:
             self._core.cvbdf_sens_solve.restype = ctypes.c_int
@@ -678,6 +708,7 @@ class CpuSolver:
                 dptr(lam0),
                 dptr(dLdp),
                 status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                self._perm_ptr(),
             )
         else:
             self._core.cvbdf_adjoint_solve_batch(
@@ -764,6 +795,7 @@ class CpuSolver:
                 dptr(ys),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 ctypes.byref(rc),
+                self._perm_ptr(),
             )
         else:
             handle = self._core.cvbdf_forward_record(
@@ -852,6 +884,7 @@ class CpuSolver:
                 dptr(lam0),
                 dptr(dLdp),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._perm_ptr(),
             )
         else:
             rc = self._core.cvbdf_backward_recorded(

@@ -180,12 +180,22 @@ template <class FJB>
 struct BandLin {
   int n, l, u;
   FJB jb_fn;
+  // perm (nullable): the banded storage is of the PERMUTED matrix
+  // J_p = P J P^T (perm[ip] = original index of permuted row ip) — the
+  // native analog of the JAX sparse path's RCM-permuted banded Newton
+  // (ops/sparsity.py; the reference's KLU role, linear_solver_wrapper.py:
+  // 99-122).  jb_fn must then fill permuted banded storage
+  // ab[(u + ip - jp)*n + jp] = J(perm[ip], perm[jp]); solve() permutes the
+  // rhs in and the solution back out, so callers stay in original
+  // coordinates throughout.
+  const int64_t* perm;
   std::vector<double> Jab, Mab;  // (l+u+1, n) and (2l+u+1, n)
   std::vector<int> piv;
-  BandLin(int n_, int l_, int u_, FJB jb)
-      : n(n_), l(l_), u(u_), jb_fn(std::move(jb)),
+  mutable std::vector<double> ptmp;
+  BandLin(int n_, int l_, int u_, FJB jb, const int64_t* perm_ = nullptr)
+      : n(n_), l(l_), u(u_), jb_fn(std::move(jb)), perm(perm_),
         Jab((size_t)(l_ + u_ + 1) * n_), Mab((size_t)(2 * l_ + u_ + 1) * n_),
-        piv(n_) {}
+        piv(n_), ptmp(perm_ ? n_ : 0) {}
   void jac(double t, const double* y, const double* params) {
     jb_fn(t, y, params, Jab.data());
   }
@@ -197,7 +207,16 @@ struct BandLin {
     for (int j = 0; j < n; ++j) Mab[(size_t)(l + u) * n + j] += 1.0;
     return gb_factor(n, l, u, Mab.data(), piv.data());
   }
-  void solve(double* b) const { gb_solve(n, l, u, Mab.data(), piv.data(), b); }
+  void solve(double* b) const {
+    if (!perm) {
+      gb_solve(n, l, u, Mab.data(), piv.data(), b);
+      return;
+    }
+    // (I - cJ) = P^T (I - c J_p) P: permute in, banded-solve, permute out
+    for (int ip = 0; ip < n; ++ip) ptmp[ip] = b[perm[ip]];
+    gb_solve(n, l, u, Mab.data(), piv.data(), ptmp.data());
+    for (int ip = 0; ip < n; ++ip) b[perm[ip]] = ptmp[ip];
+  }
 };
 
 // ---------------------------------------------------------------------
@@ -1129,12 +1148,14 @@ int bdf_adjoint_backward_band(int n, int nq, int l, int u, jac_fn jb_fn,
                               double rtol, const double* atol_lam,
                               double atol_adj, int64_t max_steps,
                               double* lam_out, double* quad_out,
-                              Stats* stats) {
+                              Stats* stats, const int64_t* perm = nullptr) {
   const int w = l + u;
   std::vector<double> Jab((size_t)(w + 1) * n);
   auto make_lin = [&](std::vector<double>& yhat, double t_hi) {
     using BL = BandLin<jac_fn>;
-    AdjointLin<BL> lin(n, nq, BL(n, /*lower=*/u, /*upper=*/l, jb_fn));
+    // J^T = P^T J_p^T P for permuted storage: the same perm wraps the
+    // transposed-banded block (J_p^T is the banded transpose of J_p)
+    AdjointLin<BL> lin(n, nq, BL(n, /*lower=*/u, /*upper=*/l, jb_fn, perm));
     lin.fill = [&, t_hi](double tau, BL& inner, double* dfdp) {
       double t = t_hi - tau;
       rec.eval(t, yhat.data());
@@ -1323,9 +1344,9 @@ int cvbdf_solve_banded(int n, int lower, int upper, rhs_fn f_fn,
                        const double* params, int n_t, const double* tvals,
                        double rtol, const double* atol, int64_t max_steps,
                        double first_step, double* ys_out, int64_t* stats_out,
-                       const double* constraints) {
+                       const double* constraints, const int64_t* perm) {
   Stats st;
-  BandLin<jac_fn> lin(n, lower, upper, jb_fn);
+  BandLin<jac_fn> lin(n, lower, upper, jb_fn, perm);
   int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, rtol,
                          atol, max_steps, first_step, ys_out, &st, nullptr,
                          constraints);
@@ -1339,12 +1360,13 @@ void cvbdf_solve_banded_batch(int n, int lower, int upper, rhs_fn f_fn,
                               int n_t, const double* tvals, double rtol,
                               const double* atol, int64_t max_steps, int batch,
                               int n_threads, double* ys_out_batch,
-                              int* status_out, const double* constraints) {
+                              int* status_out, const double* constraints,
+                              const int64_t* perm) {
   if (n_threads <= 0)
     n_threads = std::max(1u, std::thread::hardware_concurrency());
   std::atomic<int> next(0);
   auto worker = [&]() {
-    BandLin<jac_fn> lin(n, lower, upper, jb_fn);
+    BandLin<jac_fn> lin(n, lower, upper, jb_fn, perm);
     for (;;) {
       int b = next.fetch_add(1);
       if (b >= batch) return;
@@ -1419,11 +1441,11 @@ int cvbdf_sens_solve_banded(int n, int nq, int lower, int upper, rhs_fn f_fn,
                             const double* atol, double atol_sens,
                             int64_t max_steps, double* ys_out,
                             double* sens_out, int64_t* stats_out,
-                            const double* constraints) {
+                            const double* constraints, const int64_t* perm) {
   Stats st;
   auto mk = [&]() {
     return BlockDiagLin<BandLin<jac_fn>>(
-        n, 1 + nq, BandLin<jac_fn>(n, lower, upper, jb_fn));
+        n, 1 + nq, BandLin<jac_fn>(n, lower, upper, jb_fn, perm));
   };
   int rc = bdf_sens_solve_common(n, nq, f_fn, j_fn, dfdp_fn, mk, t0, y0,
                                  sens0, params, n_t, tvals, rtol, atol,
@@ -1481,22 +1503,27 @@ static void set_quintic_hook(FwdRecord& rec, int n, jac_fn j_fn,
 
 static void set_quintic_hook_banded(FwdRecord& rec, int n, int l, int u,
                                     jac_fn jb_fn, rhs_fn dfdt_fn,
-                                    const double* params) {
+                                    const double* params,
+                                    const int64_t* perm = nullptr) {
   // banded analog of set_quintic_hook: fdot = J f + df/dt and ||J||_inf
-  // from the (l+u+1, n) banded Jacobian — O(n*w) per recorded step.
+  // from the (l+u+1, n) banded Jacobian — O(n*w) per recorded step.  With
+  // perm the storage holds J_p = P J P^T, so row ip / column jp of the
+  // band map to original indices perm[ip] / perm[jp]; ||J_p||_inf equals
+  // ||J||_inf (row permutation leaves the max row sum unchanged).
   auto Jab = std::make_shared<std::vector<double>>((size_t)(l + u + 1) * n);
   auto dfdt_buf = std::make_shared<std::vector<double>>(n);
-  rec.fdot = [n, l, u, jb_fn, dfdt_fn, params, Jab, dfdt_buf](
+  rec.fdot = [n, l, u, jb_fn, dfdt_fn, params, Jab, dfdt_buf, perm](
                  double t, const double* y, const double* f, double* fd) {
     jb_fn(t, y, params, Jab->data());
     dfdt_fn(t, y, params, dfdt_buf->data());
     double L = 0.0;
-    for (int i = 0; i < n; ++i) {
+    for (int ip = 0; ip < n; ++ip) {
+      int i = perm ? (int)perm[ip] : ip;
       double acc = (*dfdt_buf)[i], row = 0.0;
-      int jlo = std::max(0, i - l), jhi = std::min(n - 1, i + u);
-      for (int j = jlo; j <= jhi; ++j) {
-        double v = (*Jab)[(size_t)(u + i - j) * n + j];
-        acc += v * f[j];
+      int jlo = std::max(0, ip - l), jhi = std::min(n - 1, ip + u);
+      for (int jp = jlo; jp <= jhi; ++jp) {
+        double v = (*Jab)[(size_t)(u + ip - jp) * n + jp];
+        acc += v * f[perm ? (int)perm[jp] : jp];
         row += std::fabs(v);
       }
       fd[i] = acc;
@@ -1518,19 +1545,21 @@ int cvbdf_adjoint_solve_banded(
     const double* tvals, const double* grads, double rtol,
     const double* atol_lam, double fwd_rtol, const double* fwd_atol,
     double atol_adj, int64_t max_steps, int herm_order, double* ys_out,
-    double* lam_out, double* quad_out, int64_t* stats_out) {
+    double* lam_out, double* quad_out, int64_t* stats_out,
+    const int64_t* perm) {
   Stats st;
   FwdRecord rec;
   if (herm_order >= 5)
-    set_quintic_hook_banded(rec, n, lower, upper, jb_fn, dfdt_fn, params);
-  BandLin<jac_fn> lin(n, lower, upper, jb_fn);
+    set_quintic_hook_banded(rec, n, lower, upper, jb_fn, dfdt_fn, params,
+                            perm);
+  BandLin<jac_fn> lin(n, lower, upper, jb_fn, perm);
   int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, fwd_rtol,
                          fwd_atol, max_steps, -1.0, ys_out, &st, &rec);
   if (rc == 0) {
     rc = bdf_adjoint_backward_band(n, nq, lower, upper, jb_fn, adj_fn,
                                    quad_fn, dfdp_fn, rec, params, t0, n_t,
                                    tvals, grads, rtol, atol_lam, atol_adj,
-                                   max_steps, lam_out, quad_out, &st);
+                                   max_steps, lam_out, quad_out, &st, perm);
   }
   fill_stats(st, stats_out);
   return rc;
@@ -1544,7 +1573,8 @@ void cvbdf_adjoint_solve_banded_batch(
     double rtol, const double* atol_lam, double fwd_rtol,
     const double* fwd_atol, double atol_adj, int64_t max_steps,
     int herm_order, int batch, int n_threads, double* ys_out_batch,
-    double* lam_out_batch, double* quad_out_batch, int* status_out) {
+    double* lam_out_batch, double* quad_out_batch, int* status_out,
+    const int64_t* perm) {
   if (n_threads <= 0)
     n_threads = std::max(1u, std::thread::hardware_concurrency());
   std::atomic<int> next(0);
@@ -1559,7 +1589,7 @@ void cvbdf_adjoint_solve_banded_batch(
           grads_batch + (size_t)b * n_t * n, rtol, atol_lam, fwd_rtol,
           fwd_atol, atol_adj, max_steps, herm_order,
           ys_out_batch + (size_t)b * n_t * n, lam_out_batch + (size_t)b * n,
-          quad_out_batch + (size_t)b * std::max(nq, 1), nullptr);
+          quad_out_batch + (size_t)b * std::max(nq, 1), nullptr, perm);
     }
   };
   std::vector<std::thread> pool;
@@ -1648,12 +1678,13 @@ void* cvbdf_forward_record_banded(int n, int lower, int upper, rhs_fn f_fn,
                                   double fwd_rtol, const double* fwd_atol,
                                   int64_t max_steps, int herm_order,
                                   double* ys_out, int64_t* stats_out,
-                                  int* rc_out) {
+                                  int* rc_out, const int64_t* perm) {
   Stats st;
   auto* rec = new FwdRecord();
   if (herm_order >= 5)
-    set_quintic_hook_banded(*rec, n, lower, upper, jb_fn, dfdt_fn, params);
-  BandLin<jac_fn> lin(n, lower, upper, jb_fn);
+    set_quintic_hook_banded(*rec, n, lower, upper, jb_fn, dfdt_fn, params,
+                            perm);
+  BandLin<jac_fn> lin(n, lower, upper, jb_fn, perm);
   int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, fwd_rtol,
                          fwd_atol, max_steps, -1.0, ys_out, &st, rec);
   fill_stats(st, stats_out);
@@ -1672,13 +1703,13 @@ int cvbdf_backward_recorded_banded(
     const double* params, double t0, int n_t, const double* tvals,
     const double* grads, double rtol, const double* atol_lam,
     double atol_adj, int64_t max_steps, double* lam_out, double* quad_out,
-    int64_t* stats_out) {
+    int64_t* stats_out, const int64_t* perm) {
   Stats st;
   const auto* rec = static_cast<const FwdRecord*>(rec_handle);
   int rc = bdf_adjoint_backward_band(n, nq, lower, upper, jb_fn, adj_fn,
                                      quad_fn, dfdp_fn, *rec, params, t0, n_t,
                                      tvals, grads, rtol, atol_lam, atol_adj,
-                                     max_steps, lam_out, quad_out, &st);
+                                     max_steps, lam_out, quad_out, &st, perm);
   fill_stats(st, stats_out);
   return rc;
 }

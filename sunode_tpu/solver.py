@@ -412,7 +412,7 @@ class Solver(_SolverBase):
         # 'band' routes to the native gbtrf/gbtrs Newton (cvbdf_solve_banded)
         # — BDF only; a SympyProblem is required for banded codegen.
         ls_ok = self._linear_solver == "dense" or (
-            self._linear_solver == "band"
+            self._linear_solver in ("band", "sparse")
             and self._solver_kind == "BDF"
             and hasattr(self._problem, "_sym_dydt_jac")
         )
@@ -439,7 +439,7 @@ class Solver(_SolverBase):
         # Newton with one shared I - cJ factorization across the y and
         # sensitivity blocks (cvbdf_sens_solve[_banded]).
         ls_ok = self._linear_solver == "dense" or (
-            self._linear_solver == "band"
+            self._linear_solver in ("band", "sparse")
             and self._solver_kind == "BDF"
             and hasattr(self._problem, "_sym_dydt_jac")
         )
@@ -475,6 +475,8 @@ class Solver(_SolverBase):
                             upper_bandwidth=int(kw["upper_bandwidth"]),
                         ),
                     )
+                elif self._linear_solver == "sparse":
+                    ls_kw = dict(linear_solver="sparse")
                 cons = self._options.constraints
                 self._native_solver = CpuSolver(
                     self._problem,
@@ -1070,7 +1072,7 @@ class AdjointSolver(_SolverBase):
         # banded Newton routes natively on the BDF/BDF path only (the
         # ADAMS pair has no Newton matrix; banded codegen needs sympy)
         ls_ok = self._linear_solver == "dense" or (
-            self._linear_solver == "band"
+            self._linear_solver in ("band", "sparse")
             and kinds == ("BDF", "BDF")
             and hasattr(self._problem, "_sym_dydt_jac")
         )
@@ -1101,6 +1103,8 @@ class AdjointSolver(_SolverBase):
                             upper_bandwidth=int(kw["upper_bandwidth"]),
                         ),
                     )
+                elif self._linear_solver == "sparse":
+                    ls_kw = dict(linear_solver="sparse")
                 self._native_adj_solver = CpuSolver(
                     self._problem,
                     abstol=np.asarray(self._options.atol),

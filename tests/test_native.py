@@ -853,3 +853,110 @@ def test_native_constraints_robertson():
 
     with pytest.raises(ValueError, match="constraints require method='BDF'"):
         CpuSolver(prob, method="ADAMS", constraints=[1.0, 1.0, 1.0])
+
+
+# --- native sparse Newton: RCM-permuted banded LU (the KLU analog) --------
+
+
+def _scrambled_chain_problem(n=24, seed=42):
+    """Diffusion chain whose state ordering is scrambled: the natural
+    bandwidth is O(n) but the RCM permutation recovers bandwidth 1."""
+    rng = np.random.default_rng(seed)
+    sigma = rng.permutation(n)
+
+    def rhs(t, y, p):
+        u = y.u
+        out = [None] * n
+        for j in range(n):
+            v = sigma[j]
+            left = u[sigma[j - 1]] if j > 0 else 0
+            right = u[sigma[j + 1]] if j < n - 1 else 0
+            out[v] = p.k * (left - 2 * u[v] + right) + p.r * u[v] * (1 - u[v])
+        return {"u": np.array(out, dtype=object)}
+
+    return SympyProblem(
+        params={"k": (), "r": ()},
+        states={"u": (n,)},
+        rhs_sympy=rhs,
+        derivative_params=[("k",), ("r",)],
+    )
+
+
+def test_native_sparse_matches_dense():
+    """linear_solver='sparse' on the native path (exact symbolic pattern ->
+    RCM permutation -> banded LU at the permuted bandwidth; the reference's
+    KLU role, linear_solver_wrapper.py:99-122) reproduces the dense solve
+    across forward, adjoint, sensitivity, recorded and batch modes."""
+    n = 24
+    prob = _scrambled_chain_problem(n)
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(n) / (n - 1))
+    tvals = np.array([0.05, 0.2, 0.5, 1.0])
+    pv = {"k": 80.0, "r": 1.5}
+    rng = np.random.default_rng(0)
+    grads = rng.standard_normal((len(tvals), n))
+
+    d = CpuSolver(prob, abstol=1e-10, reltol=1e-10)
+    s = CpuSolver(prob, abstol=1e-10, reltol=1e-10, linear_solver="sparse")
+    for x in (d, s):
+        x.set_params_dict(pv)
+    # the scrambled chain has natural bandwidth ~n; RCM recovers ~1
+    assert s._band[0] + s._band[1] <= 4, s._band
+
+    ys_d = d.solve(0.0, tvals, y0)
+    ys_s = s.solve(0.0, tvals, y0)
+    np.testing.assert_allclose(ys_s, ys_d, rtol=1e-6, atol=1e-10)
+    assert s.last_stats["n_steps"] == d.last_stats["n_steps"]
+
+    _, lam_d, q_d = d.solve_adjoint(0.0, tvals, y0, grads)
+    _, lam_s, q_s = s.solve_adjoint(0.0, tvals, y0, grads)
+    np.testing.assert_allclose(lam_s, lam_d, rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(q_s, q_d, rtol=1e-5, atol=1e-9)
+
+    _, sens_d = d.solve_sens(0.0, tvals, y0)
+    _, sens_s = s.solve_sens(0.0, tvals, y0)
+    np.testing.assert_allclose(sens_s, sens_d, rtol=1e-5, atol=1e-8)
+
+    s.solve_forward_recorded(0.0, tvals, y0)
+    lam2, q2 = s.solve_backward_recorded(0.0, tvals, grads)
+    np.testing.assert_allclose(lam2, lam_s, rtol=1e-6)
+
+    y0b = np.stack([y0, 0.9 * y0])
+    _, lamb, _ = s.solve_adjoint(0.0, tvals, y0b, np.stack([grads, grads]))
+    assert (s.last_status == 0).all()
+    np.testing.assert_allclose(lamb[0], lam_s, rtol=1e-6)
+
+
+def test_solver_class_routes_native_sparse():
+    """Solver/AdjointSolver with linear_solver='sparse' route B=1 natively
+    and match the dense-class results."""
+    from sunode_tpu.solver import AdjointSolver
+
+    n = 24
+    prob = _scrambled_chain_problem(n)
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(n) / (n - 1))
+    tvals = np.array([0.05, 0.2, 0.5])
+    pv = {"k": 80.0, "r": 1.5}
+
+    s = Solver(prob, abstol=1e-10, reltol=1e-10, linear_solver="sparse")
+    s.set_params_dict(pv)
+    assert s._native_eligible()
+    ys = s.solve(0.0, tvals, y0)
+    sd = Solver(prob, abstol=1e-10, reltol=1e-10)
+    sd.set_params_dict(pv)
+    np.testing.assert_allclose(ys, sd.solve(0.0, tvals, y0), rtol=1e-6,
+                               atol=1e-10)
+
+    a = AdjointSolver(prob, reltol=1e-8, abstol=1e-8, linear_solver="sparse")
+    a.set_params_dict(pv)
+    assert a._native_adj_eligible()
+    a.solve_forward(0.0, tvals, y0)
+    assert a._last_forward.get("native_mode") == "BDF"
+    grads = np.ones((len(tvals), n))
+    quad, lam = a.solve_backward(tvals[-1], 0.0, tvals, grads)
+    ad = AdjointSolver(prob, reltol=1e-8, abstol=1e-8)
+    ad.set_params_dict(pv)
+    ad.solve_forward(0.0, tvals, y0)
+    quad_d, lam_d = ad.solve_backward(tvals[-1], 0.0, tvals, grads)
+    np.testing.assert_allclose(np.asarray(quad), np.asarray(quad_d), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_d), rtol=1e-5,
+                               atol=1e-8)
