@@ -64,8 +64,6 @@ class CpuSolver:
     ):
         if method not in ("BDF", "ADAMS"):
             raise ValueError("method must be 'BDF' or 'ADAMS'")
-        if constraints is not None and method != "BDF":
-            raise ValueError("constraints require method='BDF'")
         if linear_solver not in ("dense", "band", "sparse"):
             raise ValueError("linear_solver must be 'dense', 'band' or 'sparse'")
         if linear_solver in ("band", "sparse") and method != "BDF":
@@ -223,6 +221,7 @@ class CpuSolver:
                     ctypes.c_int(self._n_threads),
                     dptr(ys),
                     status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    self._cons_ptr(),
                 )
             elif self._band is not None:
                 self._core.cvbdf_solve_banded_batch(
@@ -291,6 +290,7 @@ class CpuSolver:
                     ctypes.c_int(self._adams_max_order),
                     dptr(ys),
                     stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    self._cons_ptr(),
                 )
             elif self._band is not None:
                 rc = self._core.cvbdf_solve_banded(

@@ -755,7 +755,7 @@ int adams_solve_one(int n, F&& f_fn, double t0, const double* y0,
                     const double* params, int n_t, const double* tvals,
                     double rtol, const double* atol, int64_t max_steps,
                     double first_step, int max_order, double* ys_out,
-                    Stats* stats) {
+                    Stats* stats, const double* cons = nullptr) {
   max_order = std::clamp(max_order, 1, A_MAX_ORDER);
   for (int i = 0; i < n_t * n; ++i) ys_out[i] = NAN;
 
@@ -881,6 +881,28 @@ int adams_solve_one(int n, F&& f_fn, double t0, const double* y0,
       h = h_use * factor;
       n_equal = 0;
       continue;
+    }
+
+    // constraint check (CVodeSetConstraints semantics, mirrors
+    // ops/adams.py:333-342): violation rejects with factor 0.25
+    if (cons) {
+      bool viol = false;
+      for (int i = 0; i < n && !viol; ++i) {
+        double ci = cons[i], yi = y_cur[i];
+        viol = (ci == 1.0 && yi < 0) || (ci == -1.0 && yi > 0) ||
+               (ci == 2.0 && yi <= 0) || (ci == -2.0 && yi >= 0);
+      }
+      if (viol) {
+        stats->n_error_test_fails++;
+        if (++cfails >= 4) {
+          for (int i = n; i < KAD * n; ++i) DF[i] = 0.0;
+          p = 1;
+          cfails = 0;
+        }
+        h = h_use * 0.25;
+        n_equal = 0;
+        continue;
+      }
     }
 
     // accept
@@ -1388,10 +1410,11 @@ int cvadams_solve(int n, rhs_fn f_fn, double t0, const double* y0,
                   const double* params, int n_t, const double* tvals,
                   double rtol, const double* atol, int64_t max_steps,
                   double first_step, int max_order, double* ys_out,
-                  int64_t* stats_out) {
+                  int64_t* stats_out, const double* constraints) {
   Stats st;
   int rc = adams_solve_one(n, f_fn, t0, y0, params, n_t, tvals, rtol, atol,
-                           max_steps, first_step, max_order, ys_out, &st);
+                           max_steps, first_step, max_order, ys_out, &st,
+                           constraints);
   fill_stats(st, stats_out);
   return rc;
 }
@@ -1784,7 +1807,8 @@ void cvadams_solve_batch(int n, rhs_fn f_fn, double t0,
                          int n_params, int n_t, const double* tvals,
                          double rtol, const double* atol, int64_t max_steps,
                          int max_order, int batch, int n_threads,
-                         double* ys_out_batch, int* status_out) {
+                         double* ys_out_batch, int* status_out,
+                         const double* constraints) {
   if (n_threads <= 0)
     n_threads = std::max(1u, std::thread::hardware_concurrency());
   std::atomic<int> next(0);
@@ -1796,7 +1820,8 @@ void cvadams_solve_batch(int n, rhs_fn f_fn, double t0,
       status_out[b] = adams_solve_one(
           n, f_fn, t0, y0_batch + (size_t)b * n,
           params_batch + (size_t)b * n_params, n_t, tvals, rtol, atol,
-          max_steps, -1.0, max_order, ys_out_batch + (size_t)b * n_t * n, &st);
+          max_steps, -1.0, max_order, ys_out_batch + (size_t)b * n_t * n, &st,
+          constraints);
     }
   };
   std::vector<std::thread> pool;

@@ -416,15 +416,13 @@ class Solver(_SolverBase):
             and self._solver_kind == "BDF"
             and hasattr(self._problem, "_sym_dydt_jac")
         )
-        # constraints route natively on BDF (CVodeSetConstraints parity in
-        # solve_one_lin); the Adams core has no constraint hook
-        cons_ok = o.constraints is None or self._solver_kind == "BDF"
+        # constraints enforce CVodeSetConstraints semantics natively in
+        # both cores (solve_one_lin / adams_solve_one)
         return (
             self._native_single_enabled
             and self._solver_kind in ("BDF", "ADAMS")
             and not self._compute_sens
             and ls_ok
-            and cons_ok
             and o.first_step is None
             and (self._solver_kind == "ADAMS" or o.max_order == MAX_ORDER)
             and not np.isfinite(o.max_step)

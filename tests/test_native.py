@@ -851,8 +851,21 @@ def test_native_constraints_robertson():
     rel = np.abs(ys - ys_j) / (np.abs(ys_j) + 1e-14)
     assert rel.max() < 1e-3
 
-    with pytest.raises(ValueError, match="constraints require method='BDF'"):
-        CpuSolver(prob, method="ADAMS", constraints=[1.0, 1.0, 1.0])
+    # constraints are enforced on the ADAMS core too (mirrors
+    # ops/adams.py:333-342); an infeasible constraint fails loudly rather
+    # than emitting a violating solution
+    def dec(t, y, p):
+        return {"x": -p.r + 0 * y.x}
+
+    p2 = SympyProblem(
+        params={"r": ()}, states={"x": ()}, rhs_sympy=dec, derivative_params=[]
+    )
+    c2 = CpuSolver(
+        p2, abstol=1e-10, reltol=1e-8, method="ADAMS", constraints=[1.0]
+    )
+    c2.set_params_dict({"r": 1.0})
+    with pytest.raises(SolverError):
+        c2.solve(0.0, np.array([2.0]), np.array([0.5]))
 
 
 # --- native sparse Newton: RCM-permuted banded LU (the KLU analog) --------
@@ -960,3 +973,43 @@ def test_solver_class_routes_native_sparse():
     np.testing.assert_allclose(np.asarray(quad), np.asarray(quad_d), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_d), rtol=1e-5,
                                atol=1e-8)
+
+
+def test_native_adams_constraints_lv():
+    """ADAMS core constraint enforcement: a feasible constraint leaves the
+    solution unchanged and the class API routes it natively."""
+
+    def lv2(t, y, p):
+        return {
+            "hares": p.a * y.hares - 0.3 * y.lynx * y.hares,
+            "lynx": 0.4 * y.hares * y.lynx - y.lynx,
+        }
+
+    prob = SympyProblem(
+        params={"a": ()},
+        states={"hares": (), "lynx": ()},
+        rhs_sympy=lv2,
+        derivative_params=[("a",)],
+    )
+    tvals = np.linspace(0.5, 8, 7)
+    y0 = np.array([10.0, 2.0])
+    c = CpuSolver(
+        prob, abstol=1e-10, reltol=1e-10, method="ADAMS", constraints=[1.0, 1.0]
+    )
+    c.set_params_dict({"a": 1.0})
+    ys = c.solve(0.0, tvals, y0)
+    assert (ys > 0).all()
+    cu = CpuSolver(prob, abstol=1e-10, reltol=1e-10, method="ADAMS")
+    cu.set_params_dict({"a": 1.0})
+    np.testing.assert_allclose(ys, cu.solve(0.0, tvals, y0), rtol=1e-9)
+
+    s = Solver(
+        prob,
+        abstol=1e-10,
+        reltol=1e-10,
+        solver="ADAMS",
+        constraints=np.array([1.0, 1.0]),
+    )
+    s.set_params_dict({"a": 1.0})
+    assert s._native_eligible()
+    np.testing.assert_allclose(np.asarray(s.solve(0.0, tvals, y0)), ys, rtol=1e-9)
