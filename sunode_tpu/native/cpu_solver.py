@@ -64,15 +64,22 @@ class CpuSolver:
     ):
         if method not in ("BDF", "ADAMS"):
             raise ValueError("method must be 'BDF' or 'ADAMS'")
-        if linear_solver not in ("dense", "band", "sparse"):
-            raise ValueError("linear_solver must be 'dense', 'band' or 'sparse'")
-        if linear_solver in ("band", "sparse") and method != "BDF":
+        if linear_solver not in ("dense", "band", "sparse", "spgmr",
+                                 "spgmr_finitediff"):
+            raise ValueError(
+                "linear_solver must be 'dense', 'band', 'sparse' or 'spgmr'"
+            )
+        if linear_solver != "dense" and method != "BDF":
             raise ValueError(
                 f"linear_solver='{linear_solver}' requires method='BDF' "
                 "(Adams uses functional iteration — no Newton matrix)"
             )
         self._band: Optional[tuple[int, int]] = None
         self._perm: Optional[np.ndarray] = None
+        # matrix-free GMRES Newton: both 'spgmr' variants map to the native
+        # difference-quotient jtimes (the CVODES CVSpilsDQJtimes default)
+        self._spgmr = linear_solver in ("spgmr", "spgmr_finitediff")
+        self._spgmr_maxl = int((linear_solver_kwargs or {}).get("maxl", 5))
         if linear_solver == "band":
             kw = dict(linear_solver_kwargs or {})
             if "lower_bandwidth" not in kw or "upper_bandwidth" not in kw:
@@ -137,6 +144,10 @@ class CpuSolver:
             self._core.cvbdf_adjoint_solve_banded_batch.restype = None
             self._core.cvbdf_forward_record_banded.restype = ctypes.c_void_p
             self._core.cvbdf_backward_recorded_banded.restype = ctypes.c_int
+
+        if self._spgmr:
+            self._core.cvbdf_solve_spgmr.restype = ctypes.c_int
+            self._core.cvbdf_solve_spgmr_batch.restype = None
 
         self._core.cvbdf_solve.restype = ctypes.c_int
         self._core.cvbdf_solve_batch.restype = None
@@ -223,6 +234,26 @@ class CpuSolver:
                     status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                     self._cons_ptr(),
                 )
+            elif self._spgmr:
+                self._core.cvbdf_solve_spgmr_batch(
+                    ctypes.c_int(n),
+                    ctypes.c_int(self._spgmr_maxl),
+                    self._rhs_ptr,
+                    ctypes.c_double(float(t0)),
+                    dptr(y0),
+                    dptr(params),
+                    ctypes.c_int(params.shape[1]),
+                    ctypes.c_int(n_t),
+                    dptr(tvals),
+                    ctypes.c_double(self._rtol),
+                    dptr(self._atol),
+                    ctypes.c_int64(self._max_steps),
+                    ctypes.c_int(batch),
+                    ctypes.c_int(self._n_threads),
+                    dptr(ys),
+                    status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    self._cons_ptr(),
+                )
             elif self._band is not None:
                 self._core.cvbdf_solve_banded_batch(
                     ctypes.c_int(n),
@@ -288,6 +319,24 @@ class CpuSolver:
                     ctypes.c_int64(self._max_steps),
                     ctypes.c_double(-1.0),
                     ctypes.c_int(self._adams_max_order),
+                    dptr(ys),
+                    stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    self._cons_ptr(),
+                )
+            elif self._spgmr:
+                rc = self._core.cvbdf_solve_spgmr(
+                    ctypes.c_int(n),
+                    ctypes.c_int(self._spgmr_maxl),
+                    self._rhs_ptr,
+                    ctypes.c_double(float(t0)),
+                    dptr(y0),
+                    dptr(self._params),
+                    ctypes.c_int(n_t),
+                    dptr(tvals),
+                    ctypes.c_double(self._rtol),
+                    dptr(self._atol),
+                    ctypes.c_int64(self._max_steps),
+                    ctypes.c_double(-1.0),
                     dptr(ys),
                     stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                     self._cons_ptr(),

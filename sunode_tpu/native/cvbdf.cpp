@@ -219,6 +219,114 @@ struct BandLin {
   }
 };
 
+// Matrix-free GMRES Newton policy (sunlinsol_spgmr analog, reference
+// solver.py:326-358 'spgmr' / 'spgmr_finitediff').  Solves
+// (I - c J) x = b with GMRES(maxl) from x0 = 0, least-squares in the
+// Krylov space (mirrors ops/krylov.py::gmres_solve, CVODES default
+// maxl=5); J v comes from a difference quotient of the RHS at the last
+// linearization point (CVSpilsDQJtimes analog):
+//   J v ~= (f(t, y + sig v) - f(t, y)) / sig,  sig = sqrt(eps)(1+||y||)/||v||
+// No factorization state — factor(c) just records c.
+template <class F>
+struct GmresLin {
+  int n, maxl;
+  F f_fn;
+  double tcur = 0.0, c_cur = 0.0;
+  const double* pcur = nullptr;
+  int64_t* rhs_counter = nullptr;  // difference-quotient evals -> stats
+  std::vector<double> ycur, fcur;
+  mutable std::vector<double> ypert, fpert;
+  GmresLin(int n_, F f, int maxl_ = 5)
+      : n(n_), maxl(std::min(maxl_, n_)), f_fn(std::move(f)), ycur(n_),
+        fcur(n_), ypert(n_), fpert(n_) {}
+  void jac(double t, const double* y, const double* params) {
+    tcur = t;
+    pcur = params;
+    std::copy(y, y + n, ycur.begin());
+    f_fn(t, y, params, fcur.data());
+  }
+  bool factor(double c) {
+    c_cur = c;
+    return true;
+  }
+  void matvec(const double* v, double* out) const {
+    double nv = 0.0, ny = 0.0;
+    for (int i = 0; i < n; ++i) {
+      nv += v[i] * v[i];
+      ny += ycur[i] * ycur[i];
+    }
+    nv = std::sqrt(nv);
+    ny = std::sqrt(ny);
+    if (nv == 0.0) {
+      for (int i = 0; i < n; ++i) out[i] = 0.0;
+      return;
+    }
+    double sig = 1.4901161193847656e-08 * (1.0 + ny) / nv;
+    for (int i = 0; i < n; ++i) ypert[i] = ycur[i] + sig * v[i];
+    f_fn(tcur, ypert.data(), pcur, fpert.data());
+    if (rhs_counter) ++*rhs_counter;
+    for (int i = 0; i < n; ++i)
+      out[i] = v[i] - c_cur * (fpert[i] - fcur[i]) / sig;
+  }
+  void solve(double* b) const {
+    const int m = maxl;
+    std::vector<std::vector<double>> V;
+    std::vector<double> H((size_t)(m + 1) * m, 0.0);
+    double beta = 0.0;
+    for (int i = 0; i < n; ++i) beta += b[i] * b[i];
+    beta = std::sqrt(beta);
+    if (beta == 0.0) return;  // x = 0 solves exactly
+    V.emplace_back(n);
+    for (int i = 0; i < n; ++i) V[0][i] = b[i] / beta;
+    std::vector<double> w(n);
+    for (int j = 0; j < m; ++j) {
+      matvec(V[j].data(), w.data());
+      for (int i = 0; i <= j; ++i) {
+        double hij = 0.0;
+        for (int kk = 0; kk < n; ++kk) hij += w[kk] * V[i][kk];
+        H[(size_t)i * m + j] = hij;
+        for (int kk = 0; kk < n; ++kk) w[kk] -= hij * V[i][kk];
+      }
+      double hn = 0.0;
+      for (int kk = 0; kk < n; ++kk) hn += w[kk] * w[kk];
+      hn = std::sqrt(hn);
+      H[(size_t)(j + 1) * m + j] = hn;
+      V.emplace_back(n);
+      double safe = hn == 0.0 ? 1.0 : hn;
+      for (int kk = 0; kk < n; ++kk) V[j + 1][kk] = w[kk] / safe;
+    }
+    // Givens triangularization of H, g = beta * e1
+    std::vector<double> g(m + 1, 0.0);
+    g[0] = beta;
+    for (int j = 0; j < m; ++j) {
+      double a = H[(size_t)j * m + j], bb = H[(size_t)(j + 1) * m + j];
+      double r = std::sqrt(a * a + bb * bb);
+      double cj = r == 0.0 ? 1.0 : a / r;
+      double sj = r == 0.0 ? 0.0 : bb / r;
+      for (int k = j; k < m; ++k) {
+        double t1 = cj * H[(size_t)j * m + k] + sj * H[(size_t)(j + 1) * m + k];
+        H[(size_t)(j + 1) * m + k] =
+            -sj * H[(size_t)j * m + k] + cj * H[(size_t)(j + 1) * m + k];
+        H[(size_t)j * m + k] = t1;
+      }
+      double t1 = cj * g[j] + sj * g[j + 1];
+      g[j + 1] = -sj * g[j] + cj * g[j + 1];
+      g[j] = t1;
+    }
+    // back substitution
+    std::vector<double> yk(m, 0.0);
+    for (int i = m - 1; i >= 0; --i) {
+      double acc = g[i];
+      for (int j = i + 1; j < m; ++j) acc -= H[(size_t)i * m + j] * yk[j];
+      double d = H[(size_t)i * m + i];
+      yk[i] = d == 0.0 ? 0.0 : acc / d;
+    }
+    for (int i = 0; i < n; ++i) b[i] = 0.0;
+    for (int j = 0; j < m; ++j)
+      for (int i = 0; i < n; ++i) b[i] += yk[j] * V[j][i];
+  }
+};
+
 // ---------------------------------------------------------------------
 // difference-array helpers
 // ---------------------------------------------------------------------
@@ -1393,6 +1501,54 @@ void cvbdf_solve_banded_batch(int n, int lower, int upper, rhs_fn f_fn,
       int b = next.fetch_add(1);
       if (b >= batch) return;
       Stats st;
+      status_out[b] = solve_one_lin(
+          n, f_fn, lin, t0, y0_batch + (size_t)b * n,
+          params_batch + (size_t)b * n_params, n_t, tvals, rtol, atol,
+          max_steps, -1.0, ys_out_batch + (size_t)b * n_t * n, &st, nullptr,
+          constraints);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < std::min(n_threads, batch); ++i)
+    pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+// Matrix-free GMRES-Newton BDF solve (spgmr / spgmr_finitediff analog):
+// no Jacobian function at all — Newton directions come from GMRES(maxl)
+// with difference-quotient J v products.
+int cvbdf_solve_spgmr(int n, int maxl, rhs_fn f_fn, double t0,
+                      const double* y0, const double* params, int n_t,
+                      const double* tvals, double rtol, const double* atol,
+                      int64_t max_steps, double first_step, double* ys_out,
+                      int64_t* stats_out, const double* constraints) {
+  Stats st;
+  GmresLin<rhs_fn> lin(n, f_fn, maxl > 0 ? maxl : 5);
+  lin.rhs_counter = &st.n_rhs_evals;
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, rtol,
+                         atol, max_steps, first_step, ys_out, &st, nullptr,
+                         constraints);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+void cvbdf_solve_spgmr_batch(int n, int maxl, rhs_fn f_fn, double t0,
+                             const double* y0_batch,
+                             const double* params_batch, int n_params,
+                             int n_t, const double* tvals, double rtol,
+                             const double* atol, int64_t max_steps, int batch,
+                             int n_threads, double* ys_out_batch,
+                             int* status_out, const double* constraints) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      Stats st;
+      GmresLin<rhs_fn> lin(n, f_fn, maxl > 0 ? maxl : 5);
+      lin.rhs_counter = &st.n_rhs_evals;
       status_out[b] = solve_one_lin(
           n, f_fn, lin, t0, y0_batch + (size_t)b * n,
           params_batch + (size_t)b * n_params, n_t, tvals, rtol, atol,

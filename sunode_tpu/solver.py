@@ -409,10 +409,13 @@ class Solver(_SolverBase):
 
     def _native_eligible(self) -> bool:
         o = self._options
-        # 'band' routes to the native gbtrf/gbtrs Newton (cvbdf_solve_banded)
-        # — BDF only; a SympyProblem is required for banded codegen.
+        # 'band'/'sparse' route to the native gbtrf/gbtrs Newton
+        # (cvbdf_solve_banded) and 'spgmr'/'spgmr_finitediff' to the
+        # matrix-free GMRES Newton (cvbdf_solve_spgmr, difference-quotient
+        # jtimes) — BDF only; a SympyProblem is required for codegen.
         ls_ok = self._linear_solver == "dense" or (
-            self._linear_solver in ("band", "sparse")
+            self._linear_solver
+            in ("band", "sparse", "spgmr", "spgmr_finitediff")
             and self._solver_kind == "BDF"
             and hasattr(self._problem, "_sym_dydt_jac")
         )
@@ -475,6 +478,11 @@ class Solver(_SolverBase):
                     )
                 elif self._linear_solver == "sparse":
                     ls_kw = dict(linear_solver="sparse")
+                elif self._linear_solver in ("spgmr", "spgmr_finitediff"):
+                    ls_kw = dict(
+                        linear_solver="spgmr",
+                        linear_solver_kwargs=dict(self._linear_solver_kwargs),
+                    )
                 cons = self._options.constraints
                 self._native_solver = CpuSolver(
                     self._problem,

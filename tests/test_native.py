@@ -1013,3 +1013,36 @@ def test_native_adams_constraints_lv():
     s.set_params_dict({"a": 1.0})
     assert s._native_eligible()
     np.testing.assert_allclose(np.asarray(s.solve(0.0, tvals, y0)), ys, rtol=1e-9)
+
+
+def test_native_spgmr_matches_dense():
+    """Matrix-free GMRES Newton on the native path (sunlinsol_spgmr analog
+    with the CVSpilsDQJtimes difference-quotient default): matches the
+    dense solve and routes from the class API for both 'spgmr' variants."""
+    prob = _rd_problem()
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(_N_RD) / (_N_RD - 1))
+    tvals = np.array([0.05, 0.2, 0.5, 1.0])
+    pv = {"k": 80.0, "r": 1.5}
+
+    d = CpuSolver(prob, abstol=1e-10, reltol=1e-8)
+    g = CpuSolver(prob, abstol=1e-10, reltol=1e-8, linear_solver="spgmr")
+    for s in (d, g):
+        s.set_params_dict(pv)
+    ys_d = d.solve(0.0, tvals, y0)
+    ys_g = g.solve(0.0, tvals, y0)
+    np.testing.assert_allclose(ys_g, ys_d, rtol=1e-5, atol=1e-9)
+    # DQ matvec evals are accounted in the rhs counter
+    assert g.last_stats["n_rhs_evals"] > g.last_stats["n_newton_iters"]
+
+    y0b = np.stack([y0, 0.8 * y0])
+    ys_gb = g.solve(0.0, tvals, y0b)
+    assert (g.last_status == 0).all()
+    np.testing.assert_allclose(ys_gb[0], ys_g, rtol=1e-10)
+
+    for ls in ("spgmr", "spgmr_finitediff"):
+        s = Solver(prob, abstol=1e-10, reltol=1e-8, linear_solver=ls)
+        s.set_params_dict(pv)
+        assert s._native_eligible()
+        np.testing.assert_allclose(
+            np.asarray(s.solve(0.0, tvals, y0)), ys_g, rtol=1e-10
+        )
