@@ -557,17 +557,24 @@ class CpuSolver:
         sens0=None,
         *,
         abstol_sens: Optional[float] = None,
+        sens_mode: str = "simultaneous",
     ):
-        """Forward solve with simultaneous sensitivities (CV_SIMULTANEOUS
-        analog): returns ``(ys, sens)`` with ``sens[m, k, i] =
-        d y_i(t_m) / d p_k`` over the derivative-params subset.  The
-        augmented state [y; vec(S)] is error-controlled jointly
-        (CVodeSensEEtolerances + SetSensErrCon semantics,
-        reference solver.py:360-392).  ``method='ADAMS'`` uses functional
-        iteration; ``method='BDF'`` uses modified Newton with ONE shared
-        I - cJ factorization across the y and sensitivity blocks (banded
-        when ``linear_solver='band'``) — the CVODES linear-algebra
-        structure for stiff sensitivities."""
+        """Forward solve with forward sensitivities: returns ``(ys, sens)``
+        with ``sens[m, k, i] = d y_i(t_m) / d p_k`` over the
+        derivative-params subset.  The augmented state [y; vec(S)] is
+        error-controlled jointly (CVodeSensEEtolerances + SetSensErrCon
+        semantics, reference solver.py:360-392).  ``method='ADAMS'`` uses
+        functional iteration; ``method='BDF'`` uses modified Newton with
+        ONE shared I - cJ factorization across the y and sensitivity
+        blocks (banded/permuted when ``linear_solver='band'``/``'sparse'``).
+        ``sens_mode='staggered'`` (BDF only, CV_STAGGERED) converges and
+        error-tests the state FIRST — rejected state attempts never touch
+        the sensitivity RHS — then runs a separate sensitivity corrector
+        with the same factored matrix."""
+        if sens_mode not in ("simultaneous", "staggered"):
+            raise SolverError("sens_mode must be 'simultaneous' or 'staggered'")
+        if sens_mode == "staggered" and self._method != "BDF":
+            raise SolverError("sens_mode='staggered' requires method='BDF'")
         n = self._problem.n_states
         nq = self._problem.n_params
         y0 = np.ascontiguousarray(
@@ -610,6 +617,56 @@ class CpuSolver:
                 dptr(ys),
                 dptr(sens),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        elif sens_mode == "staggered" and self._band is not None:
+            self._core.cvbdf_sens_staggered_solve_banded.restype = ctypes.c_int
+            rc = self._core.cvbdf_sens_staggered_solve_banded(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                ctypes.c_int(self._band[0]),
+                ctypes.c_int(self._band[1]),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._jacband_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(sens0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_sens),
+                ctypes.c_int64(self._max_steps),
+                dptr(ys),
+                dptr(sens),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
+                self._perm_ptr(),
+            )
+        elif sens_mode == "staggered":
+            self._core.cvbdf_sens_staggered_solve.restype = ctypes.c_int
+            rc = self._core.cvbdf_sens_staggered_solve(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(sens0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_sens),
+                ctypes.c_int64(self._max_steps),
+                dptr(ys),
+                dptr(sens),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
             )
         elif self._band is not None:
             self._core.cvbdf_sens_solve_banded.restype = ctypes.c_int

@@ -1436,6 +1436,348 @@ int bdf_sens_solve_common(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
   return rc;
 }
 
+// CV_STAGGERED forward sensitivities (16_cvodes.h:31-33; mirrors the JAX
+// core's sens_staggered, ops/bdf.py:735-797): the state corrector must
+// converge AND pass its OWN error test before any sensitivity work runs —
+// state-rejected attempts never evaluate the sensitivity RHS (the point of
+// staggered mode).  The sensitivity corrector then iterates (SENS_MAXITER
+// = 3, matching the JAX core) with the state's factored I - cJ; the final
+// error test covers the combined [y; vec(S)] difference with the state
+// norm as a floor.  The difference array spans the combined system so
+// rescale/interpolation/order machinery is shared verbatim.
+template <class LIN>
+int bdf_sens_staggered_lin(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
+                           rhs_fn dfdp_fn, LIN& lin, double t0,
+                           const double* y0, const double* sens0,
+                           const double* params, int n_t,
+                           const double* tvals, double rtol,
+                           const double* atol, double atol_sens,
+                           int64_t max_steps, double* ys_out,
+                           double* sens_out, Stats* stats,
+                           const double* cons = nullptr) {
+  constexpr int SENS_MAXITER = 3;
+  const double gamma_tab[MAX_ORDER + 1] = {0, 1, 1.5, 1.5 + 1.0 / 3,
+                                           1.5 + 1.0 / 3 + 0.25,
+                                           1.5 + 1.0 / 3 + 0.25 + 0.2};
+  double error_const[MAX_ORDER + 2];
+  for (int qq = 0; qq <= MAX_ORDER; ++qq) error_const[qq] = 1.0 / (qq + 1);
+  error_const[MAX_ORDER + 1] = 1.0 / (MAX_ORDER + 2);
+
+  const int nz = n + nq * n;
+  std::vector<double> D((size_t)KD * nz, 0.0);
+  std::vector<double> z_pred(nz), psi(nz), scale(nz), d(nz), z(nz), err(nz);
+  std::vector<double> f(n), delta(n), Jbuf((size_t)n * n),
+      dfdp((size_t)n * std::max(nq, 1)), FS(n), resS(n);
+  std::vector<double> zbuf((size_t)n_t * nz);
+  for (int i = 0; i < (int)zbuf.size(); ++i) zbuf[i] = NAN;
+
+  std::vector<double> z0(nz);
+  for (int i = 0; i < n; ++i) z0[i] = y0[i];
+  for (int k = 0; k < nq; ++k)
+    for (int i = 0; i < n; ++i) z0[n + k * n + i] = sens0[k * n + i];
+
+  // initial combined derivative: [f(t0,y0); J S_k + dfdp_k]
+  std::vector<double> fz0(nz);
+  f_fn(t0, z0.data(), params, fz0.data());
+  stats->n_rhs_evals++;
+  j_fn(t0, z0.data(), params, Jbuf.data());
+  stats->n_jac_evals++;
+  if (nq) dfdp_fn(t0, z0.data(), params, dfdp.data());
+  for (int k = 0; k < nq; ++k)
+    for (int i = 0; i < n; ++i) {
+      double acc = dfdp[(size_t)i * nq + k];
+      for (int j = 0; j < n; ++j)
+        acc += Jbuf[(size_t)i * n + j] * z0[n + k * n + j];
+      fz0[n + k * n + i] = acc;
+    }
+  for (int i = 0; i < nz; ++i)
+    if (!std::isfinite(z0[i]) || !std::isfinite(fz0[i])) return 3;
+
+  std::vector<double> atol_z(nz);
+  for (int i = 0; i < n; ++i) atol_z[i] = atol[i];
+  for (int i = n; i < nz; ++i) atol_z[i] = atol_sens;
+
+  double t_end = tvals[n_t - 1];
+  // Hairer-Wanner first-step estimate over the combined system (J and
+  // dfdp frozen at t0 — adequate for an h0 probe)
+  auto aug0 = [&](double tt, const double* zz, const double* /*p*/,
+                  double* out) {
+    f_fn(tt, zz, params, out);
+    for (int k = 0; k < nq; ++k)
+      for (int i = 0; i < n; ++i) {
+        double acc = dfdp[(size_t)i * nq + k];
+        for (int j = 0; j < n; ++j)
+          acc += Jbuf[(size_t)i * n + j] * zz[n + k * n + j];
+        out[n + k * n + i] = acc;
+      }
+  };
+  double h = initial_h(nz, aug0, t0, z0.data(), fz0.data(), params, t_end,
+                       rtol, atol_z.data(), stats);
+
+  for (int i = 0; i < nz; ++i) {
+    D[i] = z0[i];
+    D[nz + i] = h * fz0[i];
+  }
+
+  double t = t0;
+  int q = 1, n_equal = 0, i_out = 0;
+  bool J_current = true, need_factor = true;
+  double c_factored = 0.0;
+  int consec_err = 0, consec_conv = 0;
+
+  while (i_out < n_t && tvals[i_out] <= t0) {
+    for (int i = 0; i < nz; ++i) zbuf[(size_t)i_out * nz + i] = z0[i];
+    ++i_out;
+  }
+  lin.jac(t0, z0.data(), params);
+  stats->n_jac_evals++;
+
+  double newton_tol = std::max(10 * 2.220446049250313e-16 / rtol,
+                               std::min(0.03, std::sqrt(rtol)));
+
+  auto wrms_range = [&](const double* x, const double* sc, int lo, int hi) {
+    double acc = 0.0;
+    for (int i = lo; i < hi; ++i) {
+      double e = x[i] / sc[i];
+      acc += e * e;
+    }
+    return std::sqrt(acc / (hi - lo));
+  };
+
+  while (i_out < n_t) {
+    if (stats->n_steps >= max_steps) return 1;
+    double h_min_loc =
+        10 * 2.220446049250313e-16 * std::max(std::fabs(t), std::fabs(t_end));
+    if (!(h >= h_min_loc)) return 2;
+    double h_use = std::min(h, t_end - t);
+    if (h_use < h) {
+      rescale_D(nz, q, h_use / h, D.data());
+      need_factor = true;
+    }
+    double t_new = t + h_use;
+    double c = h_use / gamma_tab[q];
+
+    if (need_factor ||
+        std::fabs(c / (c_factored == 0 ? 1.0 : c_factored) - 1.0) > 1e-12) {
+      if (!lin.factor(c)) return 4;
+      stats->n_factorizations++;
+      c_factored = c;
+      need_factor = false;
+    }
+
+    // predict combined state
+    for (int col = 0; col < nz; ++col) {
+      double acc = 0.0, accp = 0.0;
+      for (int i = 0; i <= q; ++i) {
+        acc += D[(size_t)i * nz + col];
+        if (i >= 1) accp += gamma_tab[i] * D[(size_t)i * nz + col];
+      }
+      z_pred[col] = acc;
+      psi[col] = accp / gamma_tab[q];
+    }
+    for (int i = 0; i < nz; ++i)
+      scale[i] = atol_z[i] + rtol * std::fabs(z_pred[i]);
+
+    // ----- state Newton (y block only) --------------------------------
+    bool conv = false, bad = false;
+    std::copy(z_pred.begin(), z_pred.end(), z.begin());
+    std::fill(d.begin(), d.end(), 0.0);
+    double dy_old = INFINITY;
+    for (int k = 0; k < NEWTON_MAXITER; ++k) {
+      f_fn(t_new, z.data(), params, f.data());
+      stats->n_rhs_evals++;
+      stats->n_newton_iters++;
+      for (int i = 0; i < n; ++i) {
+        if (!std::isfinite(f[i])) { bad = true; break; }
+        delta[i] = c * f[i] - psi[i] - d[i];
+      }
+      if (bad) break;
+      lin.solve(delta.data());
+      double dy = wrms_range(delta.data(), scale.data(), 0, n);  // y block
+      if (!std::isfinite(dy)) { bad = true; break; }
+      double rate = dy / dy_old;
+      for (int i = 0; i < n; ++i) { d[i] += delta[i]; z[i] += delta[i]; }
+      if (dy == 0.0 ||
+          (k > 0 && rate < 1.0 && rate / (1 - rate) * dy < newton_tol)) {
+        conv = true;
+        break;
+      }
+      if (k > 0 && rate >= 2.0) break;
+      dy_old = dy;
+    }
+
+    // state's own error test gates the sensitivity corrector
+    bool state_err_ok = false;
+    double err_y = INFINITY;
+    if (conv && !bad) {
+      for (int i = 0; i < n; ++i) err[i] = error_const[q] * d[i];
+      err_y = wrms_range(err.data(), scale.data(), 0, n);
+      state_err_ok = err_y <= 1.0;
+    }
+
+    // ----- sensitivity corrector (runs only on state success) ---------
+    bool s_conv = false;
+    if (conv && !bad && state_err_ok) {
+      if (nq == 0) {
+        s_conv = true;
+      } else {
+        j_fn(t_new, z.data(), params, Jbuf.data());
+        stats->n_jac_evals++;
+        dfdp_fn(t_new, z.data(), params, dfdp.data());
+        double norm_old = INFINITY;
+        for (int it = 0; it < SENS_MAXITER && !s_conv && !bad; ++it) {
+          double norm2 = 0.0;
+          for (int k = 0; k < nq; ++k) {
+            double* Sk = z.data() + n + k * n;
+            double* dk = d.data() + n + k * n;
+            for (int i = 0; i < n; ++i) {
+              double acc = dfdp[(size_t)i * nq + k];
+              for (int j = 0; j < n; ++j)
+                acc += Jbuf[(size_t)i * n + j] * Sk[j];
+              FS[i] = acc;
+            }
+            for (int i = 0; i < n; ++i) resS[i] = c * FS[i] - psi[n + k * n + i] - dk[i];
+            lin.solve(resS.data());
+            for (int i = 0; i < n; ++i) {
+              if (!std::isfinite(resS[i])) { bad = true; break; }
+              double e = resS[i] / scale[n + k * n + i];
+              norm2 += e * e;
+              Sk[i] += resS[i];
+              dk[i] += resS[i];
+            }
+            if (bad) break;
+          }
+          if (bad) break;
+          stats->n_newton_iters++;
+          double norm = std::sqrt(norm2 / (nq * n));
+          double rate = norm / norm_old;
+          if (norm == 0.0 ||
+              (it > 0 && rate < 1.0 && rate / (1 - rate) * norm < newton_tol) ||
+              norm < 0.1 * newton_tol) {
+            s_conv = true;
+          } else if (it > 0 && rate >= 2.0) {
+            break;
+          }
+          norm_old = norm;
+        }
+      }
+    }
+
+    bool corr_failed = bad || !conv || (state_err_ok && !s_conv);
+    if (corr_failed) {
+      if (!J_current) {
+        lin.jac(t_new, z_pred.data(), params);
+        stats->n_jac_evals++;
+        J_current = true;
+        need_factor = true;
+        continue;
+      }
+      stats->n_conv_fails++;
+      if (++consec_conv >= MAX_CONSECUTIVE_FAILS) return 4;
+      rescale_D(nz, q, 0.5, D.data());
+      h = h_use * 0.5;
+      need_factor = true;
+      n_equal = 0;
+      continue;
+    }
+
+    // ----- combined error test (state norm as floor) ------------------
+    for (int i = 0; i < nz; ++i) err[i] = error_const[q] * d[i];
+    double err_norm = wrms_range(err.data(), scale.data(), 0, nz);
+    err_norm = std::max(err_norm, err_y);
+    if (!state_err_ok || err_norm > 1.0) {
+      stats->n_error_test_fails++;
+      if (++consec_err >= MAX_CONSECUTIVE_FAILS) return 4;
+      double e_for_fac = state_err_ok ? err_norm : err_y;
+      double factor = std::clamp(
+          0.9 * std::pow(std::clamp(e_for_fac, 1e-30, 1e30), -1.0 / (q + 1)),
+          MIN_FACTOR, 0.9);
+      rescale_D(nz, q, factor, D.data());
+      h = h_use * factor;
+      need_factor = true;
+      n_equal = 0;
+      continue;
+    }
+
+    // constraint check on the y block (CVodeSetConstraints semantics)
+    if (cons) {
+      bool viol = false;
+      for (int i = 0; i < n && !viol; ++i) {
+        double ci = cons[i], yi = z[i];
+        viol = (ci == 1.0 && yi < 0) || (ci == -1.0 && yi > 0) ||
+               (ci == 2.0 && yi <= 0) || (ci == -2.0 && yi >= 0);
+      }
+      if (viol) {
+        stats->n_error_test_fails++;
+        if (++consec_err >= MAX_CONSECUTIVE_FAILS) return 4;
+        rescale_D(nz, q, 0.25, D.data());
+        h = h_use * 0.25;
+        need_factor = true;
+        n_equal = 0;
+        continue;
+      }
+    }
+
+    // ----- accept ------------------------------------------------------
+    consec_err = consec_conv = 0;
+    update_D(nz, q, d.data(), D.data());
+    t = t_new;
+    ++stats->n_steps;
+    ++n_equal;
+    J_current = false;
+
+    while (i_out < n_t && tvals[i_out] <= t + 1e-14 * std::fabs(t)) {
+      interpolate(nz, q, D.data(), t, h_use, tvals[i_out],
+                  zbuf.data() + (size_t)i_out * nz);
+      ++i_out;
+    }
+
+    h = h_use;
+    if (n_equal >= q + 1) {
+      double err_m = INFINITY, err_p = INFINITY;
+      if (q > 1) {
+        for (int i = 0; i < nz; ++i)
+          err[i] = error_const[q - 1] * D[(size_t)q * nz + i];
+        err_m = wrms_range(err.data(), scale.data(), 0, nz);
+      }
+      if (q < MAX_ORDER) {
+        for (int i = 0; i < nz; ++i)
+          err[i] = error_const[q + 1] * D[(size_t)(q + 2) * nz + i];
+        err_p = wrms_range(err.data(), scale.data(), 0, nz);
+      }
+      auto fac = [](double e, int qq) {
+        if (!std::isfinite(e)) return 0.0;
+        e = std::clamp(e, 1e-30, 1e30);
+        return 0.9 * std::pow(e, -1.0 / (qq + 1));
+      };
+      double f_m = fac(err_m, q - 1), f_0 = fac(err_norm, q),
+             f_p = fac(err_p, q + 1);
+      int dq = 0;
+      double best = f_0;
+      if (f_m > best) { best = f_m; dq = -1; }
+      if (f_p > best) { best = f_p; dq = +1; }
+      best = std::clamp(best, MIN_FACTOR, MAX_FACTOR);
+      if (best >= THRESH || best < 1.0 || dq != 0) {
+        int q_new = std::clamp(q + dq, 1, MAX_ORDER);
+        rescale_D(nz, q_new, best, D.data());
+        q = q_new;
+        h = h_use * best;
+        n_equal = 0;
+        need_factor = true;
+      }
+    }
+  }
+  stats->final_order = q;
+  for (int m = 0; m < n_t; ++m) {
+    const double* row = zbuf.data() + (size_t)m * nz;
+    for (int i = 0; i < n; ++i) ys_out[(size_t)m * n + i] = row[i];
+    for (int k = 0; k < nq; ++k)
+      for (int i = 0; i < n; ++i)
+        sens_out[((size_t)m * nq + k) * n + i] = row[n + k * n + i];
+  }
+  return 0;
+}
+
 static void fill_stats(const Stats& st, int64_t* stats_out) {
   if (!stats_out) return;
   stats_out[0] = st.n_steps;
@@ -1606,6 +1948,42 @@ int cvbdf_sens_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdp_fn,
                                  sens0, params, n_t, tvals, rtol, atol,
                                  atol_sens, max_steps, ys_out, sens_out, &st,
                                  constraints);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// CV_STAGGERED sensitivities on the BDF core (see bdf_sens_staggered_lin).
+int cvbdf_sens_staggered_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
+                               rhs_fn dfdp_fn, double t0, const double* y0,
+                               const double* sens0, const double* params,
+                               int n_t, const double* tvals, double rtol,
+                               const double* atol, double atol_sens,
+                               int64_t max_steps, double* ys_out,
+                               double* sens_out, int64_t* stats_out,
+                               const double* constraints) {
+  Stats st;
+  DenseLin<jac_fn> lin(n, j_fn);
+  int rc = bdf_sens_staggered_lin(n, nq, f_fn, j_fn, dfdp_fn, lin, t0, y0,
+                                  sens0, params, n_t, tvals, rtol, atol,
+                                  atol_sens, max_steps, ys_out, sens_out,
+                                  &st, constraints);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+int cvbdf_sens_staggered_solve_banded(
+    int n, int nq, int lower, int upper, rhs_fn f_fn, jac_fn j_fn,
+    jac_fn jb_fn, rhs_fn dfdp_fn, double t0, const double* y0,
+    const double* sens0, const double* params, int n_t, const double* tvals,
+    double rtol, const double* atol, double atol_sens, int64_t max_steps,
+    double* ys_out, double* sens_out, int64_t* stats_out,
+    const double* constraints, const int64_t* perm) {
+  Stats st;
+  BandLin<jac_fn> lin(n, lower, upper, jb_fn, perm);
+  int rc = bdf_sens_staggered_lin(n, nq, f_fn, j_fn, dfdp_fn, lin, t0, y0,
+                                  sens0, params, n_t, tvals, rtol, atol,
+                                  atol_sens, max_steps, ys_out, sens_out,
+                                  &st, constraints);
   fill_stats(st, stats_out);
   return rc;
 }

@@ -448,7 +448,13 @@ class Solver(_SolverBase):
             self._native_single_enabled
             and self._solver_kind in ("ADAMS", "BDF")
             and self._compute_sens
-            and self._sens_mode == "simultaneous"
+            and (
+                self._sens_mode == "simultaneous"
+                or (
+                    self._sens_mode == "staggered"
+                    and self._solver_kind == "BDF"
+                )
+            )
             and o.sens_pbar is None
             and ls_ok
             and (o.constraints is None or self._solver_kind == "BDF")
@@ -645,7 +651,11 @@ class Solver(_SolverBase):
             if ns is not None:
                 ns._params = np.ascontiguousarray(self._params, np.float64)
                 ys, sens = ns.solve_sens(
-                    t0, np.asarray(tvals, np.float64), y0_flat, sens0=sens0
+                    t0,
+                    np.asarray(tvals, np.float64),
+                    y0_flat,
+                    sens0=sens0,
+                    sens_mode=self._sens_mode,
                 )
                 self.last_stats = dict(ns.last_stats)
                 if sens_out is not None:

@@ -1046,3 +1046,56 @@ def test_native_spgmr_matches_dense():
         np.testing.assert_allclose(
             np.asarray(s.solve(0.0, tvals, y0)), ys_g, rtol=1e-10
         )
+
+
+def test_native_staggered_sens_robertson():
+    """CV_STAGGERED on the native BDF core: state corrector + state error
+    test gate the sensitivity corrector (mirrors ops/bdf.py:735-797);
+    agrees with the simultaneous mode and with finite differences, and the
+    class API routes sens_mode='staggered' natively."""
+
+    def rob(t, y, p):
+        r1 = p.k1 * y.a
+        r2 = p.k2 * y.b * y.b
+        r3 = p.k3 * y.b * y.c
+        return {"a": -r1 + r3, "b": r1 - r2 - r3, "c": r2}
+
+    prob = SympyProblem(
+        params={"k1": (), "k2": (), "k3": ()},
+        states={"a": (), "b": (), "c": ()},
+        rhs_sympy=rob,
+        derivative_params=[("k1",), ("k3",)],
+    )
+    tvals = np.array([4.0 * 10.0**k for k in range(-1, 5)])
+    pv = {"k1": 0.04, "k2": 3e7, "k3": 1e4}
+    y0 = np.array([1.0, 0.0, 0.0])
+
+    c = CpuSolver(prob, abstol=1e-12, reltol=1e-9, method="BDF")
+    c.set_params_dict(pv)
+    ys_sim, sens_sim = c.solve_sens(0.0, tvals, y0)
+    ys_st, sens_st = c.solve_sens(0.0, tvals, y0, sens_mode="staggered")
+    floor = 1e-4 * np.abs(sens_sim).max()
+    rel = np.abs(sens_st - sens_sim) / (np.abs(sens_sim) + floor)
+    assert rel.max() < 1e-3, rel.max()
+
+    def sol(k1):
+        cc = CpuSolver(prob, abstol=1e-14, reltol=1e-12)
+        cc.set_params_dict({"k1": k1, "k2": 3e7, "k3": 1e4})
+        return cc.solve(0.0, tvals, y0)
+
+    eps = 1e-8
+    fd = (sol(0.04 + eps) - sol(0.04 - eps)) / (2 * eps)
+    rel = np.abs(sens_st[:, 0, :] - fd) / (np.abs(fd) + 1e-3)
+    assert rel.max() < 1e-3
+
+    s = Solver(prob, abstol=1e-12, reltol=1e-9, sens_mode="staggered")
+    s.set_params_dict(pv)
+    assert s._native_sens_eligible()
+    _, sens2 = s.solve(0.0, tvals, y0)
+    np.testing.assert_allclose(np.asarray(sens2), sens_st, rtol=1e-8,
+                               atol=1e-12)
+
+    with pytest.raises(SolverError, match="staggered"):
+        CpuSolver(prob, method="ADAMS").solve_sens(
+            0.0, tvals, y0, sens_mode="staggered"
+        )
