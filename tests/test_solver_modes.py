@@ -77,9 +77,14 @@ def test_staggered_distinct_from_simultaneous_on_robertson():
         derivative_params=[("k1",)],
     )
     tvals = np.logspace(-3, 4, 8)
+    # jitted-path whitebox check (native_single=False pins the JAX core,
+    # whose stats expose the sens-specific eval counter)
     out = {}
     for mode in ("simultaneous", "staggered"):
-        s = Solver(prob, sens_mode=mode, reltol=1e-8, abstol=1e-10)
+        s = Solver(
+            prob, sens_mode=mode, reltol=1e-8, abstol=1e-10,
+            native_single=False,
+        )
         s.set_params_dict({"k1": 0.04, "k2": 3e7, "k3": 1e4})
         y_out, sens_out = s.make_output_buffers(tvals)
         s.solve(0.0, tvals, np.array([1.0, 0.0, 0.0]), y_out, sens_out=sens_out)
@@ -92,6 +97,22 @@ def test_staggered_distinct_from_simultaneous_on_robertson():
         or int(st_stg["n_steps"]) != int(st_sim["n_steps"])
     )
     np.testing.assert_allclose(sens_stg, sens_sim, rtol=1e-4, atol=1e-10)
+
+    # native path (the B=1 default route): the staggered profile spends
+    # more Jacobian evals (one per accepted step for the sens corrector)
+    # and fewer RHS evals than the simultaneous augmented corrector, while
+    # the sensitivities agree
+    out_n = {}
+    for mode in ("simultaneous", "staggered"):
+        s = Solver(prob, sens_mode=mode, reltol=1e-8, abstol=1e-10)
+        s.set_params_dict({"k1": 0.04, "k2": 3e7, "k3": 1e4})
+        assert s._native_sens_eligible()
+        _, sens_n = s.solve(0.0, tvals, np.array([1.0, 0.0, 0.0]))
+        out_n[mode] = (np.asarray(sens_n), dict(s.last_stats))
+    sens_sim_n, st_sim_n = out_n["simultaneous"]
+    sens_stg_n, st_stg_n = out_n["staggered"]
+    assert int(st_stg_n["n_jac_evals"]) > int(st_sim_n["n_jac_evals"])
+    np.testing.assert_allclose(sens_stg_n, sens_sim_n, rtol=1e-4, atol=1e-10)
 
 
 def test_adams_forward_sensitivities(lv_problem):
