@@ -58,6 +58,7 @@ class CpuSolver:
         method: str = "BDF",
         adams_max_order: int = 8,
         hermite_order: int = 5,
+        interpolation: str = "hermite",
         linear_solver: str = "dense",
         linear_solver_kwargs: Optional[Mapping[str, Any]] = None,
         constraints=None,
@@ -116,6 +117,14 @@ class CpuSolver:
         if hermite_order not in (3, 5):
             raise ValueError("hermite_order must be 3 or 5")
         self._hermite_order = int(hermite_order)
+        if interpolation not in ("hermite", "polynomial"):
+            raise ValueError("interpolation must be 'hermite' or 'polynomial'")
+        # internal code passed to the C entries: 1 = CV_POLYNOMIAL
+        # (barycentric Lagrange over recorded y rows), else the Hermite
+        # order (3 cubic / 5 stiffness-gated quintic)
+        self._herm_code = 1 if interpolation == "polynomial" else int(
+            hermite_order
+        )
         self._params = np.zeros(problem.n_all_params)
         # CVodeSetConstraints parity: per-state 0 none, +-1 sign, +-2 strict
         self._cons: Optional[np.ndarray] = None
@@ -506,7 +515,7 @@ class CpuSolver:
                 dptr(self._atol),
                 ctypes.c_double(a_atol),
                 ctypes.c_int64(self._max_steps),
-                ctypes.c_int(self._hermite_order),
+                ctypes.c_int(self._herm_code),
                 dptr(ys),
                 dptr(lam0),
                 dptr(dLdp),
@@ -535,7 +544,7 @@ class CpuSolver:
                 dptr(self._atol),
                 ctypes.c_double(a_atol),
                 ctypes.c_int64(self._max_steps),
-                ctypes.c_int(self._hermite_order),
+                ctypes.c_int(self._herm_code),
                 dptr(ys),
                 dptr(lam0),
                 dptr(dLdp),
@@ -807,7 +816,7 @@ class CpuSolver:
                 dptr(self._atol),
                 ctypes.c_double(a_atol),
                 ctypes.c_int64(self._max_steps),
-                ctypes.c_int(self._hermite_order),
+                ctypes.c_int(self._herm_code),
                 ctypes.c_int(batch),
                 ctypes.c_int(self._n_threads),
                 dptr(ys),
@@ -839,7 +848,7 @@ class CpuSolver:
                 dptr(self._atol),
                 ctypes.c_double(a_atol),
                 ctypes.c_int64(self._max_steps),
-                ctypes.c_int(self._hermite_order),
+                ctypes.c_int(self._herm_code),
                 ctypes.c_int(batch),
                 ctypes.c_int(self._n_threads),
                 dptr(ys),
@@ -897,7 +906,7 @@ class CpuSolver:
                 ctypes.c_double(self._rtol),
                 dptr(self._atol),
                 ctypes.c_int64(self._max_steps),
-                ctypes.c_int(self._hermite_order),
+                ctypes.c_int(self._herm_code),
                 dptr(ys),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 ctypes.byref(rc),
@@ -917,7 +926,7 @@ class CpuSolver:
                 ctypes.c_double(self._rtol),
                 dptr(self._atol),
                 ctypes.c_int64(self._max_steps),
-                ctypes.c_int(self._hermite_order),
+                ctypes.c_int(self._herm_code),
                 dptr(ys),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 ctypes.byref(rc),

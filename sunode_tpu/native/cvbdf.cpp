@@ -408,6 +408,13 @@ struct FwdRecord {
   // a record can outlive the hook's captured pointers (handle API).
   std::function<double(double, const double*, const double*, double*)> fdot;
   bool quintic_data = false;
+  // CV_POLYNOMIAL mode (16_cvodes.h:40-41, the reference's default
+  // interpolation, solver.py:530-585): evaluation uses a barycentric
+  // Lagrange interpolant of degree POLY_K-1 through the POLY_K recorded
+  // y rows around the bracketing interval (window clamped at the edges;
+  // mirrors adjoint.py::make_polynomial_eval) instead of Hermite.
+  bool poly_mode = false;
+  static constexpr int POLY_K = 6;
   std::vector<double> ts;
   std::vector<double> yf;  // per step: y (n), f (n) [, fdot (n)]
   std::vector<double> Lf;  // per step: ||J||_inf (quintic mode only)
@@ -441,6 +448,41 @@ struct FwdRecord {
     }
     size_t hi = std::upper_bound(ts.begin(), ts.end(), t) - ts.begin();
     size_t lo = hi - 1;
+    if (poly_mode) {
+      const int K = std::min<int>(POLY_K, (int)m);
+      long s = (long)lo - (K / 2 - 1);
+      s = std::max(0L, std::min(s, (long)m - K));
+      double w[POLY_K], d[POLY_K];
+      int nearest = 0;
+      double best = INFINITY;
+      bool exact = false;
+      for (int j = 0; j < K; ++j) {
+        double tj = ts[s + j];
+        double prod = 1.0;
+        for (int k = 0; k < K; ++k)
+          if (k != j) prod *= tj - ts[s + k];
+        w[j] = 1.0 / prod;
+        d[j] = t - tj;
+        double ad = std::fabs(d[j]);
+        if (ad < best) { best = ad; nearest = j; }
+        exact = exact || ad <= 1e-14 * (1.0 + std::fabs(t));
+      }
+      if (exact) {
+        const double* r = yf.data() + (size_t)(s + nearest) * st;
+        for (int i = 0; i < n; ++i) out[i] = r[i];
+        return;
+      }
+      double den = 0.0;
+      for (int i = 0; i < n; ++i) out[i] = 0.0;
+      for (int j = 0; j < K; ++j) {
+        double cj = w[j] / d[j];
+        den += cj;
+        const double* r = yf.data() + (size_t)(s + j) * st;
+        for (int i = 0; i < n; ++i) out[i] += cj * r[i];
+      }
+      for (int i = 0; i < n; ++i) out[i] /= den;
+      return;
+    }
     double t0 = ts[lo], t1 = ts[hi], h = t1 - t0;
     double s = (t - t0) / h;
     double s2 = s * s, s3 = s2 * s;
@@ -2106,6 +2148,7 @@ int cvbdf_adjoint_solve_banded(
     const int64_t* perm) {
   Stats st;
   FwdRecord rec;
+  rec.poly_mode = (herm_order == 1);  // CV_POLYNOMIAL
   if (herm_order >= 5)
     set_quintic_hook_banded(rec, n, lower, upper, jb_fn, dfdt_fn, params,
                             perm);
@@ -2169,6 +2212,7 @@ int cvbdf_adjoint_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
                         int64_t* stats_out) {
   Stats st;
   FwdRecord rec;
+  rec.poly_mode = (herm_order == 1);  // CV_POLYNOMIAL
   if (herm_order >= 5) set_quintic_hook(rec, n, j_fn, dfdt_fn, params);
   int rc = solve_one(n, f_fn, j_fn, t0, y0, params, n_t, tvals, fwd_rtol,
                      fwd_atol, max_steps, -1.0, ys_out, &st, &rec);
@@ -2193,6 +2237,7 @@ void* cvbdf_forward_record(int n, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdt_fn,
                            int* rc_out) {
   Stats st;
   auto* rec = new FwdRecord();
+  rec->poly_mode = (herm_order == 1);  // CV_POLYNOMIAL
   if (herm_order >= 5) set_quintic_hook(*rec, n, j_fn, dfdt_fn, params);
   int rc = solve_one(n, f_fn, j_fn, t0, y0, params, n_t, tvals, fwd_rtol,
                      fwd_atol, max_steps, -1.0, ys_out, &st, rec);
@@ -2238,6 +2283,7 @@ void* cvbdf_forward_record_banded(int n, int lower, int upper, rhs_fn f_fn,
                                   int* rc_out, const int64_t* perm) {
   Stats st;
   auto* rec = new FwdRecord();
+  rec->poly_mode = (herm_order == 1);  // CV_POLYNOMIAL
   if (herm_order >= 5)
     set_quintic_hook_banded(*rec, n, lower, upper, jb_fn, dfdt_fn, params,
                             perm);
@@ -2282,6 +2328,7 @@ int cvbdf_interp_probe(int n, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdt_fn,
                        const double* tq, double* yq_out, int64_t* n_rec_out) {
   Stats st;
   FwdRecord rec;
+  rec.poly_mode = (herm_order == 1);  // CV_POLYNOMIAL
   std::vector<double> Jr((size_t)n * n), dfdt_buf(n);
   if (herm_order >= 5) {
     rec.fdot = [&](double t, const double* y, const double* f, double* fd) {

@@ -1079,11 +1079,12 @@ class AdjointSolver(_SolverBase):
         o = self._options
         kinds = (self._solver_kind, self._adjoint_solver_kind)
         # BDF/BDF routes through the native CVodeF/CVodeB split
-        # (cvbdf_forward_record + cvbdf_backward_recorded): the dense
-        # per-step Hermite record lives in native memory, so only the
-        # 'hermite' interpolation mode maps onto it
+        # (cvbdf_forward_record + cvbdf_backward_recorded); the dense
+        # per-step record in native memory serves both CV_HERMITE and
+        # CV_POLYNOMIAL evaluation (FwdRecord::eval)
         kind_ok = kinds == ("ADAMS", "ADAMS") or (
-            kinds == ("BDF", "BDF") and self._interpolation == "hermite"
+            kinds == ("BDF", "BDF")
+            and self._interpolation in ("hermite", "polynomial")
         )
         # banded Newton routes natively on the BDF/BDF path only (the
         # ADAMS pair has no Newton matrix; banded codegen needs sympy)
@@ -1130,6 +1131,11 @@ class AdjointSolver(_SolverBase):
                     method=self._solver_kind,
                     adams_max_order=int(self._options.adams_max_order),
                     hermite_order=int(self._options.hermite_order),
+                    interpolation=(
+                        "polynomial"
+                        if self._interpolation == "polynomial"
+                        else "hermite"
+                    ),
                     **ls_kw,
                 )
             except Exception:

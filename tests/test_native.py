@@ -514,11 +514,12 @@ def test_adjoint_solver_routes_native_bdf(problem):
     quad2, lam2 = s2.solve_backward(TVALS[-1], 0.0, TVALS, grads)
     np.testing.assert_allclose(quad, quad2, rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(lam, lam2, rtol=1e-4, atol=1e-6)
-    # 'polynomial' interpolation has no native record analog -> JAX path
+    # 'polynomial' interpolation also maps onto the native record
+    # (FwdRecord::eval poly_mode; see test_native_polynomial_adjoint)
     s3 = AdjointSolver(problem, reltol=1e-8, abstol=1e-8, interpolation="polynomial")
     s3.set_params_dict(PARAMS)
     s3.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
-    assert "native_ys" not in s3._last_forward
+    assert s3._last_forward.get("native_mode") == "BDF"
 
 
 def test_native_robertson_cross_check():
@@ -1099,3 +1100,37 @@ def test_native_staggered_sens_robertson():
         CpuSolver(prob, method="ADAMS").solve_sens(
             0.0, tvals, y0, sens_mode="staggered"
         )
+
+
+def test_native_polynomial_adjoint(problem, native):
+    """CV_POLYNOMIAL on the native record (barycentric Lagrange over the
+    recorded y rows, FwdRecord::eval): gradients agree with the Hermite
+    evaluation and AdjointSolver(interpolation='polynomial') routes
+    natively (reference default mode, solver.py:530-585)."""
+    from sunode_tpu.solver import AdjointSolver
+
+    tvals = np.linspace(0.5, 8, 7)
+    y0 = np.array([10.0, 2.0])
+    grads = np.ones((len(tvals), 2))
+
+    h = CpuSolver(problem, abstol=1e-10, reltol=1e-8)
+    p = CpuSolver(problem, abstol=1e-10, reltol=1e-8,
+                  interpolation="polynomial")
+    for s in (h, p):
+        s.set_params_dict(PARAMS)
+    _, lam_h, q_h = h.solve_adjoint(0.0, tvals, y0, grads)
+    _, lam_p, q_p = p.solve_adjoint(0.0, tvals, y0, grads)
+    np.testing.assert_allclose(lam_p, lam_h, rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(q_p, q_h, rtol=1e-4)
+
+    a = AdjointSolver(problem, reltol=1e-8, abstol=1e-8,
+                      interpolation="polynomial")
+    a.set_params_dict(PARAMS)
+    assert a._native_adj_eligible()
+    a.solve_forward(0.0, tvals, y0)
+    assert a._last_forward.get("native_mode") == "BDF"
+    quad, lam = a.solve_backward(tvals[-1], 0.0, tvals, grads)
+    # class convention: lamda with d/dy0 = -lamda (reference
+    # as_pytensor.py:294-308); CpuSolver returns dL/dy0 directly
+    np.testing.assert_allclose(np.asarray(lam), -lam_p, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(quad), q_p, rtol=1e-4)
