@@ -157,6 +157,9 @@ class CpuSolver:
         if self._spgmr:
             self._core.cvbdf_solve_spgmr.restype = ctypes.c_int
             self._core.cvbdf_solve_spgmr_batch.restype = None
+            self._core.cvbdf_adjoint_solve_spgmr.restype = ctypes.c_int
+            self._core.cvbdf_forward_record_spgmr.restype = ctypes.c_void_p
+            self._core.cvbdf_backward_recorded_spgmr.restype = ctypes.c_int
 
         self._core.cvbdf_solve.restype = ctypes.c_int
         self._core.cvbdf_solve_batch.restype = None
@@ -486,6 +489,32 @@ class CpuSolver:
                 ctypes.c_double(a_atol),
                 ctypes.c_int64(self._max_steps),
                 ctypes.c_int(self._adams_max_order),
+                dptr(ys),
+                dptr(lam0),
+                dptr(dLdp),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        elif self._spgmr:
+            rc = self._core.cvbdf_adjoint_solve_spgmr(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                ctypes.c_int(self._spgmr_maxl),
+                self._rhs_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
                 dptr(ys),
                 dptr(lam0),
                 dptr(dLdp),
@@ -890,7 +919,24 @@ class CpuSolver:
         rc = ctypes.c_int(-1)
         dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
         self._free_record()
-        if self._band is not None:
+        if self._spgmr:
+            handle = self._core.cvbdf_forward_record_spgmr(
+                ctypes.c_int(n),
+                ctypes.c_int(self._spgmr_maxl),
+                self._rhs_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_int64(self._max_steps),
+                dptr(ys),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.byref(rc),
+            )
+        elif self._band is not None:
             handle = self._core.cvbdf_forward_record_banded(
                 ctypes.c_int(n),
                 ctypes.c_int(self._band[0]),
@@ -976,7 +1022,29 @@ class CpuSolver:
         dLdp = np.full(max(nq, 1), np.nan)
         stats = np.zeros(8, np.int64)
         dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
-        if self._band is not None:
+        if self._spgmr:
+            rc = self._core.cvbdf_backward_recorded_spgmr(
+                ctypes.c_void_p(self._rec_handle),
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                ctypes.c_int(self._spgmr_maxl),
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                dptr(self._params),
+                ctypes.c_double(float(t0)),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                dptr(lam0),
+                dptr(dLdp),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        elif self._band is not None:
             rc = self._core.cvbdf_backward_recorded_banded(
                 ctypes.c_void_p(self._rec_handle),
                 ctypes.c_int(n),

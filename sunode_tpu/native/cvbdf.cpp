@@ -219,6 +219,70 @@ struct BandLin {
   }
 };
 
+// Restart-free GMRES(m) least-squares solve of A x = b from x0 = 0
+// (mirrors ops/krylov.py::gmres_solve): Arnoldi with modified
+// Gram-Schmidt, Givens triangularization, explicit back substitution.
+// Overwrites b with x.  Breakdown-safe: lucky breakdown yields the exact
+// solution so far.
+template <class MV>
+void gmres_ls(int n, int m, MV&& matvec, double* b) {
+  m = std::min(m, n);
+  std::vector<std::vector<double>> V;
+  std::vector<double> H((size_t)(m + 1) * m, 0.0);
+  double beta = 0.0;
+  for (int i = 0; i < n; ++i) beta += b[i] * b[i];
+  beta = std::sqrt(beta);
+  if (beta == 0.0) return;  // x = 0 solves exactly
+  V.emplace_back(n);
+  for (int i = 0; i < n; ++i) V[0][i] = b[i] / beta;
+  std::vector<double> w(n);
+  for (int j = 0; j < m; ++j) {
+    matvec(V[j].data(), w.data());
+    for (int i = 0; i <= j; ++i) {
+      double hij = 0.0;
+      for (int kk = 0; kk < n; ++kk) hij += w[kk] * V[i][kk];
+      H[(size_t)i * m + j] = hij;
+      for (int kk = 0; kk < n; ++kk) w[kk] -= hij * V[i][kk];
+    }
+    double hn = 0.0;
+    for (int kk = 0; kk < n; ++kk) hn += w[kk] * w[kk];
+    hn = std::sqrt(hn);
+    H[(size_t)(j + 1) * m + j] = hn;
+    V.emplace_back(n);
+    double safe = hn == 0.0 ? 1.0 : hn;
+    for (int kk = 0; kk < n; ++kk) V[j + 1][kk] = w[kk] / safe;
+  }
+  // Givens triangularization of H, g = beta * e1
+  std::vector<double> g(m + 1, 0.0);
+  g[0] = beta;
+  for (int j = 0; j < m; ++j) {
+    double a = H[(size_t)j * m + j], bb = H[(size_t)(j + 1) * m + j];
+    double r = std::sqrt(a * a + bb * bb);
+    double cj = r == 0.0 ? 1.0 : a / r;
+    double sj = r == 0.0 ? 0.0 : bb / r;
+    for (int k = j; k < m; ++k) {
+      double t1 = cj * H[(size_t)j * m + k] + sj * H[(size_t)(j + 1) * m + k];
+      H[(size_t)(j + 1) * m + k] =
+          -sj * H[(size_t)j * m + k] + cj * H[(size_t)(j + 1) * m + k];
+      H[(size_t)j * m + k] = t1;
+    }
+    double t1 = cj * g[j] + sj * g[j + 1];
+    g[j + 1] = -sj * g[j] + cj * g[j + 1];
+    g[j] = t1;
+  }
+  // back substitution
+  std::vector<double> yk(m, 0.0);
+  for (int i = m - 1; i >= 0; --i) {
+    double acc = g[i];
+    for (int j = i + 1; j < m; ++j) acc -= H[(size_t)i * m + j] * yk[j];
+    double d = H[(size_t)i * m + i];
+    yk[i] = d == 0.0 ? 0.0 : acc / d;
+  }
+  for (int i = 0; i < n; ++i) b[i] = 0.0;
+  for (int j = 0; j < m; ++j)
+    for (int i = 0; i < n; ++i) b[i] += yk[j] * V[j][i];
+}
+
 // Matrix-free GMRES Newton policy (sunlinsol_spgmr analog, reference
 // solver.py:326-358 'spgmr' / 'spgmr_finitediff').  Solves
 // (I - c J) x = b with GMRES(maxl) from x0 = 0, least-squares in the
@@ -269,61 +333,8 @@ struct GmresLin {
       out[i] = v[i] - c_cur * (fpert[i] - fcur[i]) / sig;
   }
   void solve(double* b) const {
-    const int m = maxl;
-    std::vector<std::vector<double>> V;
-    std::vector<double> H((size_t)(m + 1) * m, 0.0);
-    double beta = 0.0;
-    for (int i = 0; i < n; ++i) beta += b[i] * b[i];
-    beta = std::sqrt(beta);
-    if (beta == 0.0) return;  // x = 0 solves exactly
-    V.emplace_back(n);
-    for (int i = 0; i < n; ++i) V[0][i] = b[i] / beta;
-    std::vector<double> w(n);
-    for (int j = 0; j < m; ++j) {
-      matvec(V[j].data(), w.data());
-      for (int i = 0; i <= j; ++i) {
-        double hij = 0.0;
-        for (int kk = 0; kk < n; ++kk) hij += w[kk] * V[i][kk];
-        H[(size_t)i * m + j] = hij;
-        for (int kk = 0; kk < n; ++kk) w[kk] -= hij * V[i][kk];
-      }
-      double hn = 0.0;
-      for (int kk = 0; kk < n; ++kk) hn += w[kk] * w[kk];
-      hn = std::sqrt(hn);
-      H[(size_t)(j + 1) * m + j] = hn;
-      V.emplace_back(n);
-      double safe = hn == 0.0 ? 1.0 : hn;
-      for (int kk = 0; kk < n; ++kk) V[j + 1][kk] = w[kk] / safe;
-    }
-    // Givens triangularization of H, g = beta * e1
-    std::vector<double> g(m + 1, 0.0);
-    g[0] = beta;
-    for (int j = 0; j < m; ++j) {
-      double a = H[(size_t)j * m + j], bb = H[(size_t)(j + 1) * m + j];
-      double r = std::sqrt(a * a + bb * bb);
-      double cj = r == 0.0 ? 1.0 : a / r;
-      double sj = r == 0.0 ? 0.0 : bb / r;
-      for (int k = j; k < m; ++k) {
-        double t1 = cj * H[(size_t)j * m + k] + sj * H[(size_t)(j + 1) * m + k];
-        H[(size_t)(j + 1) * m + k] =
-            -sj * H[(size_t)j * m + k] + cj * H[(size_t)(j + 1) * m + k];
-        H[(size_t)j * m + k] = t1;
-      }
-      double t1 = cj * g[j] + sj * g[j + 1];
-      g[j + 1] = -sj * g[j] + cj * g[j + 1];
-      g[j] = t1;
-    }
-    // back substitution
-    std::vector<double> yk(m, 0.0);
-    for (int i = m - 1; i >= 0; --i) {
-      double acc = g[i];
-      for (int j = i + 1; j < m; ++j) acc -= H[(size_t)i * m + j] * yk[j];
-      double d = H[(size_t)i * m + i];
-      yk[i] = d == 0.0 ? 0.0 : acc / d;
-    }
-    for (int i = 0; i < n; ++i) b[i] = 0.0;
-    for (int j = 0; j < m; ++j)
-      for (int i = 0; i < n; ++i) b[i] += yk[j] * V[j][i];
+    gmres_ls(n, maxl, [this](const double* v, double* out) { matvec(v, out); },
+             b);
   }
 };
 
@@ -1351,6 +1362,65 @@ int bdf_adjoint_backward_band(int n, int nq, int l, int u, jac_fn jb_fn,
                                   quad_out, stats);
 }
 
+// Matrix-free lambda-block policy for the backward adjoint Newton
+// (spgmr adjoint, reference CVSpilsB analog): the adjoint RHS is LINEAR
+// in lambda, so J^T v = -adj_fn(t, yhat, v) is an EXACT matvec — one
+// generated-function call per Krylov vector, no difference quotient and
+// no materialized J^T.  Keeps a private copy of the linearization point
+// (t, yhat) refreshed by AdjointLin::fill, so Newton stays modified
+// (stale linearization between jac() calls) like the dense/banded paths.
+struct GmresAdjLin {
+  int n, maxl;
+  adj_rhs_fn adj_fn;
+  const double* params;
+  double tcur = 0.0, c_cur = 0.0;
+  std::vector<double> yh;
+  mutable std::vector<double> tmp;
+  GmresAdjLin(int n_, int maxl_, adj_rhs_fn a, const double* p)
+      : n(n_), maxl(std::min(maxl_ > 0 ? maxl_ : 5, n_)), adj_fn(a),
+        params(p), yh(n_), tmp(n_) {}
+  void jac(double, const double*, const double*) {}  // fill() drives refresh
+  bool factor(double c) {
+    c_cur = c;
+    return true;
+  }
+  void solve(double* b) const {
+    gmres_ls(
+        n, maxl,
+        [this](const double* v, double* out) {
+          adj_fn(tcur, yh.data(), v, params, tmp.data());  // = -J^T v
+          for (int i = 0; i < n; ++i) out[i] = v[i] + c_cur * tmp[i];
+        },
+        b);
+  }
+};
+
+// Matrix-free backward driver: see bdf_adjoint_backward_lin.
+int bdf_adjoint_backward_spgmr(int n, int nq, int maxl, adj_rhs_fn adj_fn,
+                               adj_rhs_fn quad_fn, rhs_fn dfdp_fn,
+                               const FwdRecord& rec, const double* params,
+                               double t0, int n_t, const double* tvals,
+                               const double* grads, double rtol,
+                               const double* atol_lam, double atol_adj,
+                               int64_t max_steps, double* lam_out,
+                               double* quad_out, Stats* stats) {
+  auto make_lin = [&](std::vector<double>& /*yhat*/, double t_hi) {
+    AdjointLin<GmresAdjLin> lin(n, nq,
+                                GmresAdjLin(n, maxl, adj_fn, params));
+    lin.fill = [&, t_hi](double tau, GmresAdjLin& inner, double* dfdp) {
+      double t = t_hi - tau;
+      rec.eval(t, inner.yh.data());
+      inner.tcur = t;
+      if (nq) dfdp_fn(t, inner.yh.data(), params, dfdp);
+    };
+    return lin;
+  };
+  return bdf_adjoint_backward_lin(n, nq, adj_fn, quad_fn, make_lin, rec,
+                                  params, t0, n_t, tvals, grads, rtol,
+                                  atol_lam, atol_adj, max_steps, lam_out,
+                                  quad_out, stats);
+}
+
 // Newton policy for the simultaneous-sensitivity augmented system
 // z = [y; S_1..S_k]: the modified-Newton matrix is block-diagonal with
 // every diagonal block equal to M = I - c J(t, y) (the off-diagonal
@@ -2313,6 +2383,72 @@ int cvbdf_backward_recorded_banded(
                                      quad_fn, dfdp_fn, *rec, params, t0, n_t,
                                      tvals, grads, rtol, atol_lam, atol_adj,
                                      max_steps, lam_out, quad_out, &st, perm);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// Matrix-free (spgmr) stiff adjoint pair: GMRES-Newton forward with a
+// CUBIC Hermite record (no Jacobian -> no stiffness-gated quintic, the
+// same permanent-cubic rule as the JAX path's matrix-free records) and a
+// GMRES-Newton backward whose J^T matvec is the exact linear adj_rhs.
+int cvbdf_adjoint_solve_spgmr(
+    int n, int nq, int maxl, rhs_fn f_fn, adj_rhs_fn adj_fn,
+    adj_rhs_fn quad_fn, rhs_fn dfdp_fn, double t0, const double* y0,
+    const double* params, int n_t, const double* tvals, const double* grads,
+    double rtol, const double* atol_lam, double fwd_rtol,
+    const double* fwd_atol, double atol_adj, int64_t max_steps,
+    double* ys_out, double* lam_out, double* quad_out, int64_t* stats_out) {
+  Stats st;
+  FwdRecord rec;
+  GmresLin<rhs_fn> lin(n, f_fn, maxl > 0 ? maxl : 5);
+  lin.rhs_counter = &st.n_rhs_evals;
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, fwd_rtol,
+                         fwd_atol, max_steps, -1.0, ys_out, &st, &rec);
+  if (rc == 0) {
+    rc = bdf_adjoint_backward_spgmr(n, nq, maxl, adj_fn, quad_fn, dfdp_fn,
+                                    rec, params, t0, n_t, tvals, grads, rtol,
+                                    atol_lam, atol_adj, max_steps, lam_out,
+                                    quad_out, &st);
+  }
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+void* cvbdf_forward_record_spgmr(int n, int maxl, rhs_fn f_fn, double t0,
+                                 const double* y0, const double* params,
+                                 int n_t, const double* tvals,
+                                 double fwd_rtol, const double* fwd_atol,
+                                 int64_t max_steps, double* ys_out,
+                                 int64_t* stats_out, int* rc_out) {
+  Stats st;
+  auto* rec = new FwdRecord();
+  GmresLin<rhs_fn> lin(n, f_fn, maxl > 0 ? maxl : 5);
+  lin.rhs_counter = &st.n_rhs_evals;
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, fwd_rtol,
+                         fwd_atol, max_steps, -1.0, ys_out, &st, rec);
+  fill_stats(st, stats_out);
+  if (rc_out) *rc_out = rc;
+  if (rc != 0) {
+    delete rec;
+    return nullptr;
+  }
+  return rec;
+}
+
+int cvbdf_backward_recorded_spgmr(void* rec_handle, int n, int nq, int maxl,
+                                  adj_rhs_fn adj_fn, adj_rhs_fn quad_fn,
+                                  rhs_fn dfdp_fn, const double* params,
+                                  double t0, int n_t, const double* tvals,
+                                  const double* grads, double rtol,
+                                  const double* atol_lam, double atol_adj,
+                                  int64_t max_steps, double* lam_out,
+                                  double* quad_out, int64_t* stats_out) {
+  Stats st;
+  const auto* rec = static_cast<const FwdRecord*>(rec_handle);
+  int rc = bdf_adjoint_backward_spgmr(n, nq, maxl, adj_fn, quad_fn, dfdp_fn,
+                                      *rec, params, t0, n_t, tvals, grads,
+                                      rtol, atol_lam, atol_adj, max_steps,
+                                      lam_out, quad_out, &st);
   fill_stats(st, stats_out);
   return rc;
 }

@@ -1134,3 +1134,30 @@ def test_native_polynomial_adjoint(problem, native):
     # as_pytensor.py:294-308); CpuSolver returns dL/dy0 directly
     np.testing.assert_allclose(np.asarray(lam), -lam_p, rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(quad), q_p, rtol=1e-4)
+
+
+def test_native_spgmr_adjoint_matches_dense():
+    """Matrix-free stiff adjoint (spgmr): the lambda-block Newton uses the
+    EXACT linear J^T v = -adj_rhs(t, yhat, v) matvec in GMRES — no
+    materialized Jacobian anywhere in the gradient pair; matches the dense
+    adjoint, including through the recorded CVodeF/CVodeB split."""
+    prob = _rd_problem()
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(_N_RD) / (_N_RD - 1))
+    tvals = np.array([0.05, 0.2, 0.5, 1.0])
+    pv = {"k": 80.0, "r": 1.5}
+    rng = np.random.default_rng(0)
+    grads = rng.standard_normal((len(tvals), _N_RD))
+
+    d = CpuSolver(prob, abstol=1e-10, reltol=1e-8)
+    g = CpuSolver(prob, abstol=1e-10, reltol=1e-8, linear_solver="spgmr")
+    for s in (d, g):
+        s.set_params_dict(pv)
+    _, lam_d, q_d = d.solve_adjoint(0.0, tvals, y0, grads)
+    _, lam_g, q_g = g.solve_adjoint(0.0, tvals, y0, grads)
+    np.testing.assert_allclose(lam_g, lam_d, rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(q_g, q_d, rtol=1e-4)
+
+    g.solve_forward_recorded(0.0, tvals, y0)
+    lam2, q2 = g.solve_backward_recorded(0.0, tvals, grads)
+    np.testing.assert_allclose(lam2, lam_g, rtol=1e-6)
+    np.testing.assert_allclose(q2, q_g, rtol=1e-6)
