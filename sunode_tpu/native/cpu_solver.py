@@ -158,6 +158,7 @@ class CpuSolver:
             self._core.cvbdf_solve_spgmr.restype = ctypes.c_int
             self._core.cvbdf_solve_spgmr_batch.restype = None
             self._core.cvbdf_adjoint_solve_spgmr.restype = ctypes.c_int
+            self._core.cvbdf_adjoint_solve_spgmr_batch.restype = None
             self._core.cvbdf_forward_record_spgmr.restype = ctypes.c_void_p
             self._core.cvbdf_backward_recorded_spgmr.restype = ctypes.c_int
 
@@ -515,6 +516,8 @@ class CpuSolver:
                 dptr(self._atol),
                 ctypes.c_double(a_atol),
                 ctypes.c_int64(self._max_steps),
+                # matrix-free records have no ||J||: polynomial or cubic
+                ctypes.c_int(1 if self._herm_code == 1 else 3),
                 dptr(ys),
                 dptr(lam0),
                 dptr(dLdp),
@@ -820,6 +823,36 @@ class CpuSolver:
                 dptr(dLdp),
                 status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             )
+        elif self._spgmr:
+            self._core.cvbdf_adjoint_solve_spgmr_batch(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                ctypes.c_int(self._spgmr_maxl),
+                self._rhs_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(params),
+                ctypes.c_int(params.shape[1]),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(1 if self._herm_code == 1 else 3),
+                ctypes.c_int(batch),
+                ctypes.c_int(self._n_threads),
+                dptr(ys),
+                dptr(lam0),
+                dptr(dLdp),
+                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            )
         elif self._band is not None:
             self._core.cvbdf_adjoint_solve_banded_batch(
                 ctypes.c_int(n),
@@ -932,6 +965,7 @@ class CpuSolver:
                 ctypes.c_double(self._rtol),
                 dptr(self._atol),
                 ctypes.c_int64(self._max_steps),
+                ctypes.c_int(1 if self._herm_code == 1 else 3),
                 dptr(ys),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 ctypes.byref(rc),

@@ -424,18 +424,24 @@ struct FwdRecord {
   // Lagrange interpolant of degree POLY_K-1 through the POLY_K recorded
   // y rows around the bracketing interval (window clamped at the edges;
   // mirrors adjoint.py::make_polynomial_eval) instead of Hermite.
+  // poly_mode stores y rows ONLY (stride n): barycentric evaluation never
+  // reads derivatives, so the record is half the size of the Hermite one
+  // (the JAX make_polynomial_eval notes the same: 'uses only y rows').
   bool poly_mode = false;
   static constexpr int POLY_K = 6;
   std::vector<double> ts;
   std::vector<double> yf;  // per step: y (n), f (n) [, fdot (n)]
   std::vector<double> Lf;  // per step: ||J||_inf (quintic mode only)
   std::vector<double> fd_tmp;
-  int stride() const { return quintic_data ? 3 * n : 2 * n; }
+  int stride() const {
+    return poly_mode ? n : (quintic_data ? 3 * n : 2 * n);
+  }
   void add(double t, const double* y, const double* f) {
     if (!ts.empty() && t <= ts.back()) return;  // only strictly advancing
-    if (ts.empty()) quintic_data = (bool)fdot;
+    if (ts.empty()) quintic_data = !poly_mode && (bool)fdot;
     ts.push_back(t);
     yf.insert(yf.end(), y, y + n);
+    if (poly_mode) return;
     yf.insert(yf.end(), f, f + n);
     if (fdot) {
       fd_tmp.resize(n);
@@ -2397,9 +2403,13 @@ int cvbdf_adjoint_solve_spgmr(
     const double* params, int n_t, const double* tvals, const double* grads,
     double rtol, const double* atol_lam, double fwd_rtol,
     const double* fwd_atol, double atol_adj, int64_t max_steps,
-    double* ys_out, double* lam_out, double* quad_out, int64_t* stats_out) {
+    int herm_order, double* ys_out, double* lam_out, double* quad_out,
+    int64_t* stats_out) {
   Stats st;
   FwdRecord rec;
+  // herm_order 1 = CV_POLYNOMIAL (y rows only); anything else = cubic
+  // Hermite — quintic needs ||J||_inf, which matrix-free cannot provide
+  rec.poly_mode = (herm_order == 1);
   GmresLin<rhs_fn> lin(n, f_fn, maxl > 0 ? maxl : 5);
   lin.rhs_counter = &st.n_rhs_evals;
   int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, fwd_rtol,
@@ -2418,10 +2428,12 @@ void* cvbdf_forward_record_spgmr(int n, int maxl, rhs_fn f_fn, double t0,
                                  const double* y0, const double* params,
                                  int n_t, const double* tvals,
                                  double fwd_rtol, const double* fwd_atol,
-                                 int64_t max_steps, double* ys_out,
-                                 int64_t* stats_out, int* rc_out) {
+                                 int64_t max_steps, int herm_order,
+                                 double* ys_out, int64_t* stats_out,
+                                 int* rc_out) {
   Stats st;
   auto* rec = new FwdRecord();
+  rec->poly_mode = (herm_order == 1);  // CV_POLYNOMIAL; else cubic
   GmresLin<rhs_fn> lin(n, f_fn, maxl > 0 ? maxl : 5);
   lin.rhs_counter = &st.n_rhs_evals;
   int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, fwd_rtol,
@@ -2433,6 +2445,39 @@ void* cvbdf_forward_record_spgmr(int n, int maxl, rhs_fn f_fn, double t0,
     return nullptr;
   }
   return rec;
+}
+
+// Threaded batch of matrix-free gradient pairs (per-lane params,
+// NaN-poisoned failed lanes — same contract as the dense/banded batches).
+void cvbdf_adjoint_solve_spgmr_batch(
+    int n, int nq, int maxl, rhs_fn f_fn, adj_rhs_fn adj_fn,
+    adj_rhs_fn quad_fn, rhs_fn dfdp_fn, double t0, const double* y0_batch,
+    const double* params_batch, int n_params, int n_t, const double* tvals,
+    const double* grads_batch, double rtol, const double* atol_lam,
+    double fwd_rtol, const double* fwd_atol, double atol_adj,
+    int64_t max_steps, int herm_order, int batch, int n_threads,
+    double* ys_out_batch, double* lam_out_batch, double* quad_out_batch,
+    int* status_out) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      status_out[b] = cvbdf_adjoint_solve_spgmr(
+          n, nq, maxl, f_fn, adj_fn, quad_fn, dfdp_fn, t0,
+          y0_batch + (size_t)b * n, params_batch + (size_t)b * n_params, n_t,
+          tvals, grads_batch + (size_t)b * n_t * n, rtol, atol_lam, fwd_rtol,
+          fwd_atol, atol_adj, max_steps, herm_order,
+          ys_out_batch + (size_t)b * n_t * n, lam_out_batch + (size_t)b * n,
+          quad_out_batch + (size_t)b * std::max(nq, 1), nullptr);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < std::min(n_threads, batch); ++i)
+    pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
 }
 
 int cvbdf_backward_recorded_spgmr(void* rec_handle, int n, int nq, int maxl,

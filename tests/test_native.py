@@ -1161,3 +1161,35 @@ def test_native_spgmr_adjoint_matches_dense():
     lam2, q2 = g.solve_backward_recorded(0.0, tvals, grads)
     np.testing.assert_allclose(lam2, lam_g, rtol=1e-6)
     np.testing.assert_allclose(q2, q_g, rtol=1e-6)
+
+
+def test_native_spgmr_adjoint_polynomial_and_batch():
+    """Review fixes: spgmr + interpolation='polynomial' is honored on the
+    matrix-free record (y rows only, half the Hermite storage), and 2-D
+    y0 routes through the spgmr batch entry (no dense fallthrough)."""
+    prob = _rd_problem()
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(_N_RD) / (_N_RD - 1))
+    tvals = np.array([0.05, 0.2, 0.5, 1.0])
+    pv = {"k": 80.0, "r": 1.5}
+    rng = np.random.default_rng(0)
+    grads = rng.standard_normal((len(tvals), _N_RD))
+
+    d = CpuSolver(prob, abstol=1e-10, reltol=1e-8)
+    d.set_params_dict(pv)
+    _, lam_d, q_d = d.solve_adjoint(0.0, tvals, y0, grads)
+
+    gp = CpuSolver(prob, abstol=1e-10, reltol=1e-8, linear_solver="spgmr",
+                   interpolation="polynomial")
+    gp.set_params_dict(pv)
+    _, lam_gp, q_gp = gp.solve_adjoint(0.0, tvals, y0, grads)
+    np.testing.assert_allclose(lam_gp, lam_d, rtol=1e-4, atol=1e-8)
+    np.testing.assert_allclose(q_gp, q_d, rtol=1e-4)
+
+    g = CpuSolver(prob, abstol=1e-10, reltol=1e-8, linear_solver="spgmr")
+    g.set_params_dict(pv)
+    _, lam_g, q_g = g.solve_adjoint(0.0, tvals, y0, grads)
+    y0b = np.stack([y0, 0.9 * y0])
+    _, lamb, qb = g.solve_adjoint(0.0, tvals, y0b, np.stack([grads, grads]))
+    assert (g.last_status == 0).all()
+    np.testing.assert_allclose(lamb[0], lam_g, rtol=1e-8)
+    np.testing.assert_allclose(qb[0], q_g, rtol=1e-8)
