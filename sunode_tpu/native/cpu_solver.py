@@ -614,8 +614,6 @@ class CpuSolver:
         with the same factored matrix."""
         if sens_mode not in ("simultaneous", "staggered"):
             raise SolverError("sens_mode must be 'simultaneous' or 'staggered'")
-        if sens_mode == "staggered" and self._method != "BDF":
-            raise SolverError("sens_mode='staggered' requires method='BDF'")
         n = self._problem.n_states
         nq = self._problem.n_params
         y0 = np.ascontiguousarray(
@@ -637,7 +635,31 @@ class CpuSolver:
         sens = np.full((n_t, max(nq, 1), n), np.nan)
         stats = np.zeros(8, np.int64)
         dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
-        if self._method == "ADAMS":
+        if self._method == "ADAMS" and sens_mode == "staggered":
+            self._core.cvadams_sens_staggered_solve.restype = ctypes.c_int
+            rc = self._core.cvadams_sens_staggered_solve(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(sens0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_sens),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._adams_max_order),
+                dptr(ys),
+                dptr(sens),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
+            )
+        elif self._method == "ADAMS":
             rc = self._core.cvadams_sens_solve(
                 ctypes.c_int(n),
                 ctypes.c_int(nq),

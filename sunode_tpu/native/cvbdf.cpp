@@ -1554,6 +1554,322 @@ int bdf_sens_solve_common(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
   return rc;
 }
 
+// CV_STAGGERED on the ADAMS core: functional (fixed-point) state corrector
+// + state error test gate a functional sensitivity corrector — the same
+// sequencing CVODES applies method-agnostically (16_cvodes.h:275-323).
+// Combined difference array DF over z = [y; vec(S)] (rows are nabla^i z'),
+// so rescale/update/interpolation machinery is the Adams one verbatim.
+int adams_sens_staggered_solve_one(
+    int n, int nq, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdp_fn, double t0,
+    const double* y0, const double* sens0, const double* params, int n_t,
+    const double* tvals, double rtol, const double* atol, double atol_sens,
+    int64_t max_steps, int max_order, double* ys_out, double* sens_out,
+    Stats* stats, const double* cons = nullptr) {
+  constexpr int SENS_MAXITER = 3;
+  max_order = std::clamp(max_order, 1, A_MAX_ORDER);
+  const int nz = n + nq * n;
+
+  std::vector<double> DF((size_t)KAD * nz, 0.0);
+  std::vector<double> z(nz), z_pred(nz), f_extrap(nz), scale(nz), z_cur(nz),
+      fz(nz), fz_new(nz), d_f(nz), err(nz), delta(n);
+  std::vector<double> Jbuf((size_t)n * n), dfdp((size_t)n * std::max(nq, 1));
+  std::vector<double> zbuf((size_t)n_t * nz);
+  for (size_t i = 0; i < zbuf.size(); ++i) zbuf[i] = NAN;
+
+  for (int i = 0; i < n; ++i) z[i] = y0[i];
+  for (int k = 0; k < nq; ++k)
+    for (int i = 0; i < n; ++i) z[n + k * n + i] = sens0[k * n + i];
+
+  auto eval_aug = [&](double t, const double* zz, double* out) {
+    // combined z' = [f; J S_k + dfdp_k]; J/dfdp at the y part of zz
+    f_fn(t, zz, params, out);
+    stats->n_rhs_evals++;
+    j_fn(t, zz, params, Jbuf.data());
+    stats->n_jac_evals++;
+    if (nq) dfdp_fn(t, zz, params, dfdp.data());
+    for (int k = 0; k < nq; ++k)
+      for (int i = 0; i < n; ++i) {
+        double acc = dfdp[(size_t)i * nq + k];
+        for (int j = 0; j < n; ++j)
+          acc += Jbuf[(size_t)i * n + j] * zz[n + k * n + j];
+        out[n + k * n + i] = acc;
+      }
+  };
+
+  eval_aug(t0, z.data(), fz.data());
+  for (int i = 0; i < nz; ++i)
+    if (!std::isfinite(z[i]) || !std::isfinite(fz[i])) return 3;
+
+  std::vector<double> atol_z(nz);
+  for (int i = 0; i < n; ++i) atol_z[i] = atol[i];
+  for (int i = n; i < nz; ++i) atol_z[i] = atol_sens;
+
+  double t_end = tvals[n_t - 1];
+  auto aug_probe = [&](double t, const double* zz, const double* /*p*/,
+                       double* out) { eval_aug(t, zz, out); };
+  double h = initial_h(nz, aug_probe, t0, z.data(), fz.data(), params, t_end,
+                       rtol, atol_z.data(), stats);
+
+  for (int i = 0; i < nz; ++i) DF[i] = fz[i];
+  double t = t0;
+  int p = 1, n_equal = 0, i_out = 0, cfails = 0;
+  double h_D = h;
+
+  while (i_out < n_t && tvals[i_out] <= t0) {
+    for (int i = 0; i < nz; ++i) zbuf[(size_t)i_out * nz + i] = z[i];
+    ++i_out;
+  }
+
+  double newton_tol = std::max(10 * 2.220446049250313e-16 / rtol,
+                               std::min(0.03, std::sqrt(rtol)));
+  auto wrms_rng = [&](const double* x, const double* sc, int lo, int hi) {
+    double acc = 0.0;
+    for (int i = lo; i < hi; ++i) {
+      double e = x[i] / sc[i];
+      acc += e * e;
+    }
+    return std::sqrt(acc / (hi - lo));
+  };
+
+  while (i_out < n_t) {
+    if (stats->n_steps >= max_steps) return 1;
+    double h_min_loc =
+        10 * 2.220446049250313e-16 * std::max(std::fabs(t), std::fabs(t_end));
+    if (!(h >= h_min_loc)) return 2;
+    double h_use = std::min(h, t_end - t);
+    if (h_use != h_D && p > 1) adams_rescale(nz, p, h_use / h_D, DF.data());
+    h_D = h_use;
+    double t_new = t + h_use;
+
+    for (int col = 0; col < nz; ++col) {
+      double acc = 0.0, fx = 0.0;
+      for (int i = 0; i < p; ++i) {
+        acc += ATAB.gamma[i] * DF[(size_t)i * nz + col];
+        fx += DF[(size_t)i * nz + col];
+      }
+      z_pred[col] = z[col] + h_use * acc;
+      f_extrap[col] = fx;
+    }
+    double cA = h_use * ATAB.gamma[p - 1];
+    bool pred_ok = true;
+    for (int i = 0; i < nz; ++i) {
+      scale[i] = atol_z[i] + rtol * std::fabs(z_pred[i]);
+      if (!std::isfinite(z_pred[i])) pred_ok = false;
+    }
+
+    // ----- state functional corrector ----------------------------------
+    std::copy(z_pred.begin(), z_pred.end(), z_cur.begin());
+    bool conv = false, bad = false;
+    double dy_old = INFINITY;
+    std::vector<double>& fy = fz;  // reuse buffer for f(t_new, y)
+    for (int k = 0; k < A_FUNCTIONAL_MAXITER; ++k) {
+      f_fn(t_new, z_cur.data(), params, fy.data());
+      stats->n_rhs_evals++;
+      stats->n_newton_iters++;
+      bool nf = false;
+      for (int i = 0; i < n; ++i)
+        if (!std::isfinite(fy[i])) { nf = true; break; }
+      if (nf) { bad = true; break; }
+      double norm2 = 0.0;
+      for (int i = 0; i < n; ++i) {
+        double y_next = z_pred[i] + cA * (fy[i] - f_extrap[i]);
+        double de = y_next - z_cur[i];
+        double e = de / scale[i];
+        norm2 += e * e;
+        z_cur[i] = y_next;
+      }
+      double dy = std::sqrt(norm2 / n);
+      if (!std::isfinite(dy)) { bad = true; break; }
+      double rate = dy / dy_old;
+      if (dy == 0.0 ||
+          (k > 0 && rate < 1.0 && rate / (1 - rate) * dy < newton_tol) ||
+          dy < 0.1 * newton_tol) {
+        conv = true;
+        break;
+      }
+      if (k > 0 && rate >= 2.0) break;
+      dy_old = dy;
+    }
+    conv = conv && pred_ok && !bad;
+
+    // state error test gates the sensitivity corrector
+    double err_y = INFINITY;
+    bool state_err_ok = false;
+    if (conv) {
+      f_fn(t_new, z_cur.data(), params, fz_new.data());
+      stats->n_rhs_evals++;
+      for (int i = 0; i < n; ++i)
+        err[i] = ATAB.gamma_star[p] * h_use * (fz_new[i] - f_extrap[i]);
+      err_y = wrms_rng(err.data(), scale.data(), 0, n);
+      state_err_ok = err_y <= 1.0;
+    }
+
+    // ----- sensitivity functional corrector ----------------------------
+    bool s_conv = (nq == 0);
+    if (conv && state_err_ok && nq) {
+      j_fn(t_new, z_cur.data(), params, Jbuf.data());
+      stats->n_jac_evals++;
+      dfdp_fn(t_new, z_cur.data(), params, dfdp.data());
+      double norm_old = INFINITY;
+      for (int it = 0; it < SENS_MAXITER && !s_conv && !bad; ++it) {
+        double norm2 = 0.0;
+        for (int k = 0; k < nq; ++k) {
+          double* Sk = z_cur.data() + n + k * n;
+          const double* Pk = z_pred.data() + n + k * n;
+          const double* Fk = f_extrap.data() + n + k * n;
+          for (int i = 0; i < n; ++i) {
+            double fs = dfdp[(size_t)i * nq + k];
+            for (int j = 0; j < n; ++j)
+              fs += Jbuf[(size_t)i * n + j] * Sk[j];
+            delta[i] = Pk[i] + cA * (fs - Fk[i]) - Sk[i];
+          }
+          for (int i = 0; i < n; ++i) {
+            if (!std::isfinite(delta[i])) { bad = true; break; }
+            double e = delta[i] / scale[n + k * n + i];
+            norm2 += e * e;
+            Sk[i] += delta[i];
+          }
+          if (bad) break;
+        }
+        if (bad) break;
+        stats->n_newton_iters++;
+        double norm = std::sqrt(norm2 / (nq * n));
+        double rate = norm / norm_old;
+        if (norm == 0.0 ||
+            (it > 0 && rate < 1.0 && rate / (1 - rate) * norm < newton_tol) ||
+            norm < 0.1 * newton_tol) {
+          s_conv = true;
+        } else if (it > 0 && rate >= 2.0) {
+          break;
+        }
+        norm_old = norm;
+      }
+    }
+
+    double err_norm = INFINITY;
+    if (conv && state_err_ok && s_conv && !bad) {
+      // combined error estimate over z (state norm as floor); sens part of
+      // fz_new comes from the converged S and fresh J/dfdp
+      for (int k = 0; k < nq; ++k) {
+        const double* Sk = z_cur.data() + n + k * n;
+        for (int i = 0; i < n; ++i) {
+          double fs = dfdp[(size_t)i * nq + k];
+          for (int j = 0; j < n; ++j)
+            fs += Jbuf[(size_t)i * n + j] * Sk[j];
+          fz_new[n + k * n + i] = fs;
+        }
+      }
+      for (int i = 0; i < nz; ++i)
+        err[i] = ATAB.gamma_star[p] * h_use * (fz_new[i] - f_extrap[i]);
+      err_norm = std::max(wrms_rng(err.data(), scale.data(), 0, nz), err_y);
+    }
+
+    bool accepted = conv && state_err_ok && s_conv && !bad && err_norm <= 1.0;
+    if (!accepted) {
+      if (!conv || bad || (state_err_ok && !s_conv)) stats->n_conv_fails++;
+      else stats->n_error_test_fails++;
+      if (++cfails >= 4) {
+        for (size_t i = nz; i < DF.size(); ++i) DF[i] = 0.0;
+        p = 1;
+        h = h_use * 0.25;
+        cfails = 0;
+        n_equal = 0;
+        continue;
+      }
+      double factor;
+      if (!conv || bad || (state_err_ok && !s_conv)) {
+        factor = 0.25;
+      } else {
+        double e = state_err_ok ? err_norm : err_y;
+        factor = std::clamp(
+            0.9 * std::pow(std::clamp(e, 1e-30, 1e30), -1.0 / (p + 1)),
+            MIN_FACTOR, 0.9);
+      }
+      h = h_use * factor;
+      n_equal = 0;
+      continue;
+    }
+
+    // constraint check on the y block
+    if (cons) {
+      bool viol = false;
+      for (int i = 0; i < n && !viol; ++i) {
+        double ci = cons[i], yi = z_cur[i];
+        viol = (ci == 1.0 && yi < 0) || (ci == -1.0 && yi > 0) ||
+               (ci == 2.0 && yi <= 0) || (ci == -2.0 && yi >= 0);
+      }
+      if (viol) {
+        stats->n_error_test_fails++;
+        if (++cfails >= 4) {
+          for (size_t i = nz; i < DF.size(); ++i) DF[i] = 0.0;
+          p = 1;
+          cfails = 0;
+        }
+        h = h_use * 0.25;
+        n_equal = 0;
+        continue;
+      }
+    }
+
+    // accept
+    if (err_norm <= 0.9) cfails = std::max(cfails - 1, 0);
+    for (int i = 0; i < nz; ++i) d_f[i] = fz_new[i] - f_extrap[i];
+    update_D(nz, p - 1, d_f.data(), DF.data());
+    t = t_new;
+    std::copy(z_cur.begin(), z_cur.end(), z.begin());
+    ++stats->n_steps;
+    ++n_equal;
+
+    while (i_out < n_t && tvals[i_out] <= t + 1e-14 * std::fabs(t)) {
+      double s = (tvals[i_out] - t) / h_use;
+      adams_interp(nz, p, DF.data(), z.data(), h_use, s,
+                   zbuf.data() + (size_t)i_out * nz);
+      ++i_out;
+    }
+
+    h = h_use;
+    if (n_equal >= p + 1) {
+      double err_m = INFINITY, err_p2 = INFINITY;
+      if (p > 1) {
+        for (int i = 0; i < nz; ++i)
+          err[i] = ATAB.gamma_star[p - 1] * h_use * DF[(size_t)(p - 1) * nz + i];
+        err_m = wrms_rng(err.data(), scale.data(), 0, nz);
+      }
+      if (p < max_order) {
+        for (int i = 0; i < nz; ++i)
+          err[i] = ATAB.gamma_star[p + 1] * h_use * DF[(size_t)(p + 1) * nz + i];
+        err_p2 = wrms_rng(err.data(), scale.data(), 0, nz);
+      }
+      auto fac = [](double e, int qq) {
+        if (!std::isfinite(e)) return 0.0;
+        e = std::clamp(e, 1e-30, 1e30);
+        return 0.9 * std::pow(e, -1.0 / (qq + 1));
+      };
+      double facs[3] = {fac(err_m, p - 1), fac(err_norm, p),
+                        fac(err_p2, p + 1)};
+      int best_i = 0;
+      for (int ii = 1; ii < 3; ++ii)
+        if (facs[ii] > facs[best_i]) best_i = ii;
+      int dq = best_i - 1;
+      double best = std::clamp(facs[best_i], MIN_FACTOR, MAX_FACTOR);
+      if (best >= THRESH || best < 1.0 || dq != 0) {
+        p = std::clamp(p + dq, 1, max_order);
+        h = h_use * best;
+        n_equal = 0;
+      }
+    }
+  }
+  stats->final_order = p;
+  for (int m = 0; m < n_t; ++m) {
+    const double* row = zbuf.data() + (size_t)m * nz;
+    for (int i = 0; i < n; ++i) ys_out[(size_t)m * n + i] = row[i];
+    for (int k = 0; k < nq; ++k)
+      for (int i = 0; i < n; ++i)
+        sens_out[((size_t)m * nq + k) * n + i] = row[n + k * n + i];
+  }
+  return 0;
+}
+
 // CV_STAGGERED forward sensitivities (16_cvodes.h:31-33; mirrors the JAX
 // core's sens_staggered, ops/bdf.py:735-797): the state corrector must
 // converge AND pass its OWN error test before any sensitivity work runs —
@@ -2066,6 +2382,26 @@ int cvbdf_sens_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdp_fn,
                                  sens0, params, n_t, tvals, rtol, atol,
                                  atol_sens, max_steps, ys_out, sens_out, &st,
                                  constraints);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// CV_STAGGERED sensitivities on the ADAMS core (functional correctors,
+// state-gated; see adams_sens_staggered_solve_one).
+int cvadams_sens_staggered_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
+                                 rhs_fn dfdp_fn, double t0, const double* y0,
+                                 const double* sens0, const double* params,
+                                 int n_t, const double* tvals, double rtol,
+                                 const double* atol, double atol_sens,
+                                 int64_t max_steps, int max_order,
+                                 double* ys_out, double* sens_out,
+                                 int64_t* stats_out,
+                                 const double* constraints) {
+  Stats st;
+  int rc = adams_sens_staggered_solve_one(
+      n, nq, f_fn, j_fn, dfdp_fn, t0, y0, sens0, params, n_t, tvals, rtol,
+      atol, atol_sens, max_steps, max_order, ys_out, sens_out, &st,
+      constraints);
   fill_stats(st, stats_out);
   return rc;
 }

@@ -448,13 +448,7 @@ class Solver(_SolverBase):
             self._native_single_enabled
             and self._solver_kind in ("ADAMS", "BDF")
             and self._compute_sens
-            and (
-                self._sens_mode == "simultaneous"
-                or (
-                    self._sens_mode == "staggered"
-                    and self._solver_kind == "BDF"
-                )
-            )
+            and self._sens_mode in ("simultaneous", "staggered")
             and o.sens_pbar is None
             and ls_ok
             and (o.constraints is None or self._solver_kind == "BDF")

@@ -1096,10 +1096,8 @@ def test_native_staggered_sens_robertson():
     np.testing.assert_allclose(np.asarray(sens2), sens_st, rtol=1e-8,
                                atol=1e-12)
 
-    with pytest.raises(SolverError, match="staggered"):
-        CpuSolver(prob, method="ADAMS").solve_sens(
-            0.0, tvals, y0, sens_mode="staggered"
-        )
+    # staggered on ADAMS is also genuine now (functional correctors;
+    # exercised end-to-end in test_native_adams_staggered_sens)
 
 
 def test_native_polynomial_adjoint(problem, native):
@@ -1193,3 +1191,48 @@ def test_native_spgmr_adjoint_polynomial_and_batch():
     assert (g.last_status == 0).all()
     np.testing.assert_allclose(lamb[0], lam_g, rtol=1e-8)
     np.testing.assert_allclose(qb[0], q_g, rtol=1e-8)
+
+
+def test_native_adams_staggered_sens():
+    """CV_STAGGERED on the ADAMS core (functional correctors, state-gated):
+    matches the simultaneous augmented mode and FD; class API routes
+    solver='ADAMS', sens_mode='staggered' natively with genuine
+    staggering (no silent simultaneous substitution)."""
+
+    def lv2(t, y, p):
+        return {"h": p.a * y.h - 0.3 * y.l * y.h, "l": 0.4 * y.h * y.l - y.l}
+
+    prob = SympyProblem(
+        params={"a": ()},
+        states={"h": (), "l": ()},
+        rhs_sympy=lv2,
+        derivative_params=[("a",)],
+    )
+    tvals = np.linspace(0.5, 8, 7)
+    y0 = np.array([10.0, 2.0])
+
+    c = CpuSolver(prob, abstol=1e-10, reltol=1e-10, method="ADAMS")
+    c.set_params_dict({"a": 1.0})
+    _, sens_sim = c.solve_sens(0.0, tvals, y0)
+    _, sens_st = c.solve_sens(0.0, tvals, y0, sens_mode="staggered")
+    assert c.last_stats["n_factorizations"] == 0  # functional iteration
+    floor = 1e-4 * np.abs(sens_sim).max()
+    assert (np.abs(sens_st - sens_sim) / (np.abs(sens_sim) + floor)).max() < 1e-3
+
+    def sol(a):
+        cc = CpuSolver(prob, abstol=1e-13, reltol=1e-12)
+        cc.set_params_dict({"a": a})
+        return cc.solve(0.0, tvals, y0)
+
+    eps = 1e-7
+    fd = (sol(1.0 + eps) - sol(1.0 - eps)) / (2 * eps)
+    assert (np.abs(sens_st[:, 0, :] - fd) / (np.abs(fd) + 1e-3)).max() < 1e-3
+
+    s = Solver(
+        prob, abstol=1e-10, reltol=1e-10, solver="ADAMS", sens_mode="staggered"
+    )
+    s.set_params_dict({"a": 1.0})
+    assert s._native_sens_eligible()
+    _, sens2 = s.solve(0.0, tvals, y0)
+    np.testing.assert_allclose(np.asarray(sens2), sens_st, rtol=1e-8,
+                               atol=1e-12)
