@@ -61,25 +61,19 @@ y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(N) / (N - 1))
 tvals = np.array([0.05, 0.2, 0.5, 1.0])
 params = {"k": float(N * N / 8), "r": 1.5}  # stiff diffusion
 
+# NOTE: no 'band' entry: declared bandwidths refer to the STORAGE order,
+# and in the scrambled ordering the true bandwidths are O(N) — declaring
+# (1, 1) would be a codegen error.  'sparse' finds the permutation that
+# makes (1, 1) true; see docs/quickstart.md §6 for a naturally-ordered
+# banded example.
 configs = {
     "dense": {},
-    "band": dict(
-        linear_solver="band",
-        linear_solver_kwargs=dict(lower_bandwidth=1, upper_bandwidth=1),
-    ),
     "sparse": dict(linear_solver="sparse"),
     "spgmr": dict(linear_solver="spgmr"),
 }
 
 ref = None
 for name, kw in configs.items():
-    # NOTE: 'band' with bandwidths (1, 1) refers to the PHYSICAL chain; in
-    # the scrambled ordering the true bandwidths are O(N), so declaring
-    # (1, 1) would be a codegen error.  'sparse' finds the permutation that
-    # makes (1, 1) true.  Skip 'band' here; see docs/quickstart.md §6 for
-    # a naturally-ordered banded example.
-    if name == "band":
-        continue
     s = Solver(problem, abstol=1e-10, reltol=1e-8, **kw)
     s.set_params_dict(params)
     t0 = time.perf_counter()

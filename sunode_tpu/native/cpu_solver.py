@@ -608,10 +608,11 @@ class CpuSolver:
         functional iteration; ``method='BDF'`` uses modified Newton with
         ONE shared I - cJ factorization across the y and sensitivity
         blocks (banded/permuted when ``linear_solver='band'``/``'sparse'``).
-        ``sens_mode='staggered'`` (BDF only, CV_STAGGERED) converges and
-        error-tests the state FIRST — rejected state attempts never touch
-        the sensitivity RHS — then runs a separate sensitivity corrector
-        with the same factored matrix."""
+        ``sens_mode='staggered'`` (CV_STAGGERED, both methods) converges
+        and error-tests the state FIRST — rejected state attempts never
+        touch the sensitivity RHS — then runs a separate sensitivity
+        corrector: modified Newton sharing the state's factored matrix on
+        BDF, functional iteration on ADAMS."""
         if sens_mode not in ("simultaneous", "staggered"):
             raise SolverError("sens_mode must be 'simultaneous' or 'staggered'")
         n = self._problem.n_states
@@ -708,11 +709,59 @@ class CpuSolver:
                 self._cons_ptr(),
                 self._perm_ptr(),
             )
+        elif sens_mode == "staggered" and self._spgmr:
+            self._core.cvbdf_sens_staggered_solve_spgmr.restype = ctypes.c_int
+            rc = self._core.cvbdf_sens_staggered_solve_spgmr(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                ctypes.c_int(self._spgmr_maxl),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(sens0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_sens),
+                ctypes.c_int64(self._max_steps),
+                dptr(ys),
+                dptr(sens),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
+            )
         elif sens_mode == "staggered":
             self._core.cvbdf_sens_staggered_solve.restype = ctypes.c_int
             rc = self._core.cvbdf_sens_staggered_solve(
                 ctypes.c_int(n),
                 ctypes.c_int(nq),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(sens0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_sens),
+                ctypes.c_int64(self._max_steps),
+                dptr(ys),
+                dptr(sens),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
+            )
+        elif self._spgmr:
+            self._core.cvbdf_sens_solve_spgmr.restype = ctypes.c_int
+            rc = self._core.cvbdf_sens_solve_spgmr(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                ctypes.c_int(self._spgmr_maxl),
                 self._rhs_ptr,
                 self._jac_ptr,
                 self._dfdp_ptr,

@@ -33,6 +33,15 @@ namespace {
 
 constexpr int MAX_ORDER = 5;
 constexpr int KD = MAX_ORDER + 3;
+
+// BDF method constants, shared by solve_one_lin and the staggered core:
+// gamma_q = sum_{m<=q} 1/m (the Nordsieck/difference-form leading
+// coefficients) and the per-order error constants 1/(q+1).
+constexpr double BDF_GAMMA[MAX_ORDER + 1] = {
+    0, 1, 1.5, 1.5 + 1.0 / 3, 1.5 + 1.0 / 3 + 0.25,
+    1.5 + 1.0 / 3 + 0.25 + 0.2};
+constexpr double BDF_ERRCONST[MAX_ORDER + 2] = {
+    1.0, 1.0 / 2, 1.0 / 3, 1.0 / 4, 1.0 / 5, 1.0 / 6, 1.0 / 7};
 constexpr int NEWTON_MAXITER = 4;
 constexpr double MIN_FACTOR = 0.2;
 constexpr double MAX_FACTOR = 10.0;
@@ -576,15 +585,10 @@ int solve_one_lin(int n, F&& f_fn, LIN& lin, double t0, const double* y0,
                   double first_step, double* ys_out, Stats* stats,
                   FwdRecord* rec = nullptr,
                   const double* cons = nullptr) {
-  const double gamma_tab[MAX_ORDER + 1] = {0, 1, 1.5, 1.5 + 1.0 / 3,
-                                           1.5 + 1.0 / 3 + 0.25,
-                                           1.5 + 1.0 / 3 + 0.25 + 0.2};
-  double alpha[MAX_ORDER + 1];
-  double error_const[MAX_ORDER + 2];
-  for (int qq = 0; qq <= MAX_ORDER; ++qq) alpha[qq] = gamma_tab[qq];
-  alpha[0] = 1.0;
-  for (int qq = 0; qq <= MAX_ORDER; ++qq) error_const[qq] = 1.0 / (qq + 1);
-  error_const[MAX_ORDER + 1] = 1.0 / (MAX_ORDER + 2);
+  const double* gamma_tab = BDF_GAMMA;
+  // alpha[q] == gamma_q for every order actually used (q >= 1 throughout)
+  const double* alpha = BDF_GAMMA;
+  const double* error_const = BDF_ERRCONST;
 
   Work w(n);
   for (int i = 0; i < n_t * n; ++i) ys_out[i] = NAN;
@@ -647,6 +651,10 @@ int solve_one_lin(int n, F&& f_fn, LIN& lin, double t0, const double* y0,
     double h_use = std::min(h, t_end - t);
     if (h_use < h) {
       rescale_D(n, q, h_use / h, w.D.data());
+      // h must track the D spacing: the stale-Jacobian retry path
+      // re-enters this loop without touching h, and a second clamped
+      // rescale by h_use/h would silently corrupt the history
+      h = h_use;
       need_factor = true;
     }
     double t_new = t + h_use;
@@ -763,9 +771,12 @@ int solve_one_lin(int n, F&& f_fn, LIN& lin, double t0, const double* y0,
 
     if (rec) {
       // fresh RHS at the accepted point (the Newton w.f is one iterate
-      // stale) — Hermite-quality recording costs one extra eval per step
-      f_fn(t, w.y.data(), params, w.f.data());
-      stats->n_rhs_evals++;
+      // stale) — Hermite-quality recording costs one extra eval per step;
+      // polynomial records store y rows only, so skip the eval there
+      if (!rec->poly_mode) {
+        f_fn(t, w.y.data(), params, w.f.data());
+        stats->n_rhs_evals++;
+      }
       rec->add(t, w.y.data(), w.f.data());
     }
 
@@ -1380,6 +1391,7 @@ struct GmresAdjLin {
   adj_rhs_fn adj_fn;
   const double* params;
   double tcur = 0.0, c_cur = 0.0;
+  int64_t* rhs_counter = nullptr;  // Krylov adj_fn evals -> stats
   std::vector<double> yh;
   mutable std::vector<double> tmp;
   GmresAdjLin(int n_, int maxl_, adj_rhs_fn a, const double* p)
@@ -1395,6 +1407,7 @@ struct GmresAdjLin {
         n, maxl,
         [this](const double* v, double* out) {
           adj_fn(tcur, yh.data(), v, params, tmp.data());  // = -J^T v
+          if (rhs_counter) ++*rhs_counter;
           for (int i = 0; i < n; ++i) out[i] = v[i] + c_cur * tmp[i];
         },
         b);
@@ -1413,6 +1426,7 @@ int bdf_adjoint_backward_spgmr(int n, int nq, int maxl, adj_rhs_fn adj_fn,
   auto make_lin = [&](std::vector<double>& /*yhat*/, double t_hi) {
     AdjointLin<GmresAdjLin> lin(n, nq,
                                 GmresAdjLin(n, maxl, adj_fn, params));
+    lin.inner.rhs_counter = &stats->n_rhs_evals;
     lin.fill = [&, t_hi](double tau, GmresAdjLin& inner, double* dfdp) {
       double t = t_hi - tau;
       rec.eval(t, inner.yh.data());
@@ -1622,15 +1636,6 @@ int adams_sens_staggered_solve_one(
 
   double newton_tol = std::max(10 * 2.220446049250313e-16 / rtol,
                                std::min(0.03, std::sqrt(rtol)));
-  auto wrms_rng = [&](const double* x, const double* sc, int lo, int hi) {
-    double acc = 0.0;
-    for (int i = lo; i < hi; ++i) {
-      double e = x[i] / sc[i];
-      acc += e * e;
-    }
-    return std::sqrt(acc / (hi - lo));
-  };
-
   while (i_out < n_t) {
     if (stats->n_steps >= max_steps) return 1;
     double h_min_loc =
@@ -1700,7 +1705,7 @@ int adams_sens_staggered_solve_one(
       stats->n_rhs_evals++;
       for (int i = 0; i < n; ++i)
         err[i] = ATAB.gamma_star[p] * h_use * (fz_new[i] - f_extrap[i]);
-      err_y = wrms_rng(err.data(), scale.data(), 0, n);
+      err_y = wrms(n, err.data(), scale.data());
       state_err_ok = err_y <= 1.0;
     }
 
@@ -1761,7 +1766,7 @@ int adams_sens_staggered_solve_one(
       }
       for (int i = 0; i < nz; ++i)
         err[i] = ATAB.gamma_star[p] * h_use * (fz_new[i] - f_extrap[i]);
-      err_norm = std::max(wrms_rng(err.data(), scale.data(), 0, nz), err_y);
+      err_norm = std::max(wrms(nz, err.data(), scale.data()), err_y);
     }
 
     bool accepted = conv && state_err_ok && s_conv && !bad && err_norm <= 1.0;
@@ -1833,12 +1838,12 @@ int adams_sens_staggered_solve_one(
       if (p > 1) {
         for (int i = 0; i < nz; ++i)
           err[i] = ATAB.gamma_star[p - 1] * h_use * DF[(size_t)(p - 1) * nz + i];
-        err_m = wrms_rng(err.data(), scale.data(), 0, nz);
+        err_m = wrms(nz, err.data(), scale.data());
       }
       if (p < max_order) {
         for (int i = 0; i < nz; ++i)
           err[i] = ATAB.gamma_star[p + 1] * h_use * DF[(size_t)(p + 1) * nz + i];
-        err_p2 = wrms_rng(err.data(), scale.data(), 0, nz);
+        err_p2 = wrms(nz, err.data(), scale.data());
       }
       auto fac = [](double e, int qq) {
         if (!std::isfinite(e)) return 0.0;
@@ -1890,12 +1895,8 @@ int bdf_sens_staggered_lin(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
                            double* sens_out, Stats* stats,
                            const double* cons = nullptr) {
   constexpr int SENS_MAXITER = 3;
-  const double gamma_tab[MAX_ORDER + 1] = {0, 1, 1.5, 1.5 + 1.0 / 3,
-                                           1.5 + 1.0 / 3 + 0.25,
-                                           1.5 + 1.0 / 3 + 0.25 + 0.2};
-  double error_const[MAX_ORDER + 2];
-  for (int qq = 0; qq <= MAX_ORDER; ++qq) error_const[qq] = 1.0 / (qq + 1);
-  error_const[MAX_ORDER + 1] = 1.0 / (MAX_ORDER + 2);
+  const double* gamma_tab = BDF_GAMMA;
+  const double* error_const = BDF_ERRCONST;
 
   const int nz = n + nq * n;
   std::vector<double> D((size_t)KD * nz, 0.0);
@@ -1969,15 +1970,6 @@ int bdf_sens_staggered_lin(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
   double newton_tol = std::max(10 * 2.220446049250313e-16 / rtol,
                                std::min(0.03, std::sqrt(rtol)));
 
-  auto wrms_range = [&](const double* x, const double* sc, int lo, int hi) {
-    double acc = 0.0;
-    for (int i = lo; i < hi; ++i) {
-      double e = x[i] / sc[i];
-      acc += e * e;
-    }
-    return std::sqrt(acc / (hi - lo));
-  };
-
   while (i_out < n_t) {
     if (stats->n_steps >= max_steps) return 1;
     double h_min_loc =
@@ -1986,6 +1978,7 @@ int bdf_sens_staggered_lin(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
     double h_use = std::min(h, t_end - t);
     if (h_use < h) {
       rescale_D(nz, q, h_use / h, D.data());
+      h = h_use;  // D spacing must track h (stale-J retry re-enters)
       need_factor = true;
     }
     double t_new = t + h_use;
@@ -2027,7 +2020,7 @@ int bdf_sens_staggered_lin(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
       }
       if (bad) break;
       lin.solve(delta.data());
-      double dy = wrms_range(delta.data(), scale.data(), 0, n);  // y block
+      double dy = wrms(n, delta.data(), scale.data());  // y block
       if (!std::isfinite(dy)) { bad = true; break; }
       double rate = dy / dy_old;
       for (int i = 0; i < n; ++i) { d[i] += delta[i]; z[i] += delta[i]; }
@@ -2045,7 +2038,7 @@ int bdf_sens_staggered_lin(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
     double err_y = INFINITY;
     if (conv && !bad) {
       for (int i = 0; i < n; ++i) err[i] = error_const[q] * d[i];
-      err_y = wrms_range(err.data(), scale.data(), 0, n);
+      err_y = wrms(n, err.data(), scale.data());
       state_err_ok = err_y <= 1.0;
     }
 
@@ -2117,7 +2110,7 @@ int bdf_sens_staggered_lin(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
 
     // ----- combined error test (state norm as floor) ------------------
     for (int i = 0; i < nz; ++i) err[i] = error_const[q] * d[i];
-    double err_norm = wrms_range(err.data(), scale.data(), 0, nz);
+    double err_norm = wrms(nz, err.data(), scale.data());
     err_norm = std::max(err_norm, err_y);
     if (!state_err_ok || err_norm > 1.0) {
       stats->n_error_test_fails++;
@@ -2172,12 +2165,12 @@ int bdf_sens_staggered_lin(int n, int nq, rhs_fn f_fn, jac_fn j_fn,
       if (q > 1) {
         for (int i = 0; i < nz; ++i)
           err[i] = error_const[q - 1] * D[(size_t)q * nz + i];
-        err_m = wrms_range(err.data(), scale.data(), 0, nz);
+        err_m = wrms(nz, err.data(), scale.data());
       }
       if (q < MAX_ORDER) {
         for (int i = 0; i < nz; ++i)
           err[i] = error_const[q + 1] * D[(size_t)(q + 2) * nz + i];
-        err_p = wrms_range(err.data(), scale.data(), 0, nz);
+        err_p = wrms(nz, err.data(), scale.data());
       }
       auto fac = [](double e, int qq) {
         if (!std::isfinite(e)) return 0.0;
@@ -2382,6 +2375,50 @@ int cvbdf_sens_solve(int n, int nq, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdp_fn,
                                  sens0, params, n_t, tvals, rtol, atol,
                                  atol_sens, max_steps, ys_out, sens_out, &st,
                                  constraints);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// Matrix-free (spgmr) simultaneous sensitivities: the shared Newton block
+// is GMRES with difference-quotient Jv — no factorization, no dense J in
+// the Newton solve (the aug RHS still uses the generated dense j_fn for
+// the J S_k products, which is O(n^2) per eval like any sens RHS).
+int cvbdf_sens_solve_spgmr(int n, int nq, int maxl, rhs_fn f_fn, jac_fn j_fn,
+                           rhs_fn dfdp_fn, double t0, const double* y0,
+                           const double* sens0, const double* params,
+                           int n_t, const double* tvals, double rtol,
+                           const double* atol, double atol_sens,
+                           int64_t max_steps, double* ys_out,
+                           double* sens_out, int64_t* stats_out,
+                           const double* constraints) {
+  Stats st;
+  auto mk = [&]() {
+    BlockDiagLin<GmresLin<rhs_fn>> bl(
+        n, 1 + nq, GmresLin<rhs_fn>(n, f_fn, maxl > 0 ? maxl : 5));
+    bl.inner.rhs_counter = &st.n_rhs_evals;
+    return bl;
+  };
+  int rc = bdf_sens_solve_common(n, nq, f_fn, j_fn, dfdp_fn, mk, t0, y0,
+                                 sens0, params, n_t, tvals, rtol, atol,
+                                 atol_sens, max_steps, ys_out, sens_out, &st,
+                                 constraints);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+int cvbdf_sens_staggered_solve_spgmr(
+    int n, int nq, int maxl, rhs_fn f_fn, jac_fn j_fn, rhs_fn dfdp_fn,
+    double t0, const double* y0, const double* sens0, const double* params,
+    int n_t, const double* tvals, double rtol, const double* atol,
+    double atol_sens, int64_t max_steps, double* ys_out, double* sens_out,
+    int64_t* stats_out, const double* constraints) {
+  Stats st;
+  GmresLin<rhs_fn> lin(n, f_fn, maxl > 0 ? maxl : 5);
+  lin.rhs_counter = &st.n_rhs_evals;
+  int rc = bdf_sens_staggered_lin(n, nq, f_fn, j_fn, dfdp_fn, lin, t0, y0,
+                                  sens0, params, n_t, tvals, rtol, atol,
+                                  atol_sens, max_steps, ys_out, sens_out,
+                                  &st, constraints);
   fill_stats(st, stats_out);
   return rc;
 }

@@ -1236,3 +1236,24 @@ def test_native_adams_staggered_sens():
     _, sens2 = s.solve(0.0, tvals, y0)
     np.testing.assert_allclose(np.asarray(sens2), sens_st, rtol=1e-8,
                                atol=1e-12)
+
+
+def test_native_spgmr_sens_matches_dense():
+    """Review fix: solve_sens with linear_solver='spgmr' stays matrix-free
+    in the Newton solve (both sens modes) instead of silently falling
+    through to dense factorization."""
+    prob = _rd_problem()
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(_N_RD) / (_N_RD - 1))
+    tvals = np.array([0.05, 0.2, 0.5, 1.0])
+    pv = {"k": 80.0, "r": 1.5}
+    d = CpuSolver(prob, abstol=1e-10, reltol=1e-8)
+    g = CpuSolver(prob, abstol=1e-10, reltol=1e-8, linear_solver="spgmr")
+    for s in (d, g):
+        s.set_params_dict(pv)
+    _, sens_d = d.solve_sens(0.0, tvals, y0)
+    _, sens_g = g.solve_sens(0.0, tvals, y0)
+    # the DQ Krylov work is accounted in the rhs counter
+    assert g.last_stats["n_rhs_evals"] > g.last_stats["n_newton_iters"]
+    np.testing.assert_allclose(sens_g, sens_d, rtol=1e-4, atol=1e-8)
+    _, sens_gs = g.solve_sens(0.0, tvals, y0, sens_mode="staggered")
+    np.testing.assert_allclose(sens_gs, sens_d, rtol=1e-4, atol=1e-8)
