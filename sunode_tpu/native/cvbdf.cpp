@@ -2,15 +2,30 @@
 //
 // Role in the framework (cf. reference layer L0, the SUNDIALS CVODES C
 // library that sunode links against): self-contained variable-order
-// variable-step integrators — BDF(1-5) with modified-Newton iteration and
-// dense partial-pivot LU (CV_BDF analog), and Adams-Moulton(1-12) PECE
-// with functional iteration (CV_ADAMS analog, no Jacobian) — used as
-//   * the CPU execution path (single solves without an accelerator —
-//     sunode's original deployment mode), driven through compiled-C
-//     right-hand sides generated from sympy (native/codegen.py, the
-//     numba-@cfunc analog), and
-//   * an independent golden oracle for tolerance-matched tests of the JAX
-//     integrator (two implementations of the same math, different stacks).
+// variable-step integrators covering the full reference solver surface —
+//   * BDF(1-5) with modified Newton (CV_BDF analog) over pluggable linear
+//     solvers: dense partial-pivot LU, banded gbtrf/gbtrs (optionally
+//     RCM-permuted — the sparse/KLU role), and matrix-free GMRES with
+//     difference-quotient Jv (SPGMR analog);
+//   * Adams-Moulton(1-12) PECE with functional iteration (CV_ADAMS
+//     analog, no Jacobian);
+//   * forward sensitivities in CV_SIMULTANEOUS (one shared I - cJ
+//     factorization across state and sensitivity blocks) and
+//     CV_STAGGERED (state-gated sensitivity correctors) on both cores;
+//   * adjoint gradient pairs: recorded forward (CVodeF analog, growable
+//     host storage) + backward BDF over CV_HERMITE (cubic, or quintic
+//     gated on h*||J||_inf <= 1) or CV_POLYNOMIAL (barycentric Lagrange)
+//     reconstruction, with the augmented Newton's block-triangular
+//     structure exploited (only the lambda block factors; quadrature rows
+//     eliminate exactly), plus an interval-resolve Adams variant;
+//   * CVodeSetConstraints enforcement and threaded batch executors with
+//     per-lane parameters and NaN-poisoned failed lanes (the native
+//     replacement for the reference's fork-per-chain multiprocessing).
+// Used as the CPU execution path (single solves without an accelerator —
+// sunode's original deployment mode), driven through compiled-C functions
+// generated from sympy (native/codegen.py, the numba-@cfunc analog), and
+// as an independent golden oracle for tolerance-matched tests of the JAX
+// integrator (two implementations of the same math, different stacks).
 //
 // The algorithm matches sunode_tpu/ops/bdf.py (same difference-array
 // formulation, WRMS error control, stale-Jacobian strategy, step/order
