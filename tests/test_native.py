@@ -1257,3 +1257,35 @@ def test_native_spgmr_sens_matches_dense():
     np.testing.assert_allclose(sens_g, sens_d, rtol=1e-4, atol=1e-8)
     _, sens_gs = g.solve_sens(0.0, tvals, y0, sens_mode="staggered")
     np.testing.assert_allclose(sens_gs, sens_d, rtol=1e-4, atol=1e-8)
+
+
+def test_native_clamped_step_stale_jac_regression():
+    """Regression: a t_end-clamped attempt that fails Newton with a stale
+    Jacobian used to re-enter the step loop and rescale the difference
+    array a SECOND time by h_use/h (h was not updated with the D spacing),
+    corrupting the BDF history.  On van der Pol (mu=50) this made the
+    pre-fix core fail outright with repeated-failure status 4 at this
+    exact configuration; the fixed core (h tracks the D spacing) solves it
+    and matches a tight LSODA reference."""
+
+    def vdp(t, y, p):
+        return {"x": y.v, "v": p.mu * (1 - y.x * y.x) * y.v - y.x}
+
+    prob = SympyProblem(
+        params={"mu": ()}, states={"x": (), "v": ()}, rhs_sympy=vdp,
+        derivative_params=[],
+    )
+    t_end = 22.735294117647058
+    s = CpuSolver(prob, abstol=1e-10, reltol=1e-7)
+    s.set_params_dict({"mu": 50.0})
+    out = s.solve(0.0, np.array([t_end]), np.array([2.0, 0.0]))
+    ref = solve_ivp(
+        lambda t, y: [y[1], 50.0 * (1 - y[0] ** 2) * y[1] - y[0]],
+        (0, t_end),
+        [2.0, 0.0],
+        t_eval=[t_end],
+        method="LSODA",
+        rtol=1e-11,
+        atol=1e-12,
+    ).y.T
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-7)
