@@ -147,6 +147,15 @@ class CpuSolver:
             self._jacband_ptr = ctypes.cast(
                 self._plib.sunode_jac_banded, ctypes.c_void_p
             )
+        self._rec_handle: Optional[int] = None
+        self._register_restypes()
+        self._dfdp_ptr = ctypes.cast(self._plib.sunode_dfdp, ctypes.c_void_p)
+        self._dfdt_ptr = ctypes.cast(self._plib.sunode_dfdt, ctypes.c_void_p)
+        self._adj_ptr = ctypes.cast(self._plib.sunode_adj_rhs, ctypes.c_void_p)
+        self._quad_ptr = ctypes.cast(self._plib.sunode_quad_rhs, ctypes.c_void_p)
+
+    def _register_restypes(self) -> None:
+        if self._band is not None:
             self._core.cvbdf_solve_banded.restype = ctypes.c_int
             self._core.cvbdf_solve_banded_batch.restype = None
             self._core.cvbdf_adjoint_solve_banded.restype = ctypes.c_int
@@ -174,12 +183,61 @@ class CpuSolver:
         self._core.cvbdf_record_free.restype = None
         self._core.cvbdf_adjoint_solve_batch.restype = None
         self._core.cvadams_adjoint_solve_batch.restype = None
-        self._rec_handle: Optional[int] = None
         self._core.cvadams_sens_solve.restype = ctypes.c_int
+
+    # --- pickling (reference Solver.__getstate__ analog, solver.py:
+    # 304-324: persist config + params only and rebuild the native state
+    # on unpickle; ctypes handles and the record don't cross processes)
+    def __getstate__(self):
+        state = {
+            k: v
+            for k, v in self.__dict__.items()
+            if not k.startswith(("_core", "_plib", "_rhs_ptr", "_jac"))
+            and k
+            not in (
+                "_dfdp_ptr",
+                "_dfdt_ptr",
+                "_adj_ptr",
+                "_quad_ptr",
+                "_jacband_ptr",
+                "_rec_handle",
+            )
+        }
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._rec_handle = None
+        self._core = ctypes.CDLL(str(native_lib_path()))
+        self._plib = compile_problem_c(
+            self._problem, band=self._band, band_perm=self._perm
+        )
+        self._rhs_ptr = ctypes.cast(self._plib.sunode_rhs, ctypes.c_void_p)
+        self._jac_ptr = ctypes.cast(self._plib.sunode_jac, ctypes.c_void_p)
         self._dfdp_ptr = ctypes.cast(self._plib.sunode_dfdp, ctypes.c_void_p)
         self._dfdt_ptr = ctypes.cast(self._plib.sunode_dfdt, ctypes.c_void_p)
         self._adj_ptr = ctypes.cast(self._plib.sunode_adj_rhs, ctypes.c_void_p)
-        self._quad_ptr = ctypes.cast(self._plib.sunode_quad_rhs, ctypes.c_void_p)
+        self._quad_ptr = ctypes.cast(
+            self._plib.sunode_quad_rhs, ctypes.c_void_p
+        )
+        if self._band is not None:
+            self._jacband_ptr = ctypes.cast(
+                self._plib.sunode_jac_banded, ctypes.c_void_p
+            )
+        self._register_restypes()
+
+    # --- output conversion (Solver.as_xarray parity, solver.py:428-433) --
+    def as_xarray(
+        self, tvals, out, sens_out=None, unstack_state=True, unstack_params=True
+    ):
+        return self._problem.solution_to_xarray(
+            tvals,
+            out,
+            sensitivity=sens_out,
+            params=self._params,
+            unstack_state=unstack_state,
+            unstack_params=unstack_params,
+        )
 
     # --- params ------------------------------------------------------
     def set_params_dict(self, params: Mapping[str, Any]) -> None:

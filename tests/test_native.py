@@ -1289,3 +1289,26 @@ def test_native_clamped_step_stale_jac_regression():
         atol=1e-12,
     ).y.T
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-7)
+
+
+def test_native_solver_pickles_and_as_xarray(problem):
+    """CpuSolver pickles by persisting config + params and rebuilding the
+    native state on unpickle (reference Solver.__getstate__ analog,
+    solver.py:304-324), and exposes Solver-parity as_xarray output."""
+    import pickle
+
+    tvals = np.linspace(0.5, 8, 5)
+    y0 = np.array([10.0, 2.0])
+    s = CpuSolver(problem, abstol=1e-10, reltol=1e-10)
+    s.set_params_dict(PARAMS)
+    ys1 = s.solve(0.0, tvals, y0)
+    s2 = pickle.loads(pickle.dumps(s))
+    ys2 = s2.solve(0.0, tvals, y0)
+    np.testing.assert_allclose(ys1, ys2, rtol=1e-14)
+    grads = np.ones((len(tvals), 2))
+    _, lam1, q1 = s.solve_adjoint(0.0, tvals, y0, grads)
+    _, lam2, q2 = s2.solve_adjoint(0.0, tvals, y0, grads)
+    np.testing.assert_allclose(lam1, lam2, rtol=1e-14)
+    np.testing.assert_allclose(q1, q2, rtol=1e-14)
+    ds = s2.as_xarray(tvals, ys2)
+    assert "solution_hares" in repr(ds) or hasattr(ds, "solution_hares")
