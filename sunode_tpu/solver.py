@@ -236,6 +236,19 @@ class Solver(_SolverBase):
                 )
         self._options = options
 
+        if solver == "ADAMS" and sens_mode == "staggered":
+            import warnings
+
+            warnings.warn(
+                "solver='ADAMS' with sens_mode='staggered': unbatched "
+                "solves run genuine CV_STAGGERED natively; BATCHED solves "
+                "use the jitted simultaneous augmented corrector (joint "
+                "error control — a conservative superset of staggered). "
+                "Genuine staggering on the jitted path is BDF-only.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
         self._linear_solver_kwargs = dict(linear_solver_kwargs or {})
         # B=1 host fast path: a single plain BDF solve routes through the
         # native C++ integrator (native/cvbdf.cpp; ~109us for README LV
