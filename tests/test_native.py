@@ -1312,3 +1312,54 @@ def test_native_solver_pickles_and_as_xarray(problem):
     np.testing.assert_allclose(q1, q2, rtol=1e-14)
     ds = s2.as_xarray(tvals, ys2)
     assert "solution_hares" in repr(ds) or hasattr(ds, "solution_hares")
+
+
+@pytest.mark.parametrize("n,l,u", [(8, 1, 1), (7, 2, 0), (9, 1, 2)])
+def test_native_banded_adjoint_linear_exact(n, l, u):
+    """Property check on random LINEAR banded systems y' = A y: the solve
+    and adjoint have closed forms (expm(A T) y0 and expm(A T)^T g), so
+    dense/band/sparse native gradient pairs can be checked against exact
+    values, not just against each other."""
+    from scipy.linalg import expm
+
+    rng = np.random.default_rng(n * 100 + l * 10 + u)
+    A = np.zeros((n, n))
+    for i in range(n):
+        for j in range(max(0, i - l), min(n, i + u + 1)):
+            A[i, j] = rng.standard_normal() * 0.5
+    A -= np.eye(n) * (0.2 + np.abs(A).sum(axis=1).max())  # stable
+
+    def rhs(t, y, p):
+        uv = y.u
+        return {
+            "u": np.array(
+                [
+                    sum(A[i, j] * uv[j] for j in range(n) if A[i, j] != 0.0)
+                    for i in range(n)
+                ],
+                dtype=object,
+            )
+        }
+
+    prob = SympyProblem(
+        params={"dummy": ()}, states={"u": (n,)}, rhs_sympy=rhs,
+        derivative_params=[],
+    )
+    y0 = rng.standard_normal(n)
+    T = 1.3
+    g = rng.standard_normal(n)
+    exact_y = expm(A * T) @ y0
+    exact_lam = expm(A * T).T @ g
+    for kw in (
+        {},
+        dict(
+            linear_solver="band",
+            linear_solver_kwargs=dict(lower_bandwidth=l, upper_bandwidth=u),
+        ),
+        dict(linear_solver="sparse"),
+    ):
+        s = CpuSolver(prob, abstol=1e-12, reltol=1e-10, **kw)
+        s.set_params_dict({"dummy": 0.0})
+        ys, lam0, _ = s.solve_adjoint(0.0, np.array([T]), y0, g[None, :])
+        np.testing.assert_allclose(ys[0], exact_y, rtol=1e-6, atol=1e-10)
+        np.testing.assert_allclose(lam0, exact_lam, rtol=1e-6, atol=1e-10)
