@@ -1228,9 +1228,12 @@ def test_native_adams_staggered_sens():
     fd = (sol(1.0 + eps) - sol(1.0 - eps)) / (2 * eps)
     assert (np.abs(sens_st[:, 0, :] - fd) / (np.abs(fd) + 1e-3)).max() < 1e-3
 
-    s = Solver(
-        prob, abstol=1e-10, reltol=1e-10, solver="ADAMS", sens_mode="staggered"
-    )
+    # the ctor warns that BATCHED solves use the simultaneous corrector
+    with pytest.warns(RuntimeWarning, match="CV_STAGGERED"):
+        s = Solver(
+            prob, abstol=1e-10, reltol=1e-10, solver="ADAMS",
+            sens_mode="staggered",
+        )
     s.set_params_dict({"a": 1.0})
     assert s._native_sens_eligible()
     _, sens2 = s.solve(0.0, tvals, y0)
