@@ -81,6 +81,10 @@ STATUS = {
     "STEP_UNDERFLOW": 2,
     "BAD_INIT": 3,
     "REPEATED_FAILURES": 4,
+    # terminal root found (CV_ROOT_RETURN, 16_cvodes.h:202 return flag):
+    # the solve stopped AT the root; outputs beyond it stay NaN and the
+    # root location lives in stats['roots_t'] / ['roots_found'] / ['roots_y']
+    "ROOT_RETURN": 5,
 }
 
 
@@ -325,6 +329,9 @@ def bdf_solve(
     quad0: Optional[jnp.ndarray] = None,
     first_step: Optional[Any] = None,  # traced override; <=0 -> automatic
     jac_prod: Optional[Callable] = None,  # (t, y, v, p) -> J@v, for spgmr
+    root_fn: Optional[Callable] = None,  # (t, y, p) -> (nrt,) event functions
+    root_cap: int = 8,  # max recorded roots (non-terminal mode)
+    root_terminal: bool = True,  # stop at the first root (CV_ROOT_RETURN)
 ) -> BDFResult:
     """Integrate dy/dt = rhs(t, y, p) from t0, emitting y(tvals).
 
@@ -333,6 +340,22 @@ def bdf_solve(
     quad_rhs: (t, y, p) -> (m,); quad0 required.  Quadratures are integrated
     explicitly (they don't couple back into y).
     tvals must be increasing with tvals[0] >= t0.  Fully jit/vmap-compatible.
+
+    root_fn: (t, y, p) -> (nrt,) enables CVODES-style rootfinding
+    (CVodeRootInit analog, reference include/cvodes/16_cvodes.h:195 — bound
+    there but never exposed by its Python layer).  After each accepted step,
+    every component of g is checked for a sign change over the step and the
+    leftmost root is localized by bisection on the dense output.  With
+    root_terminal=True (default) the solve STOPS at the first root with
+    status ROOT_RETURN: outputs at tvals past the root stay NaN, and
+    stats['roots_t'][0] / ['roots_y'][0] / ['roots_found'][0] carry the root
+    time, state, and per-component crossing directions (+1 rising, -1
+    falling — CVodeGetRootInfo convention).  With root_terminal=False up to
+    root_cap roots are recorded while integration continues.  Components
+    equal to zero at t0 are ignored until they move off zero, and at most
+    one root per accepted step is reported (CVODES's even-crossing caveats
+    apply equally).  BDF core only; under vmap the localization runs as a
+    masked select, so batched event solves pay its cost every step.
 
     Internally the state, sensitivities and quadratures live in ONE combined
     vector z = [y | vec(S) | q] with a single difference array, so the
@@ -542,6 +565,12 @@ def bdf_solve(
     else:
         saved0 = None
 
+    with_roots = root_fn is not None
+    if with_roots:
+        g_init = jnp.asarray(root_fn(t0, y0, params), dtype).reshape(-1)
+        nrt = g_init.shape[0]
+        root_cap = max(int(root_cap), 1)
+
     # h: desired next step size; h_D: spacing the difference arrays currently
     # represent.  Rescaling to h happens lazily at the start of each attempt
     # (exactly one rescale contraction pair per attempt).
@@ -578,6 +607,14 @@ def bdf_solve(
         pm_worst=jnp.asarray(-1, jnp.int32),
         saved=saved0,
     )
+    if with_roots:
+        carry0.update(
+            g_prev=g_init,
+            root_t=jnp.full((root_cap,), jnp.inf, dtype),
+            root_y=jnp.zeros((root_cap, n), dtype),
+            root_dirs=jnp.zeros((root_cap, nrt), jnp.int32),
+            n_roots=jnp.asarray(0, jnp.int32),
+        )
 
     def cond(c):
         return (c["status"] == -1) & (c["i_out"] < n_t)
@@ -862,10 +899,101 @@ def bdf_solve(
         n_equal = jnp.where(accept, c["n_equal"] + 1, 0)
         t_next = jnp.where(accept, t_new, t)
 
+        # ------------------------------------------------------------------
+        # rootfinding (CVodeRootInit analog): on an accepted step, check each
+        # g component for a sign change over [t, t_new] and localize the
+        # leftmost root on the dense output.  cvRootfind uses a secant
+        # variant; 64 fixed halvings of one step reach the same 100*uround
+        # tolerance deterministically, which is the XLA-shaped choice.
+        if with_roots:
+            g_new = jnp.asarray(root_fn(t_new, y_new, params), dtype).reshape(-1)
+            changed = ((c["g_prev"] * g_new) < 0) | (
+                (g_new == 0.0) & (c["g_prev"] != 0.0)
+            )
+            root_hit = accept & jnp.any(changed)
+
+            def _locate(_):
+                def g_at(tt):
+                    yy = _interpolate(D_upd, q, t_new, h_use, tt)[sl_y]
+                    return jnp.asarray(root_fn(tt, yy, params), dtype).reshape(-1)
+
+                def bis(_i, st):
+                    lo, hi, glo = st
+                    mid = 0.5 * (lo + hi)
+                    # row i of the vmap is g(mid_i, .); the diagonal picks
+                    # component i at its own bracket midpoint
+                    gm = jnp.diagonal(jax.vmap(g_at)(mid))
+                    same = glo * gm > 0
+                    return (
+                        jnp.where(same, mid, lo),
+                        jnp.where(same, hi, mid),
+                        jnp.where(same, gm, glo),
+                    )
+
+                lo0 = jnp.full((nrt,), t, dtype)
+                hi0 = jnp.full((nrt,), t_new, dtype)
+                lo, hi, _ = lax.fori_loop(0, 64, bis, (lo0, hi0, c["g_prev"]))
+                t_i = jnp.where(changed, 0.5 * (lo + hi), jnp.inf)
+                tr = jnp.min(t_i)
+                # CVODES ttol: components rooting within 100*uround*(|t|+|h|)
+                # of the leftmost one report together (cvRcheck3 semantics)
+                ttol = (
+                    100.0
+                    * jnp.finfo(dtype).eps
+                    * (jnp.abs(t_new) + jnp.abs(h_use))
+                )
+                here = changed & (t_i <= tr + ttol)
+                # CVodeGetRootInfo sign convention: +1 g increasing through
+                # zero, -1 decreasing (an exact endpoint zero takes the
+                # secant slope's sign)
+                dirs = jnp.where(
+                    here,
+                    jnp.where(
+                        g_new != 0.0,
+                        jnp.sign(g_new),
+                        jnp.sign(g_new - c["g_prev"]),
+                    ).astype(jnp.int32),
+                    0,
+                )
+                y_r = _interpolate(D_upd, q, t_new, h_use, tr)[sl_y]
+                return tr, dirs, y_r
+
+            def _no_root(_):
+                return (
+                    jnp.asarray(jnp.inf, dtype),
+                    jnp.zeros((nrt,), jnp.int32),
+                    jnp.zeros((n,), dtype),
+                )
+
+            t_root, root_dirs_now, y_root = lax.cond(
+                root_hit, _locate, _no_root, None
+            )
+            ridx = jnp.minimum(c["n_roots"], root_cap - 1)
+            root_t_buf = jnp.where(
+                root_hit, c["root_t"].at[ridx].set(t_root), c["root_t"]
+            )
+            root_y_buf = jnp.where(
+                root_hit, c["root_y"].at[ridx].set(y_root), c["root_y"]
+            )
+            root_dirs_buf = jnp.where(
+                root_hit,
+                c["root_dirs"].at[ridx].set(root_dirs_now),
+                c["root_dirs"],
+            )
+            n_roots_new = c["n_roots"] + jnp.where(root_hit, 1, 0)
+            g_prev_new = jnp.where(accept, g_new, c["g_prev"])
+            if root_terminal:
+                # stop emitting past the root; outputs there stay NaN
+                t_stop = jnp.where(root_hit, t_root, jnp.asarray(jnp.inf, dtype))
+            else:
+                t_stop = jnp.asarray(jnp.inf, dtype)
+        else:
+            t_stop = None
+
         # emit outputs for all tvals in (t_old, t_new]   (accept-gated)
         def emit_cond(st):
             i_out = st[0]
-            return (
+            ok = (
                 accept
                 & (i_out < n_t)
                 & (
@@ -873,6 +1001,9 @@ def bdf_solve(
                     <= t_new + 1e-14 * jnp.abs(t_new)
                 )
             )
+            if t_stop is not None:
+                ok = ok & (tvals[jnp.minimum(i_out, n_t - 1)] <= t_stop)
+            return ok
 
         def emit_body(st):
             i_out, zs = st
@@ -1013,13 +1144,17 @@ def bdf_solve(
             status,
         )
         status = jnp.where((status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status)
+        root_ret_now = jnp.asarray(False)
+        if with_roots and root_terminal:
+            root_ret_now = (status == -1) & root_hit
+            status = jnp.where(root_ret_now, STATUS["ROOT_RETURN"], status)
 
         # post-mortem: on the attempt where the status turns fatal, snapshot
         # where the integration died — (t, attempted h, order, worst state).
         # Worst state = largest weighted local-error component on an error
         # rejection, largest weighted Newton correction on a convergence
         # failure (ref symode/problem.py:150-158 error_* analog).
-        fatal_now = (c["status"] == -1) & (status != -1)
+        fatal_now = (c["status"] == -1) & (status != -1) & ~root_ret_now
         e_err = jnp.abs(error_const[q] * d_z[sl_y]) * w_z[sl_y]
         e_newt = jnp.abs(d_corr) * w_z[sl_y]
         worst = jnp.argmax(jnp.where(conv, e_err, e_newt)).astype(jnp.int32)
@@ -1063,6 +1198,14 @@ def bdf_solve(
             pm_worst=pm_worst,
             saved=sv,
         )
+        if with_roots:
+            new_c.update(
+                g_prev=g_prev_new,
+                root_t=root_t_buf,
+                root_y=root_y_buf,
+                root_dirs=root_dirs_buf,
+                n_roots=n_roots_new.astype(jnp.int32),
+            )
         return new_c
 
     final = lax.while_loop(cond, body, carry0)
@@ -1095,6 +1238,13 @@ def bdf_solve(
     )
     if with_sens:
         stats["n_sens_rhs_evals"] = final["nfevS"]
+    if with_roots:
+        # CVodeGetRootInfo analog: per-root times (+inf padding), states at
+        # the roots, and per-component crossing directions
+        stats["n_roots"] = final["n_roots"]
+        stats["roots_t"] = final["root_t"]
+        stats["roots_y"] = final["root_y"]
+        stats["roots_found"] = final["root_dirs"]
     if save_steps > 0:
         from sunode_tpu.ops._recording import finalize_saved_single
 

@@ -1,0 +1,144 @@
+"""CVODES-style rootfinding on the BDF core (CVodeRootInit analog).
+
+The reference binds the rootfinding API (include/cvodes/16_cvodes.h:115,195 —
+``CVRootFn`` / ``CVodeRootInit``) but its Python layer never exposes it; here
+it is a first-class ``bdf_solve(root_fn=...)`` feature: sign-change detection
+at accepted steps + bisection on the dense output, with CV_ROOT_RETURN
+terminal semantics and a CVodeGetRootInfo-style direction report.
+
+The test problem is the harmonic oscillator y'' = -y (as a 2-state system):
+from y = (1, 0) the components are (cos t, -sin t), so every root location,
+crossing direction, and state-at-root has a closed form.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sunode_tpu.ops.bdf import BDFOptions, bdf_solve, STATUS
+
+OPTS = BDFOptions(rtol=1e-10, atol=1e-10)
+
+
+def rhs(t, y, p):
+    return jnp.array([y[1], -y[0]])
+
+
+def jac(t, y, p):
+    return jnp.array([[0.0, 1.0], [-1.0, 0.0]])
+
+
+def solve(y0, tvals, root_fn, **kw):
+    fn = jax.jit(
+        lambda y0_: bdf_solve(
+            rhs, jac, 0.0, y0_, jnp.zeros(1), jnp.asarray(tvals), OPTS,
+            root_fn=root_fn, **kw,
+        )
+    )
+    return fn(jnp.asarray(y0, jnp.float64))
+
+
+def test_terminal_root_stops_at_the_root():
+    # g = y0 = cos t: first root at pi/2, falling (-1)
+    res = solve([1.0, 0.0], np.linspace(0.0, 3.0, 7), lambda t, y, p: y[:1])
+    assert int(res.status) == STATUS["ROOT_RETURN"]
+    assert int(res.stats["n_roots"]) == 1
+    t_root = float(res.stats["roots_t"][0])
+    assert abs(t_root - np.pi / 2) < 1e-9
+    # state AT the root: (cos, -sin)(pi/2) = (0, -1)
+    y_root = np.asarray(res.stats["roots_y"][0])
+    assert abs(y_root[0]) < 1e-9 and abs(y_root[1] + 1.0) < 1e-8
+    assert int(res.stats["roots_found"][0, 0]) == -1
+    # outputs past the root stay NaN; outputs before it are the solution
+    tv = np.linspace(0.0, 3.0, 7)
+    before = tv <= t_root
+    ys = np.asarray(res.ys[:, 0])
+    assert np.allclose(ys[before], np.cos(tv[before]), atol=1e-8)
+    assert np.all(np.isnan(ys[~before]))
+
+
+def test_nonterminal_records_every_root_with_directions():
+    # cos t roots in [0, 10]: pi/2 (falling), 3pi/2 (rising), 5pi/2 (falling)
+    res = solve(
+        [1.0, 0.0], np.linspace(0.0, 10.0, 11), lambda t, y, p: y[:1],
+        root_terminal=False,
+    )
+    assert int(res.status) == STATUS["SUCCESS"]
+    assert int(res.stats["n_roots"]) == 3
+    expect = np.array([np.pi / 2, 3 * np.pi / 2, 5 * np.pi / 2])
+    assert np.allclose(np.asarray(res.stats["roots_t"][:3]), expect, atol=1e-8)
+    assert np.all(np.isinf(np.asarray(res.stats["roots_t"][3:])))
+    assert list(np.asarray(res.stats["roots_found"][:3, 0])) == [-1, 1, -1]
+    # integration continued through the roots: full solution emitted
+    tv = np.linspace(0.0, 10.0, 11)
+    assert np.allclose(np.asarray(res.ys[:, 0]), np.cos(tv), atol=1e-7)
+
+
+def test_no_root_is_a_plain_success():
+    # g = y0 + 2 never crosses zero (|y0| <= 1)
+    res = solve(
+        [1.0, 0.0], np.linspace(0.0, 3.0, 7), lambda t, y, p: y[:1] + 2.0
+    )
+    assert int(res.status) == STATUS["SUCCESS"]
+    assert int(res.stats["n_roots"]) == 0
+    assert np.all(np.isinf(np.asarray(res.stats["roots_t"])))
+    assert np.allclose(
+        np.asarray(res.ys[:, 0]), np.cos(np.linspace(0.0, 3.0, 7)), atol=1e-8
+    )
+
+
+def test_multicomponent_reports_only_the_leftmost():
+    # g = (y0, y1) = (cos t, -sin t): cos crosses first at pi/2; the sin
+    # component (root at pi) must report 0 in the direction vector
+    res = solve([1.0, 0.0], np.linspace(0.0, 4.0, 9), lambda t, y, p: y)
+    assert int(res.status) == STATUS["ROOT_RETURN"]
+    assert abs(float(res.stats["roots_t"][0]) - np.pi / 2) < 1e-9
+    dirs = np.asarray(res.stats["roots_found"][0])
+    assert dirs[0] == -1 and dirs[1] == 0
+
+
+def test_component_zero_at_t0_is_ignored_until_it_moves_off_zero():
+    # g = y1 = -sin t is exactly 0 at t0; CVODES ignores such components
+    # until they leave zero — first reported root is t = pi (rising: -sin
+    # goes negative -> positive)
+    res = solve([1.0, 0.0], np.linspace(0.0, 4.0, 9), lambda t, y, p: y[1:])
+    assert int(res.status) == STATUS["ROOT_RETURN"]
+    assert abs(float(res.stats["roots_t"][0]) - np.pi) < 1e-8
+    assert int(res.stats["roots_found"][0, 0]) == 1
+
+
+def test_vmap_per_lane_roots():
+    # three phases of the oscillator: y0 = (1,0) roots at pi/2; (0.5, 0.5)
+    # has y0(t) = 0.5 cos t + 0.5 sin t, first zero at 3pi/4; (-1, 0) first
+    # zero of -cos t at pi/2 rising
+    tvals = jnp.linspace(0.0, 3.0, 4)
+    fn = jax.jit(
+        jax.vmap(
+            lambda y0: bdf_solve(
+                rhs, jac, 0.0, y0, jnp.zeros(1), tvals, OPTS,
+                root_fn=lambda t, y, p: y[:1],
+            )
+        )
+    )
+    res = fn(jnp.array([[1.0, 0.0], [0.5, 0.5], [-1.0, 0.0]]))
+    assert [int(s) for s in res.status] == [STATUS["ROOT_RETURN"]] * 3
+    expect = np.array([np.pi / 2, 3 * np.pi / 4, np.pi / 2])
+    assert np.allclose(np.asarray(res.stats["roots_t"][:, 0]), expect, atol=1e-8)
+    assert list(np.asarray(res.stats["roots_found"][:, 0, 0])) == [-1, -1, 1]
+
+
+def test_param_dependent_threshold_event():
+    # event on a parameter-dependent level: g = y0 - p0 with p0 = 0.25;
+    # cos t = 0.25 at t = arccos(0.25)
+    def g(t, y, p):
+        return y[:1] - p[0]
+
+    fn = jax.jit(
+        lambda y0, p: bdf_solve(
+            rhs, jac, 0.0, y0, p, jnp.linspace(0.0, 3.0, 7), OPTS, root_fn=g
+        )
+    )
+    res = fn(jnp.array([1.0, 0.0]), jnp.array([0.25]))
+    assert int(res.status) == STATUS["ROOT_RETURN"]
+    assert abs(float(res.stats["roots_t"][0]) - np.arccos(0.25)) < 1e-9
