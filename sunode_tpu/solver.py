@@ -21,7 +21,7 @@ Differences by design:
 
 from __future__ import annotations
 
-from typing import Any, Mapping, Optional
+from typing import Any, Callable, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,7 @@ _STATUS_MESSAGES = {
     2: "step size underflow (CV_TOO_CLOSE/CV_CONV_FAILURE analog)",
     3: "non-finite initial condition",
     4: "repeated error-test or Newton failures",
+    5: "terminal root found (CV_ROOT_RETURN — success; see stats['roots_t'])",
     97: "transition adjoint ill-conditioned (residual check failed)",
     99: "adjoint checkpoint buffer overflow",
 }
@@ -169,10 +170,26 @@ class Solver(_SolverBase):
         max_retries: int = 5,
         options: Optional[BDFOptions] = None,
         native_single: bool = True,
+        roots: Optional[Callable] = None,
+        root_cap: int = 8,
+        root_terminal: bool = True,
     ):
         # reference defaults: abstol=1e-10, reltol=1e-10 (solver.py:242-254)
         if solver not in ("BDF", "ADAMS"):
             raise ValueError("solver must be 'BDF' or 'ADAMS'")
+        # events / rootfinding (CVodeRootInit analog; ops/bdf.py root_fn):
+        # a SympyProblem lowers a symbolic (t, states, params) callable,
+        # any other problem passes a flat JAX (t, y, p) -> (nrt,) directly
+        if roots is not None and solver != "BDF":
+            raise ValueError("roots requires solver='BDF' (BDF core only)")
+        self._roots_src = roots  # original callable (re-lowered on unpickle)
+        self._root_fn = (
+            problem.make_root_fn(roots)
+            if roots is not None and hasattr(problem, "make_root_fn")
+            else roots
+        )
+        self._root_cap = int(root_cap)
+        self._root_terminal = bool(root_terminal)
         if sens_mode not in (None, "simultaneous", "staggered"):
             if sens_mode == "staggered1":
                 raise ValueError("staggered1 not implemented.")
@@ -346,6 +363,7 @@ class Solver(_SolverBase):
             "_jit_cache",
             "last_stats",
             "_native_solver",
+            "_root_fn",
         ):
             state.pop(key, None)
         return state
@@ -353,6 +371,12 @@ class Solver(_SolverBase):
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._init_derived()
+        roots = getattr(self, "_roots_src", None)
+        self._root_fn = (
+            self._problem.make_root_fn(roots)
+            if roots is not None and hasattr(self._problem, "make_root_fn")
+            else roots
+        )
         self._jit_cache = {}
         self.last_stats = None
 
@@ -438,6 +462,7 @@ class Solver(_SolverBase):
             self._native_single_enabled
             and self._solver_kind in ("BDF", "ADAMS")
             and not self._compute_sens
+            and self._root_fn is None
             and ls_ok
             and o.first_step is None
             and (self._solver_kind == "ADAMS" or o.max_order == MAX_ORDER)
@@ -461,6 +486,7 @@ class Solver(_SolverBase):
             self._native_single_enabled
             and self._solver_kind in ("ADAMS", "BDF")
             and self._compute_sens
+            and self._root_fn is None
             and self._sens_mode in ("simultaneous", "staggered")
             and o.sens_pbar is None
             and ls_ok
@@ -535,7 +561,22 @@ class Solver(_SolverBase):
             # CV_STAGGERED runs batch-native too: per-lane state-error gating
             # of the sens corrector, with a real cond skipping the sens RHS
             # when every lane's state failed.
-            use_batch_native = batched and opts.linear_solver == "dense"
+            # rootfinding lives on the single-lane BDF core: with roots on,
+            # batched solves fall through to vmap(bdf_solve) below
+            use_batch_native = (
+                batched
+                and opts.linear_solver == "dense"
+                and self._root_fn is None
+            )
+            root_kw = (
+                dict(
+                    root_fn=self._root_fn,
+                    root_cap=self._root_cap,
+                    root_terminal=self._root_terminal,
+                )
+                if self._root_fn is not None
+                else {}
+            )
             if use_batch_native:
                 from sunode_tpu.ops.adams_batched import adams_solve_batched
                 from sunode_tpu.ops.bdf_batched import bdf_solve_batched
@@ -599,12 +640,12 @@ class Solver(_SolverBase):
                     res = bdf_solve(
                         rhs, jac, t0, y0, params, tvals, o,
                         sens_rhs=sens_rhs, S0=sens0, jac_prod=jac_prod,
-                        first_step=first_step,
+                        first_step=first_step, **root_kw,
                     )
                     return res.ys, res.sens, res.status, res.stats
                 res = bdf_solve(
                     rhs, jac, t0, y0, params, tvals, o, jac_prod=jac_prod,
-                    first_step=first_step,
+                    first_step=first_step, **root_kw,
                 )
                 return res.ys, None, res.status, res.stats
 
@@ -792,7 +833,13 @@ class Solver(_SolverBase):
             sens = np.asarray(sens)
             if sens_out is not None:
                 sens_out[...] = sens
-        self._check_status(status)
+        status_f = np.asarray(status)
+        if self._root_fn is not None:
+            # CV_ROOT_RETURN (5) is a successful early return, not a failure:
+            # the root location is in last_stats['roots_t'/'roots_y'/
+            # 'roots_found'] and outputs past the root are NaN by contract
+            status_f = np.where(status_f == 5, 0, status_f)
+        self._check_status(status_f)
         if y_out is None:
             return (ys, sens) if self._compute_sens else ys
         return y_out

@@ -235,6 +235,37 @@ class SympyProblem(problem_mod.Problem):
         """Generated df/dp_subset, shape (n_states, n_deriv)."""
         return self._lower("dfdp", ["_t", "_y", "_p"], self._sym_dydp)
 
+    def make_root_fn(self, roots_sympy: Callable) -> Callable:
+        """Lower symbolic event functions to a JAX ``(t, y, p) -> (nrt,)``.
+
+        ``roots_sympy`` is called once with the same ``(t, states, params)``
+        symbol records as ``rhs_sympy`` and must return a sympy expression
+        or a list/tuple of them; zero crossings of each component become
+        events for ``bdf_solve(root_fn=...)`` / ``Solver(roots=...)``
+        (CVodeRootInit analog — the reference declares the API,
+        include/cvodes/16_cvodes.h:195, but never exposes it)."""
+        state_rec = self.states.record(
+            lambda path, shape: _symbol_leaf(
+                "__y_", self.states.slices[path].start, shape
+            )
+        )
+        param_rec = self.params.record(
+            lambda path, shape: _symbol_leaf(
+                "__p_", self.params.slices[path].start, shape
+            )
+        )
+        exprs = roots_sympy(self._sym_time, state_rec, param_rec)
+        if not isinstance(exprs, (list, tuple)):
+            exprs = [exprs]
+        vec = np.array([sy.sympify(e) for e in exprs], dtype=object)
+        if self._simplify_elem is not None:
+            vec = np.array(
+                [self._simplify_elem(e) for e in vec], dtype=object
+            )
+        # not routed through _fn_cache: distinct roots_sympy callables would
+        # collide on any static key
+        return lambdify_jax(["_t", "_y", "_p"], vec, self._varmap, name="roots")
+
     def make_adjoint_rhs(self, *, debug: bool = False) -> Callable:
         """Generated -lam^T J (reference symode/problem.py:284-311)."""
         fn = self._lower("adjoint_rhs", ["_t", "_y", "_lam", "_p"], self._sym_dlamdadt)

@@ -128,6 +128,83 @@ def test_vmap_per_lane_roots():
     assert list(np.asarray(res.stats["roots_found"][:, 0, 0])) == [-1, -1, 1]
 
 
+def _lv_rhs(t, y, p):
+    return {
+        "hares": p.alpha * y.hares - p.beta * y.lynx * y.hares,
+        "lynx": p.delta * y.hares * y.lynx - p.gamma * y.lynx,
+    }
+
+
+def _hares_cross_9(t, y, p):
+    return [y.hares - 9.0]
+
+
+_LV_PARAMS = {"alpha": 1.0, "beta": 0.1, "gamma": 1.0, "delta": 0.075}
+
+
+def _lv_solver(**kw):
+    from sunode_tpu.symode import SympyProblem
+    from sunode_tpu.solver import Solver
+
+    prob = SympyProblem(
+        params={k: () for k in _LV_PARAMS},
+        states={"hares": (), "lynx": ()},
+        rhs_sympy=_lv_rhs,
+        derivative_params=[("alpha",), ("beta",)],
+    )
+    s = Solver(prob, roots=_hares_cross_9, **kw)
+    s.set_params_dict(_LV_PARAMS)
+    return s
+
+
+def test_class_api_symbolic_event():
+    # Solver(roots=...) lowers the symbolic event through SympyProblem and
+    # reports CV_ROOT_RETURN data in last_stats; the solve itself succeeds
+    solver = _lv_solver()
+    tvals = np.linspace(0.0, 10.0, 21)
+    ys = solver.solve(0.0, tvals, {"hares": 10.0, "lynx": 5.0})
+    st = solver.last_stats
+    t_root = float(st["roots_t"][0])
+    assert np.isfinite(t_root) and 0.0 < t_root < 10.0
+    # state AT the root sits exactly on the threshold
+    assert abs(float(st["roots_y"][0][0]) - 9.0) < 1e-7
+    # hares start above 9, so the first crossing is falling
+    assert int(st["roots_found"][0, 0]) == -1
+    # outputs past the root are NaN, before it finite
+    ys0 = np.asarray(ys[:, 0])
+    assert np.all(np.isfinite(ys0[tvals <= t_root]))
+    assert np.all(np.isnan(ys0[tvals > t_root]))
+
+
+def test_class_api_batched_and_pickled_events():
+    import pickle
+
+    solver = _lv_solver()
+    tvals = np.linspace(0.0, 10.0, 11)
+    y0b = np.array([[10.0, 5.0], [12.0, 5.0], [10.0, 4.0]])
+    solver.solve(0.0, tvals, y0b)
+    roots_b = np.asarray(solver.last_stats["roots_t"][:, 0])
+    assert np.all(np.isfinite(roots_b)) and len(set(roots_b.round(6))) == 3
+    # pickling re-lowers the symbolic root function (module-level callables
+    # only — the same contract as rhs_sympy)
+    s2 = pickle.loads(pickle.dumps(solver))
+    s2.set_params_dict(_LV_PARAMS)
+    s2.solve(0.0, tvals, {"hares": 10.0, "lynx": 5.0})
+    solver.solve(0.0, tvals, {"hares": 10.0, "lynx": 5.0})
+    assert (
+        abs(
+            float(s2.last_stats["roots_t"][0])
+            - float(solver.last_stats["roots_t"][0])
+        )
+        < 1e-12
+    )
+
+
+def test_class_api_roots_require_bdf():
+    with pytest.raises(ValueError, match="BDF core only"):
+        _lv_solver(solver="ADAMS")
+
+
 def test_param_dependent_threshold_event():
     # event on a parameter-dependent level: g = y0 - p0 with p0 = 0.25;
     # cos t = 0.25 at t = arccos(0.25)
