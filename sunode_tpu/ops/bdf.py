@@ -332,6 +332,7 @@ def bdf_solve(
     root_fn: Optional[Callable] = None,  # (t, y, p) -> (nrt,) event functions
     root_cap: int = 8,  # max recorded roots (non-terminal mode)
     root_terminal: bool = True,  # stop at the first root (CV_ROOT_RETURN)
+    root_directions: Optional[Any] = None,  # per-component: 0 both, +1/-1 only
 ) -> BDFResult:
     """Integrate dy/dt = rhs(t, y, p) from t0, emitting y(tvals).
 
@@ -354,8 +355,11 @@ def bdf_solve(
     root_cap roots are recorded while integration continues.  Components
     equal to zero at t0 are ignored until they move off zero, and at most
     one root per accepted step is reported (CVODES's even-crossing caveats
-    apply equally).  BDF core only; under vmap the localization runs as a
-    masked select, so batched event solves pay its cost every step.
+    apply equally).  root_directions (CVodeSetRootDirection analog,
+    16_cvodes.h optional-input block) filters per component: 0 reports both
+    crossings, +1 only rising, -1 only falling.  BDF core only; under vmap
+    the localization runs as a masked select, so batched event solves pay
+    its cost every step.
 
     Internally the state, sensitivities and quadratures live in ONE combined
     vector z = [y | vec(S) | q] with a single difference array, so the
@@ -570,6 +574,10 @@ def bdf_solve(
         g_init = jnp.asarray(root_fn(t0, y0, params), dtype).reshape(-1)
         nrt = g_init.shape[0]
         root_cap = max(int(root_cap), 1)
+        if root_directions is not None:
+            rdir = jnp.asarray(np.asarray(root_directions), jnp.int32).reshape(-1)
+        else:
+            rdir = jnp.zeros((nrt,), jnp.int32)
 
     # h: desired next step size; h_D: spacing the difference arrays currently
     # represent.  Rescaling to h happens lazily at the start of each attempt
@@ -910,6 +918,10 @@ def bdf_solve(
             changed = ((c["g_prev"] * g_new) < 0) | (
                 (g_new == 0.0) & (c["g_prev"] != 0.0)
             )
+            # CVodeSetRootDirection filter: the crossing direction over the
+            # step is sign(g_new - g_prev) (monotone across a sign change)
+            cross_dir = jnp.sign(g_new - c["g_prev"]).astype(jnp.int32)
+            changed = changed & ((rdir == 0) | (rdir == cross_dir))
             root_hit = accept & jnp.any(changed)
 
             def _locate(_):

@@ -173,6 +173,7 @@ class Solver(_SolverBase):
         roots: Optional[Callable] = None,
         root_cap: int = 8,
         root_terminal: bool = True,
+        root_directions: Optional[Any] = None,
     ):
         # reference defaults: abstol=1e-10, reltol=1e-10 (solver.py:242-254)
         if solver not in ("BDF", "ADAMS"):
@@ -190,6 +191,9 @@ class Solver(_SolverBase):
         )
         self._root_cap = int(root_cap)
         self._root_terminal = bool(root_terminal)
+        self._root_directions = (
+            None if root_directions is None else np.asarray(root_directions)
+        )
         if sens_mode not in (None, "simultaneous", "staggered"):
             if sens_mode == "staggered1":
                 raise ValueError("staggered1 not implemented.")
@@ -573,6 +577,7 @@ class Solver(_SolverBase):
                     root_fn=self._root_fn,
                     root_cap=self._root_cap,
                     root_terminal=self._root_terminal,
+                    root_directions=self._root_directions,
                 )
                 if self._root_fn is not None
                 else {}

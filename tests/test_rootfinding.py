@@ -205,6 +205,18 @@ def test_class_api_roots_require_bdf():
         _lv_solver(solver="ADAMS")
 
 
+def test_root_direction_filter_skips_falling_crossings():
+    # CVodeSetRootDirection analog: +1 keeps only rising crossings of
+    # cos t — the first is at 3pi/2, skipping the falling one at pi/2
+    res = solve(
+        [1.0, 0.0], np.linspace(0.0, 10.0, 11), lambda t, y, p: y[:1],
+        root_directions=[1],
+    )
+    assert int(res.status) == STATUS["ROOT_RETURN"]
+    assert abs(float(res.stats["roots_t"][0]) - 3 * np.pi / 2) < 1e-8
+    assert int(res.stats["roots_found"][0, 0]) == 1
+
+
 def test_param_dependent_threshold_event():
     # event on a parameter-dependent level: g = y0 - p0 with p0 = 0.25;
     # cos t = 0.25 at t = arccos(0.25)
