@@ -289,6 +289,72 @@ def _interpolate(D, q, t_n, h, t_eval):
     return out
 
 
+def _root_scan(root_fn, params, rdir, g_prev, t, t_new, h_use, accept, y_new, y_at, dtype):
+    """Event detection + leftmost-root localization on one step [t, t_new].
+
+    Shared by the BDF and Adams cores (CVodeRootInit analog; cvRootfind's
+    task).  ``y_at(tt)`` evaluates the calling core's dense output at tt.
+    Per-component sign-change detection (direction-filtered by ``rdir``:
+    0 both, +1 rising only, -1 falling only), then 64 fixed bisection
+    halvings per changed component — machine precision, deterministic,
+    XLA-shaped.  Returns (root_hit, t_root, dirs, y_root, g_new)."""
+    g_new = jnp.asarray(root_fn(t_new, y_new, params), dtype).reshape(-1)
+    nrt = g_new.shape[0]
+    changed = ((g_prev * g_new) < 0) | ((g_new == 0.0) & (g_prev != 0.0))
+    # crossing direction over the step: sign(g_new - g_prev) is monotone
+    # across a sign change (CVodeSetRootDirection filter)
+    cross_dir = jnp.sign(g_new - g_prev).astype(jnp.int32)
+    changed = changed & ((rdir == 0) | (rdir == cross_dir))
+    root_hit = accept & jnp.any(changed)
+
+    def _locate(_):
+        def g_at(tt):
+            return jnp.asarray(root_fn(tt, y_at(tt), params), dtype).reshape(-1)
+
+        def bis(_i, st):
+            lo, hi, glo = st
+            mid = 0.5 * (lo + hi)
+            # row i of the vmap is g(mid_i, .); the diagonal picks
+            # component i at its own bracket midpoint
+            gm = jnp.diagonal(jax.vmap(g_at)(mid))
+            same = glo * gm > 0
+            return (
+                jnp.where(same, mid, lo),
+                jnp.where(same, hi, mid),
+                jnp.where(same, gm, glo),
+            )
+
+        lo0 = jnp.full((nrt,), t, dtype)
+        hi0 = jnp.full((nrt,), t_new, dtype)
+        lo, hi, _ = lax.fori_loop(0, 64, bis, (lo0, hi0, g_prev))
+        t_i = jnp.where(changed, 0.5 * (lo + hi), jnp.inf)
+        tr = jnp.min(t_i)
+        # CVODES ttol: components rooting within 100*uround*(|t|+|h|) of
+        # the leftmost one report together (cvRcheck3 semantics)
+        ttol = 100.0 * jnp.finfo(dtype).eps * (jnp.abs(t_new) + jnp.abs(h_use))
+        here = changed & (t_i <= tr + ttol)
+        # CVodeGetRootInfo sign convention: +1 g increasing through zero,
+        # -1 decreasing (an exact endpoint zero takes the secant slope's sign)
+        dirs = jnp.where(
+            here,
+            jnp.where(
+                g_new != 0.0, jnp.sign(g_new), jnp.sign(g_new - g_prev)
+            ).astype(jnp.int32),
+            0,
+        )
+        return tr, dirs, y_at(tr)
+
+    def _no_root(_):
+        return (
+            jnp.asarray(jnp.inf, dtype),
+            jnp.zeros((nrt,), jnp.int32),
+            jnp.zeros_like(y_new),
+        )
+
+    t_root, dirs, y_root = lax.cond(root_hit, _locate, _no_root, None)
+    return root_hit, t_root, dirs, y_root, g_new
+
+
 def _initial_step(rhs, t0, y0, f0, p, t_end, rtol, atol, max_step, dtype):
     """Hairer-Wanner automatic initial step size (order-1 estimate)."""
     scale = atol + rtol * jnp.abs(y0)
