@@ -289,15 +289,18 @@ def _interpolate(D, q, t_n, h, t_eval):
     return out
 
 
-def _root_scan(root_fn, params, rdir, g_prev, t, t_new, h_use, accept, y_new, y_at, dtype):
+def _root_scan(root_fn, params, rdir, g_prev, t, t_new, h_use, y_new, y_at, dtype):
     """Event detection + leftmost-root localization on one step [t, t_new].
 
     Shared by the BDF and Adams cores (CVodeRootInit analog; cvRootfind's
     task).  ``y_at(tt)`` evaluates the calling core's dense output at tt.
     Per-component sign-change detection (direction-filtered by ``rdir``:
-    0 both, +1 rising only, -1 falling only), then 64 fixed bisection
-    halvings per changed component — machine precision, deterministic,
-    XLA-shaped.  Returns (root_hit, t_root, dirs, y_root, g_new)."""
+    0 both, +1 rising only, -1 falling only), then 64 halvings of a SINGLE
+    scalar bracket that tracks the leftmost sign change of any watched
+    component — one full-vector g eval per halving, like cvRootfind's one
+    scalar sequence, instead of nrt per-component sequences.  Machine
+    precision, deterministic, XLA-shaped.  The caller gates the whole scan
+    on step acceptance.  Returns (root_hit, t_root, dirs, y_root, g_new)."""
     g_new = jnp.asarray(root_fn(t_new, y_new, params), dtype).reshape(-1)
     nrt = g_new.shape[0]
     changed = ((g_prev * g_new) < 0) | ((g_new == 0.0) & (g_prev != 0.0))
@@ -305,7 +308,7 @@ def _root_scan(root_fn, params, rdir, g_prev, t, t_new, h_use, accept, y_new, y_
     # across a sign change (CVodeSetRootDirection filter)
     cross_dir = jnp.sign(g_new - g_prev).astype(jnp.int32)
     changed = changed & ((rdir == 0) | (rdir == cross_dir))
-    root_hit = accept & jnp.any(changed)
+    root_hit = jnp.any(changed)
 
     def _locate(_):
         def g_at(tt):
@@ -314,31 +317,32 @@ def _root_scan(root_fn, params, rdir, g_prev, t, t_new, h_use, accept, y_new, y_
         def bis(_i, st):
             lo, hi, glo = st
             mid = 0.5 * (lo + hi)
-            # row i of the vmap is g(mid_i, .); the diagonal picks
-            # component i at its own bracket midpoint
-            gm = jnp.diagonal(jax.vmap(g_at)(mid))
-            same = glo * gm > 0
+            gm = g_at(mid)
+            # does any watched component change sign inside [lo, mid]?
+            in_left = jnp.any(
+                changed & ((glo * gm < 0) | ((gm == 0.0) & (glo != 0.0)))
+            )
             return (
-                jnp.where(same, mid, lo),
-                jnp.where(same, hi, mid),
-                jnp.where(same, gm, glo),
+                jnp.where(in_left, lo, mid),
+                jnp.where(in_left, mid, hi),
+                jnp.where(in_left, glo, gm),
             )
 
-        lo0 = jnp.full((nrt,), t, dtype)
-        hi0 = jnp.full((nrt,), t_new, dtype)
-        lo, hi, _ = lax.fori_loop(0, 64, bis, (lo0, hi0, g_prev))
-        t_i = jnp.where(changed, 0.5 * (lo + hi), jnp.inf)
-        tr = jnp.min(t_i)
+        lo, hi, _ = lax.fori_loop(0, 64, bis, (t, t_new, g_prev))
+        tr = 0.5 * (lo + hi)
         # CVODES ttol: components rooting within 100*uround*(|t|+|h|) of
-        # the leftmost one report together (cvRcheck3 semantics)
+        # the leftmost one report together (cvRcheck3 semantics) — detected
+        # by a sign change of g over [t, tr + ttol]
         ttol = 100.0 * jnp.finfo(dtype).eps * (jnp.abs(t_new) + jnp.abs(h_use))
-        here = changed & (t_i <= tr + ttol)
+        g_up = g_at(jnp.minimum(tr + ttol, t_new))
+        here = changed & (g_prev * g_up <= 0)
         # CVodeGetRootInfo sign convention: +1 g increasing through zero,
-        # -1 decreasing (an exact endpoint zero takes the secant slope's sign)
+        # -1 decreasing (an exact zero just past the root takes the secant
+        # slope's sign)
         dirs = jnp.where(
             here,
             jnp.where(
-                g_new != 0.0, jnp.sign(g_new), jnp.sign(g_new - g_prev)
+                g_up != 0.0, jnp.sign(g_up), jnp.sign(g_new - g_prev)
             ).astype(jnp.int32),
             0,
         )
@@ -418,7 +422,9 @@ def bdf_solve(
     stats['roots_t'][0] / ['roots_y'][0] / ['roots_found'][0] carry the root
     time, state, and per-component crossing directions (+1 rising, -1
     falling — CVodeGetRootInfo convention).  With root_terminal=False up to
-    root_cap roots are recorded while integration continues.  Components
+    root_cap roots are recorded while integration continues; the buffers
+    hold the FIRST root_cap roots and stats['n_roots'] keeps counting, so
+    n_roots > root_cap signals truncation.  Components
     equal to zero at t0 are ignored until they move off zero, and at most
     one root per accepted step is reported (CVODES's even-crossing caveats
     apply equally).  root_directions (CVodeSetRootDirection analog,
@@ -641,7 +647,22 @@ def bdf_solve(
         nrt = g_init.shape[0]
         root_cap = max(int(root_cap), 1)
         if root_directions is not None:
-            rdir = jnp.asarray(np.asarray(root_directions), jnp.int32).reshape(-1)
+            rdir_np = np.asarray(root_directions, np.int32).reshape(-1)
+            # validate eagerly (CVodeSetRootDirection rejects bad input the
+            # same way) — a mismatch would otherwise surface as an opaque
+            # broadcast error deep inside the step body
+            if rdir_np.shape != (nrt,):
+                raise ValueError(
+                    f"root_directions must have one entry per root_fn "
+                    f"component: expected shape ({nrt},), got {rdir_np.shape}"
+                )
+            if not np.all(np.isin(rdir_np, (-1, 0, 1))):
+                raise ValueError(
+                    "root_directions entries must be -1 (falling only), 0 "
+                    "(both) or +1 (rising only); got "
+                    f"{rdir_np[~np.isin(rdir_np, (-1, 0, 1))][:5]}"
+                )
+            rdir = jnp.asarray(rdir_np)
         else:
             rdir = jnp.zeros((nrt,), jnp.int32)
 
@@ -980,81 +1001,49 @@ def bdf_solve(
         # variant; 64 fixed halvings of one step reach the same 100*uround
         # tolerance deterministically, which is the XLA-shaped choice.
         if with_roots:
-            g_new = jnp.asarray(root_fn(t_new, y_new, params), dtype).reshape(-1)
-            changed = ((c["g_prev"] * g_new) < 0) | (
-                (g_new == 0.0) & (c["g_prev"] != 0.0)
-            )
-            # CVodeSetRootDirection filter: the crossing direction over the
-            # step is sign(g_new - g_prev) (monotone across a sign change)
-            cross_dir = jnp.sign(g_new - c["g_prev"]).astype(jnp.int32)
-            changed = changed & ((rdir == 0) | (rdir == cross_dir))
-            root_hit = accept & jnp.any(changed)
-
-            def _locate(_):
-                def g_at(tt):
-                    yy = _interpolate(D_upd, q, t_new, h_use, tt)[sl_y]
-                    return jnp.asarray(root_fn(tt, yy, params), dtype).reshape(-1)
-
-                def bis(_i, st):
-                    lo, hi, glo = st
-                    mid = 0.5 * (lo + hi)
-                    # row i of the vmap is g(mid_i, .); the diagonal picks
-                    # component i at its own bracket midpoint
-                    gm = jnp.diagonal(jax.vmap(g_at)(mid))
-                    same = glo * gm > 0
-                    return (
-                        jnp.where(same, mid, lo),
-                        jnp.where(same, hi, mid),
-                        jnp.where(same, gm, glo),
-                    )
-
-                lo0 = jnp.full((nrt,), t, dtype)
-                hi0 = jnp.full((nrt,), t_new, dtype)
-                lo, hi, _ = lax.fori_loop(0, 64, bis, (lo0, hi0, c["g_prev"]))
-                t_i = jnp.where(changed, 0.5 * (lo + hi), jnp.inf)
-                tr = jnp.min(t_i)
-                # CVODES ttol: components rooting within 100*uround*(|t|+|h|)
-                # of the leftmost one report together (cvRcheck3 semantics)
-                ttol = (
-                    100.0
-                    * jnp.finfo(dtype).eps
-                    * (jnp.abs(t_new) + jnp.abs(h_use))
+            # the whole scan (g eval at t_new + localization) runs only on
+            # accepted steps (CVODES evaluates g at accepted steps only);
+            # under vmap the cond lowers to a masked select, so batched
+            # event solves still pay the scan every step — documented.
+            def _scan(_):
+                return _root_scan(
+                    root_fn,
+                    params,
+                    rdir,
+                    c["g_prev"],
+                    t,
+                    t_new,
+                    h_use,
+                    y_new,
+                    lambda tt: _interpolate(D_upd, q, t_new, h_use, tt)[sl_y],
+                    dtype,
                 )
-                here = changed & (t_i <= tr + ttol)
-                # CVodeGetRootInfo sign convention: +1 g increasing through
-                # zero, -1 decreasing (an exact endpoint zero takes the
-                # secant slope's sign)
-                dirs = jnp.where(
-                    here,
-                    jnp.where(
-                        g_new != 0.0,
-                        jnp.sign(g_new),
-                        jnp.sign(g_new - c["g_prev"]),
-                    ).astype(jnp.int32),
-                    0,
-                )
-                y_r = _interpolate(D_upd, q, t_new, h_use, tr)[sl_y]
-                return tr, dirs, y_r
 
-            def _no_root(_):
+            def _skip(_):
                 return (
+                    jnp.asarray(False),
                     jnp.asarray(jnp.inf, dtype),
                     jnp.zeros((nrt,), jnp.int32),
                     jnp.zeros((n,), dtype),
+                    c["g_prev"],
                 )
 
-            t_root, root_dirs_now, y_root = lax.cond(
-                root_hit, _locate, _no_root, None
+            root_hit, t_root, root_dirs_now, y_root, g_new = lax.cond(
+                accept, _scan, _skip, None
             )
+            # record the FIRST root_cap roots; n_roots keeps counting so
+            # stats['n_roots'] > root_cap signals truncation (instead of
+            # silently overwriting the last slot)
+            can_rec = root_hit & (c["n_roots"] < root_cap)
             ridx = jnp.minimum(c["n_roots"], root_cap - 1)
             root_t_buf = jnp.where(
-                root_hit, c["root_t"].at[ridx].set(t_root), c["root_t"]
+                can_rec, c["root_t"].at[ridx].set(t_root), c["root_t"]
             )
             root_y_buf = jnp.where(
-                root_hit, c["root_y"].at[ridx].set(y_root), c["root_y"]
+                can_rec, c["root_y"].at[ridx].set(y_root), c["root_y"]
             )
             root_dirs_buf = jnp.where(
-                root_hit,
+                can_rec,
                 c["root_dirs"].at[ridx].set(root_dirs_now),
                 c["root_dirs"],
             )

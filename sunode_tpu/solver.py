@@ -53,6 +53,39 @@ _STATUS_MESSAGES = {
 }
 
 
+def _merge_root_segments(old, new, resume, batched, cap):
+    """Concatenate segment-2 root records after segment-1's for resuming
+    lanes.  A MAX_STEPS resume restarts the core with fresh root buffers
+    (n_roots=0, roots_t=+inf); without this merge, a non-terminal-root
+    solve that resumed would report only the final segment's roots.
+    CVODES accumulates root reports across CVode() resumes the same way.
+    Buffers hold the FIRST ``cap`` roots; the summed n_roots keeps
+    counting, so n_roots > cap signals truncation."""
+    keys = ("roots_t", "roots_y", "roots_found")
+
+    def lead(x):
+        a = np.asarray(x)
+        return a if batched else a[None]
+
+    rs = lead(resume).astype(bool)
+    o_n = lead(old["n_roots"]).astype(np.int64)
+    n_n = lead(new["n_roots"]).astype(np.int64)
+    bufs = {k: np.array(lead(old[k]), copy=True) for k in keys}
+    base = np.minimum(o_n, cap)
+    for j in range(cap):
+        dst = base + j
+        valid = rs & (j < n_n) & (dst < cap)
+        if not np.any(valid):
+            break
+        idx = np.nonzero(valid)[0]
+        for k in keys:
+            bufs[k][idx, dst[idx]] = lead(new[k])[idx, j]
+    out = {k: (v if batched else v[0]) for k, v in bufs.items()}
+    merged_n = np.where(rs, o_n + n_n, o_n)
+    out["n_roots"] = merged_n if batched else merged_n[0]
+    return out
+
+
 def _make_fd_jac(rhs):
     """Finite-difference Jacobian (linear_solver='dense_finitediff' parity;
     the reference lets CVODES difference-quotient it, solver.py:326-358)."""
@@ -811,9 +844,19 @@ class Solver(_SolverBase):
             status = np.where(resume, np.asarray(status2), status_np)
             # merge per-lane stats: lanes that did NOT resume keep their
             # earlier-segment diagnostics (the rerun is a degenerate no-op
-            # for them — n_steps 0, order/iters reset)
+            # for them — n_steps 0, order/iters reset).  Root buffers merge
+            # by CONCATENATION for resuming lanes (the resumed segment
+            # restarts with fresh buffers), not replacement.
+            root_merged = None
+            if self._root_fn is not None and "roots_t" in stats2:
+                root_merged = _merge_root_segments(
+                    stats, stats2, resume, batched, self._root_cap
+                )
             merged = {}
             for k2, new_v in stats2.items():
+                if root_merged is not None and k2 in root_merged:
+                    merged[k2] = root_merged[k2]
+                    continue
                 new_a = np.asarray(new_v)
                 old_a = np.asarray(stats.get(k2, new_v))
                 if (
