@@ -185,6 +185,59 @@ def bdf_solve_batched(
     dtype = jnp.result_type(y0.dtype, jnp.float32)
     y0 = jnp.asarray(y0, dtype).T  # (n, B)
     n, B = y0.shape
+
+    # ---- structured Newton (batched banded LU / KLU-analog sparse) --------
+    # Lockstep lanes share one static column loop, so the banded LU vmaps
+    # into the same structure-of-arrays shape as everything else here:
+    # factoring B lanes is ONE fori_loop over columns whose body does
+    # (window, B)-shaped fused arithmetic.  This closes the stiff
+    # large-state batched quadrant: Newton cost O(B n w^2) instead of
+    # O(B n^3).  'sparse' additionally routes residuals through the RCM
+    # permutation around the banded LU (see ops/sparsity.py).
+    use_sparse = options.linear_solver == "sparse"
+    use_band = options.linear_solver == "band" or use_sparse
+    if options.linear_solver not in ("dense", "band", "sparse"):
+        raise NotImplementedError(
+            "bdf_solve_batched supports linear_solver 'dense', 'band' or "
+            "'sparse'; matrix-free spgmr batches route through "
+            "vmap(bdf_solve)"
+        )
+    if use_band:
+        from sunode_tpu.ops.banded import banded_factor, banded_solve
+
+        band_l, band_u = int(options.band_lower), int(options.band_upper)
+        if use_sparse and options.sparse_perm is not None:
+            sp_perm = jnp.asarray(np.asarray(options.sparse_perm), jnp.int32)
+            sp_inv = jnp.asarray(
+                np.argsort(np.asarray(options.sparse_perm)), jnp.int32
+            )
+        else:
+            sp_perm = sp_inv = None
+        _bfactor = jax.vmap(
+            lambda ab: banded_factor(ab, band_l, band_u),
+            in_axes=2,
+            out_axes=(2, 1, 0),
+        )
+        _bsolve_raw = jax.vmap(
+            lambda lu, piv, sing, bb: banded_solve(
+                (lu, piv, sing), bb, band_l, band_u
+            ),
+            in_axes=(2, 1, 0, 1),
+            out_axes=1,
+        )
+        if use_sparse and sp_perm is not None:
+            # solve in RCM-permuted space: z = P delta, M_p z = P res
+            def lin_solve_b(factors, res):
+                z = _bsolve_raw(factors[0], factors[1], factors[2], res[sp_perm])
+                return z[sp_inv]
+
+        else:
+
+            def lin_solve_b(factors, res):
+                return _bsolve_raw(factors[0], factors[1], factors[2], res)
+
+    else:
+        lin_solve_b = solve_factored_b
     # t0 may be per-lane (B,) — lanes resuming an interrupted solve restart
     # from their own final_time (resume-in-place, ref solver.py:510-519)
     t0 = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
@@ -339,13 +392,20 @@ def bdf_solve_batched(
     zs0 = jnp.where(emit_mask0[:, None, :], z0[None], zs0)
     i_out0 = jnp.sum(emit_mask0, axis=0).astype(jnp.int32)
 
-    J0 = jac_b(t0_b, y0, params)  # (n, n, B)
+    J0 = jac_b(t0_b, y0, params)  # (n, n, B) dense / (l+u+1, n, B) banded
     eye_b = jnp.eye(n, dtype=dtype)[:, :, None]
-    factors0 = factor_newton_b(jnp.broadcast_to(eye_b, (n, n, B)))
+    if use_band:
+        eye_ab = jnp.zeros((band_l + band_u + 1, n, B), dtype).at[band_u].set(1.0)
+        factors0 = _bfactor(eye_ab)
+    else:
+        factors0 = factor_newton_b(jnp.broadcast_to(eye_b, (n, n, B)))
 
     def _lip_norm_b(J):
-        # per-lane ||J||_inf for the quintic stiffness gate (the batched
-        # core is dense-only); stale Newton J is fine — order-of-magnitude
+        # per-lane Lipschitz scale for the quintic stiffness gate: dense ->
+        # ||J||_inf (row sums), banded storage -> ||J||_1 (column sums, an
+        # equally valid scale); stale Newton J is fine — order-of-magnitude
+        if use_band:
+            return jnp.max(jnp.sum(jnp.abs(J), axis=0), axis=0)  # (B,)
         return jnp.max(jnp.sum(jnp.abs(J), axis=1), axis=0)  # (B,)
 
     if save_steps > 0:
@@ -434,14 +494,22 @@ def bdf_solve_batched(
         need = active & (c["need_factor"] | c_changed)
 
         def do_factor(_):
-            M = eye_b - c_coef[None, None, :] * c["J"]
-            newf = factor_newton_b(M)
+            if use_band:
+                # M = I - c*J directly in banded storage (diagonal = row u)
+                M_ab = (-c_coef)[None, None, :] * c["J"]
+                M_ab = M_ab.at[band_u].add(1.0)
+                newf = _bfactor(M_ab)
+            else:
+                M = eye_b - c_coef[None, None, :] * c["J"]
+                newf = factor_newton_b(M)
+            # per-lane select: every factor leaf is trailing-batch, so the
+            # (B,) mask broadcasts against each leaf's trailing axis
             fsel = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(need, a, b), newf, c["factors"]
             )
             return fsel, jnp.where(need, c_coef, c["c_factored"]), c["nfactor"] + need
 
-        if n <= 4:
+        if n <= 4 and not use_band:
             # tiny systems: "factorizing" is a handful of fused VPU ops —
             # cheaper to do unconditionally than to pay the cond sync
             factors, c_factored, nfactor = do_factor(None)
@@ -468,7 +536,7 @@ def bdf_solve_batched(
             f = rhs_b(t_new, y, params)
             bad_f = ~jnp.all(jnp.isfinite(f), axis=0)
             res = c_coef[None, :] * f - psi_y - d
-            delta = solve_factored_b(factors, res)
+            delta = lin_solve_b(factors, res)
             bad_d = ~jnp.all(jnp.isfinite(delta), axis=0)
             dy_norm = jnp.sqrt(jnp.mean((delta * w_y) ** 2, axis=0))
             rate = dy_norm / dy_old
@@ -518,7 +586,7 @@ def bdf_solve_batched(
             S_pred = z_pred[sl_S].reshape(k_sens, n, B)
             psi_S = psi_z[sl_S].reshape(k_sens, n, B)
             wS = w_z[sl_S].reshape(k_sens, n, B)
-            solve_rows = jax.vmap(solve_factored_b, in_axes=(None, 0))
+            solve_rows = jax.vmap(lin_solve_b, in_axes=(None, 0))
 
             if staggered:
                 # CV_STAGGERED (16_cvodes.h:31-33): the state must converge
@@ -628,7 +696,7 @@ def bdf_solve_batched(
             Jn = jac_b(t_new, y_pred, params)
             return jnp.where(refresh_J[None, None, :], Jn, c["J"])
 
-        if n <= 4:
+        if n <= 4 and not use_band:
             J_new = do_jac(None)  # cheap; avoid the cond sync
         else:
             J_new = lax.cond(jnp.any(refresh_J), do_jac, lambda _: c["J"], None)

@@ -599,10 +599,13 @@ class Solver(_SolverBase):
             # of the sens corrector, with a real cond skipping the sens RHS
             # when every lane's state failed.
             # rootfinding lives on the single-lane BDF core: with roots on,
-            # batched solves fall through to vmap(bdf_solve) below
+            # batched solves fall through to vmap(bdf_solve) below.
+            # 'band'/'sparse' run batch-native too (lockstep lanes share the
+            # static band/coloring plan — ops/bdf_batched.py structured
+            # Newton); only matrix-free spgmr still routes through vmap.
             use_batch_native = (
                 batched
-                and opts.linear_solver == "dense"
+                and opts.linear_solver in ("dense", "band", "sparse")
                 and self._root_fn is None
             )
             root_kw = (

@@ -200,6 +200,8 @@ def make_batched_solve_fn(
     checkpoint_n: int = 1024,
     method: str = "BDF",
     adjoint_interpolation: str = "hermite",
+    linear_solver: str = "dense",
+    linear_solver_kwargs: Optional[dict] = None,
 ) -> Callable:
     """Batch-native differentiable solver (the 10k-chains fast path).
 
@@ -216,6 +218,18 @@ def make_batched_solve_fn(
     'resolve' (backsolve adjoint re-integrating y(t) backward; non-stiff +
     ADAMS only — smooth backward RHS, no checkpoint table; see
     ``adjoint_backward_batched``).
+
+    ``linear_solver``: 'dense' (default), 'band' (banded-storage Jacobian +
+    batched banded-LU Newton — O(B n w^2) instead of O(B n^3);
+    ``linear_solver_kwargs`` must carry 'lower_bandwidth'/'upper_bandwidth'),
+    or 'sparse' (KLU analog: exact structural sparsity -> RCM permutation ->
+    colored-jvp banded Jacobian; pattern from ``problem.jac_sparsity()`` or
+    ``linear_solver_kwargs['sparsity']``).  The backward adjoint system's
+    matrix is -J^T, so its bandwidths/pattern are automatically the
+    transpose's (same treatment as ``AdjointSolver``).  Requires
+    method='BDF'.  This closes the stiff large-state batched quadrant:
+    the reference's KLU/band users (linear_solver_wrapper.py:99-122) get a
+    batch-native fast path instead of falling back to ``vmap``.
     """
     from sunode_tpu.adjoint import adjoint_backward_batched, make_hermite_eval_batched
     from sunode_tpu.ops.adams_batched import adams_solve_batched
@@ -223,11 +237,83 @@ def make_batched_solve_fn(
 
     if method not in ("BDF", "ADAMS"):
         raise ValueError("method must be 'BDF' or 'ADAMS'")
+    if linear_solver not in ("dense", "band", "sparse"):
+        raise ValueError(
+            "make_batched_solve_fn linear_solver must be 'dense', 'band' or "
+            "'sparse'"
+        )
+    if linear_solver != "dense" and method != "BDF":
+        raise ValueError(
+            f"linear_solver={linear_solver!r} requires method='BDF' (ADAMS "
+            "uses functional iteration — no Newton matrices)"
+        )
 
     rhs = problem.make_rhs()
-    jac = problem.make_jac_dense()
     spec = problem.params
     n_deriv = problem.n_params
+
+    if adjoint_options is None:
+        # reference hardcodes 1e-10 backward tolerances (solver.py:599,614)
+        adjoint_options = BDFOptions(rtol=1e-10, atol=1e-10)
+
+    _aj_jac_dense = None
+    if linear_solver == "band":
+        from sunode_tpu.ops.banded import dense_to_banded
+
+        kw = dict(linear_solver_kwargs or {})
+        if "lower_bandwidth" not in kw or "upper_bandwidth" not in kw:
+            raise ValueError(
+                "linear_solver='band' requires linear_solver_kwargs with "
+                "'lower_bandwidth' and 'upper_bandwidth'"
+            )
+        lb, ub = int(kw["lower_bandwidth"]), int(kw["upper_bandwidth"])
+        jac = problem.make_banded_jac(lb, ub)
+        options = options._replace(
+            linear_solver="band", band_lower=lb, band_upper=ub
+        )
+        # backward matrix is -J^T: bandwidths swap
+        _aj_jac_dense = problem.make_adjoint_jac_dense()
+        _adjoint_jac_struct = lambda t, y, lam, p: dense_to_banded(  # noqa: E731
+            _aj_jac_dense(t, y, lam, p), ub, lb
+        )
+        adjoint_options = adjoint_options._replace(
+            linear_solver="band", band_lower=ub, band_upper=lb
+        )
+    elif linear_solver == "sparse":
+        from sunode_tpu.ops.banded import dense_to_banded
+        from sunode_tpu.ops.sparsity import SparsePlan, make_colored_banded_jac
+
+        kw = dict(linear_solver_kwargs or {})
+        pattern = (
+            np.asarray(kw["sparsity"], bool)
+            if "sparsity" in kw
+            else problem.jac_sparsity()
+        )
+        plan_f = SparsePlan(pattern, permute=kw.get("permute", True))
+        jac = make_colored_banded_jac(rhs, plan_f)
+        options = options._replace(
+            linear_solver="sparse",
+            band_lower=plan_f.lower,
+            band_upper=plan_f.upper,
+            sparse_perm=plan_f.perm,
+        )
+        plan_b = SparsePlan(pattern.T, permute=kw.get("permute", True))
+        perm_b = jnp.asarray(plan_b.perm)
+        _aj_jac_dense = problem.make_adjoint_jac_dense()
+
+        def _adjoint_jac_struct(t, y, lam, p):
+            A = _aj_jac_dense(t, y, lam, p)[perm_b][:, perm_b]
+            return dense_to_banded(A, plan_b.lower, plan_b.upper)
+
+        adjoint_options = adjoint_options._replace(
+            linear_solver="sparse",
+            band_lower=plan_b.lower,
+            band_upper=plan_b.upper,
+            sparse_perm=plan_b.perm,
+        )
+    else:
+        jac = problem.make_jac_dense()
+        _adjoint_jac_struct = None
 
     def _forward(t0, y0, p, tvals, opts):
         # named_scope -> profiler/HLO-metadata annotation: the forward and
@@ -236,9 +322,6 @@ def make_batched_solve_fn(
             if method == "ADAMS":
                 return adams_solve_batched(rhs, t0, y0, p, tvals, opts)
             return bdf_solve_batched(rhs, jac, t0, y0, p, tvals, opts)
-
-    if adjoint_options is None:
-        adjoint_options = BDFOptions(rtol=1e-10, atol=1e-10)
 
     def _combine(p_sub, p_fix):
         # p_sub (B, k), p_fix (k2,) shared -> (B, n_p)
@@ -273,7 +356,11 @@ def make_batched_solve_fn(
     resolve = adjoint_interpolation in ("resolve", "transition")
 
     adjoint_rhs = problem.make_adjoint_rhs()
-    adjoint_jac = problem.make_adjoint_jac_dense()
+    adjoint_jac = (
+        _adjoint_jac_struct
+        if _adjoint_jac_struct is not None
+        else problem.make_adjoint_jac_dense()
+    )
     quad_rhs = problem.make_adjoint_quad_rhs()
     dfdp = problem.make_dfdp() if adjoint_interpolation == "transition" else None
     # 'resolve'/'transition' re-integrate y backward: no checkpoint recording
