@@ -41,6 +41,8 @@ from sunode_tpu.ops.bdf import (
     BDFOptions,
     BDFResult,
     _initial_step,
+    _root_scan,
+    _root_setup,
     _wrms,
 )
 
@@ -160,12 +162,21 @@ def adams_solve(
     options: BDFOptions = BDFOptions(),
     *,
     first_step: Optional[Any] = None,
+    root_fn: Optional[Callable] = None,  # (t, y, p) -> (nrt,) event functions
+    root_cap: int = 8,
+    root_terminal: bool = True,
+    root_directions: Optional[Any] = None,
 ) -> BDFResult:
     """Integrate a (non-stiff) ODE with adaptive-order Adams-Moulton.
 
     Same contract as ``bdf_solve`` minus the Jacobian (functional iteration)
     and the sens/quad blocks (use BDF for those paths for now).
-    jit/vmap-compatible."""
+    jit/vmap-compatible.
+
+    root_fn/root_cap/root_terminal/root_directions: CVODES-style
+    rootfinding, identical semantics to ``bdf_solve`` (CVODES rootfinding is
+    LMM-independent, 16_cvodes.h:195-198) — the shared ``_root_scan`` runs
+    on the Adams dense output (exact f-interpolant integral)."""
     dtype = jnp.result_type(y0.dtype, jnp.float32)
     y0 = jnp.asarray(y0, dtype)
     t0 = jnp.asarray(t0, dtype)
@@ -232,6 +243,12 @@ def adams_solve(
     ys0 = jnp.where(emit_mask[:, None], y0[None, :], ys0)
     i_out0 = jnp.sum(emit_mask).astype(jnp.int32)
 
+    with_roots = root_fn is not None
+    if with_roots:
+        g_init, nrt, rdir, root_cap = _root_setup(
+            root_fn, t0, y0, params, dtype, root_cap, root_directions
+        )
+
     carry0 = dict(
         t=t0,
         y=y0,
@@ -256,6 +273,14 @@ def adams_solve(
         pm_worst=jnp.asarray(-1, jnp.int32),
         saved=saved0,
     )
+    if with_roots:
+        carry0.update(
+            g_prev=g_init,
+            root_t=jnp.full((root_cap,), jnp.inf, dtype),
+            root_y=jnp.zeros((root_cap, n), dtype),
+            root_dirs=jnp.zeros((root_cap, nrt), jnp.int32),
+            n_roots=jnp.asarray(0, jnp.int32),
+        )
 
     def cond(c):
         return (c["status"] == -1) & (c["i_out"] < n_t)
@@ -354,14 +379,70 @@ def adams_solve(
         t_next = jnp.where(accept, t_new, t)
         y_next_carry = jnp.where(accept, y_new, y_prev)
 
+        # ---- rootfinding (shared _root_scan; accept-gated g evals) -------
+        if with_roots:
+
+            def _scan(_):
+                return _root_scan(
+                    root_fn,
+                    params,
+                    rdir,
+                    c["g_prev"],
+                    t,
+                    t_new,
+                    h_use,
+                    y_new,
+                    lambda tt: _interp_y(y_new, DF_upd, p, h_use, (tt - t_new) / h_use),
+                    dtype,
+                )
+
+            def _skip(_):
+                return (
+                    jnp.asarray(False),
+                    jnp.asarray(jnp.inf, dtype),
+                    jnp.zeros((nrt,), jnp.int32),
+                    jnp.zeros((n,), dtype),
+                    c["g_prev"],
+                )
+
+            root_hit, t_root, root_dirs_now, y_root, g_new = lax.cond(
+                accept, _scan, _skip, None
+            )
+            # FIRST root_cap roots recorded; n_roots counts past the cap so
+            # stats['n_roots'] > root_cap signals truncation (see bdf.py)
+            can_rec = root_hit & (c["n_roots"] < root_cap)
+            ridx = jnp.minimum(c["n_roots"], root_cap - 1)
+            root_t_buf = jnp.where(
+                can_rec, c["root_t"].at[ridx].set(t_root), c["root_t"]
+            )
+            root_y_buf = jnp.where(
+                can_rec, c["root_y"].at[ridx].set(y_root), c["root_y"]
+            )
+            root_dirs_buf = jnp.where(
+                can_rec,
+                c["root_dirs"].at[ridx].set(root_dirs_now),
+                c["root_dirs"],
+            )
+            n_roots_new = c["n_roots"] + jnp.where(root_hit, 1, 0)
+            g_prev_new = jnp.where(accept, g_new, c["g_prev"])
+            if root_terminal:
+                t_stop = jnp.where(root_hit, t_root, jnp.asarray(jnp.inf, dtype))
+            else:
+                t_stop = jnp.asarray(jnp.inf, dtype)
+        else:
+            t_stop = None
+
         # ---- emission ---------------------------------------------------
         def emit_cond(st):
             i_out = st[0]
-            return (
+            ok = (
                 accept
                 & (i_out < n_t)
                 & (tvals[jnp.minimum(i_out, n_t - 1)] <= t_new + 1e-14 * jnp.abs(t_new))
             )
+            if t_stop is not None:
+                ok = ok & (tvals[jnp.minimum(i_out, n_t - 1)] <= t_stop)
+            return ok
 
         def emit_body(st):
             i_out, ys = st
@@ -464,12 +545,16 @@ def adams_solve(
             (status == -1) & (nsteps >= options.max_steps), STATUS["MAX_STEPS"], status
         )
         status = jnp.where((status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status)
+        root_ret_now = jnp.asarray(False)
+        if with_roots and root_terminal:
+            root_ret_now = (status == -1) & root_hit
+            status = jnp.where(root_ret_now, STATUS["ROOT_RETURN"], status)
 
         # post-mortem: snapshot (t, attempted h, order, worst state) on the
         # attempt where the status turns fatal (ref symode/problem.py:150-158
         # error_* analog).  Worst state = largest weighted LTE component on
         # an error rejection, largest weighted correction otherwise.
-        fatal_now = (c["status"] == -1) & (status != -1)
+        fatal_now = (c["status"] == -1) & (status != -1) & ~root_ret_now
         e_err = jnp.abs(err) * scale_w
         e_newt = jnp.abs(y_new - y_pred) * scale_w
         worst = jnp.argmax(jnp.where(conv, e_err, e_newt)).astype(jnp.int32)
@@ -478,7 +563,19 @@ def adams_solve(
         pm_q = jnp.where(fatal_now, p, c["pm_q"]).astype(jnp.int32)
         pm_worst = jnp.where(fatal_now, worst, c["pm_worst"]).astype(jnp.int32)
 
+        if with_roots:
+            root_updates = dict(
+                g_prev=g_prev_new,
+                root_t=root_t_buf,
+                root_y=root_y_buf,
+                root_dirs=root_dirs_buf,
+                n_roots=n_roots_new.astype(jnp.int32),
+            )
+        else:
+            root_updates = {}
+
         return dict(
+            **root_updates,
             t=t_next,
             y=y_next_carry,
             h=h_next,
@@ -526,6 +623,13 @@ def adams_solve(
         error_order=final["pm_q"],
         error_worst_state=final["pm_worst"],
     )
+    if with_roots:
+        # CVodeGetRootInfo analog (see bdf.py): per-root times (+inf
+        # padding), states at the roots, per-component crossing directions
+        stats["n_roots"] = final["n_roots"]
+        stats["roots_t"] = final["root_t"]
+        stats["roots_y"] = final["root_y"]
+        stats["roots_found"] = final["root_dirs"]
     if save_steps > 0:
         from sunode_tpu.ops._recording import finalize_saved_single
 

@@ -289,6 +289,36 @@ def _interpolate(D, q, t_n, h, t_eval):
     return out
 
 
+def _root_setup(root_fn, t0, y0, params, dtype, root_cap, root_directions):
+    """Evaluate g(t0, y0), validate ``root_directions`` eagerly, and return
+    ``(g_init, nrt, rdir, root_cap)``.  Shared by the BDF and Adams cores
+    (CVodeRootInit + CVodeSetRootDirection input handling) — a mismatch
+    would otherwise surface as an opaque broadcast error in the step body."""
+    g_init = jnp.asarray(root_fn(t0, y0, params), dtype).reshape(-1)
+    nrt = g_init.shape[0]
+    root_cap = max(int(root_cap), 1)
+    return g_init, nrt, _validate_rdir(nrt, root_directions), root_cap
+
+
+def _validate_rdir(nrt, root_directions):
+    """Validate CVodeSetRootDirection-style input; returns (nrt,) int32."""
+    if root_directions is None:
+        return jnp.zeros((nrt,), jnp.int32)
+    rdir_np = np.asarray(root_directions, np.int32).reshape(-1)
+    if rdir_np.shape != (nrt,):
+        raise ValueError(
+            f"root_directions must have one entry per root_fn "
+            f"component: expected shape ({nrt},), got {rdir_np.shape}"
+        )
+    if not np.all(np.isin(rdir_np, (-1, 0, 1))):
+        raise ValueError(
+            "root_directions entries must be -1 (falling only), 0 "
+            "(both) or +1 (rising only); got "
+            f"{rdir_np[~np.isin(rdir_np, (-1, 0, 1))][:5]}"
+        )
+    return jnp.asarray(rdir_np)
+
+
 def _root_scan(root_fn, params, rdir, g_prev, t, t_new, h_use, y_new, y_at, dtype):
     """Event detection + leftmost-root localization on one step [t, t_new].
 
@@ -429,9 +459,9 @@ def bdf_solve(
     one root per accepted step is reported (CVODES's even-crossing caveats
     apply equally).  root_directions (CVodeSetRootDirection analog,
     16_cvodes.h optional-input block) filters per component: 0 reports both
-    crossings, +1 only rising, -1 only falling.  BDF core only; under vmap
-    the localization runs as a masked select, so batched event solves pay
-    its cost every step.
+    crossings, +1 only rising, -1 only falling.  The ADAMS core takes the
+    same kwargs (shared ``_root_scan``); under vmap the localization runs
+    as a masked select, so batched event solves pay its cost every step.
 
     Internally the state, sensitivities and quadratures live in ONE combined
     vector z = [y | vec(S) | q] with a single difference array, so the
@@ -643,28 +673,9 @@ def bdf_solve(
 
     with_roots = root_fn is not None
     if with_roots:
-        g_init = jnp.asarray(root_fn(t0, y0, params), dtype).reshape(-1)
-        nrt = g_init.shape[0]
-        root_cap = max(int(root_cap), 1)
-        if root_directions is not None:
-            rdir_np = np.asarray(root_directions, np.int32).reshape(-1)
-            # validate eagerly (CVodeSetRootDirection rejects bad input the
-            # same way) — a mismatch would otherwise surface as an opaque
-            # broadcast error deep inside the step body
-            if rdir_np.shape != (nrt,):
-                raise ValueError(
-                    f"root_directions must have one entry per root_fn "
-                    f"component: expected shape ({nrt},), got {rdir_np.shape}"
-                )
-            if not np.all(np.isin(rdir_np, (-1, 0, 1))):
-                raise ValueError(
-                    "root_directions entries must be -1 (falling only), 0 "
-                    "(both) or +1 (rising only); got "
-                    f"{rdir_np[~np.isin(rdir_np, (-1, 0, 1))][:5]}"
-                )
-            rdir = jnp.asarray(rdir_np)
-        else:
-            rdir = jnp.zeros((nrt,), jnp.int32)
+        g_init, nrt, rdir, root_cap = _root_setup(
+            root_fn, t0, y0, params, dtype, root_cap, root_directions
+        )
 
     # h: desired next step size; h_D: spacing the difference arrays currently
     # represent.  Rescaling to h happens lazily at the start of each attempt

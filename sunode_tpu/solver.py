@@ -214,8 +214,9 @@ class Solver(_SolverBase):
         # events / rootfinding (CVodeRootInit analog; ops/bdf.py root_fn):
         # a SympyProblem lowers a symbolic (t, states, params) callable,
         # any other problem passes a flat JAX (t, y, p) -> (nrt,) directly
-        if roots is not None and solver != "BDF":
-            raise ValueError("roots requires solver='BDF' (BDF core only)")
+        # CVODES rootfinding is LMM-independent (16_cvodes.h:195-198): both
+        # the BDF and Adams cores run the shared _root_scan on their own
+        # dense output
         self._roots_src = roots  # original callable (re-lowered on unpickle)
         self._root_fn = (
             problem.make_root_fn(roots)
@@ -664,16 +665,30 @@ class Solver(_SolverBase):
                     if self._compute_sens:
                         o = opts_aug._replace(max_steps=max_steps)
                         y0_aug = jnp.concatenate([y0, sens0.reshape(-1)])
+                        # event functions see the state block of the
+                        # augmented vector (CVODES evaluates g on y only)
+                        root_kw_aug = dict(root_kw)
+                        if "root_fn" in root_kw_aug:
+                            rf = root_kw_aug["root_fn"]
+                            root_kw_aug["root_fn"] = (
+                                lambda t, z, p: rf(t, z[:n], p)
+                            )
                         res = adams_solve(
                             rhs_aug, t0, y0_aug, params, tvals, o,
-                            first_step=first_step,
+                            first_step=first_step, **root_kw_aug,
                         )
                         ys = res.ys[:, :n]
                         sens = res.ys[:, n:].reshape(n_t, k, n)
-                        return ys, sens, res.status, res.stats
+                        stats = dict(res.stats)
+                        if "roots_y" in stats:
+                            # report the state block only (CVodeGetRootInfo
+                            # convention), not the augmented sens tail
+                            stats["roots_y"] = stats["roots_y"][:, :n]
+                        return ys, sens, res.status, stats
                     o = opts._replace(max_steps=max_steps)
                     res = adams_solve(
-                        rhs, t0, y0, params, tvals, o, first_step=first_step
+                        rhs, t0, y0, params, tvals, o, first_step=first_step,
+                        **root_kw,
                     )
                     return res.ys, None, res.status, res.stats
                 o = opts._replace(max_steps=max_steps)

@@ -39,6 +39,55 @@ def solve(y0, tvals, root_fn, **kw):
     return fn(jnp.asarray(y0, jnp.float64))
 
 
+def solve_adams(y0, tvals, root_fn, **kw):
+    from sunode_tpu.ops.adams import adams_solve
+
+    fn = jax.jit(
+        lambda y0_: adams_solve(
+            rhs, 0.0, y0_, jnp.zeros(1), jnp.asarray(tvals), OPTS,
+            root_fn=root_fn, **kw,
+        )
+    )
+    return fn(jnp.asarray(y0, jnp.float64))
+
+
+def test_adams_terminal_root_closed_form():
+    # CVODES rootfinding is LMM-independent (16_cvodes.h:195-198): the
+    # Adams core localizes cos t's first root on ITS dense output
+    res = solve_adams([1.0, 0.0], np.linspace(0.0, 3.0, 7), lambda t, y, p: y[:1])
+    assert int(res.status) == STATUS["ROOT_RETURN"]
+    assert int(res.stats["n_roots"]) == 1
+    t_root = float(res.stats["roots_t"][0])
+    assert abs(t_root - np.pi / 2) < 1e-8
+    y_root = np.asarray(res.stats["roots_y"][0])
+    assert abs(y_root[0]) < 1e-8 and abs(y_root[1] + 1.0) < 1e-7
+    assert int(res.stats["roots_found"][0, 0]) == -1
+    tv = np.linspace(0.0, 3.0, 7)
+    ys = np.asarray(res.ys[:, 0])
+    before = tv <= t_root
+    assert np.allclose(ys[before], np.cos(tv[before]), atol=1e-7)
+    assert np.all(np.isnan(ys[~before]))
+
+
+def test_adams_nonterminal_roots_and_direction_filter():
+    res = solve_adams(
+        [1.0, 0.0], np.linspace(0.0, 10.0, 11), lambda t, y, p: y[:1],
+        root_terminal=False,
+    )
+    assert int(res.status) == STATUS["SUCCESS"]
+    assert int(res.stats["n_roots"]) == 3
+    expect = np.array([np.pi / 2, 3 * np.pi / 2, 5 * np.pi / 2])
+    assert np.allclose(np.asarray(res.stats["roots_t"][:3]), expect, atol=1e-7)
+    assert list(np.asarray(res.stats["roots_found"][:3, 0])) == [-1, 1, -1]
+    # direction filter: rising only keeps 3pi/2
+    res_r = solve_adams(
+        [1.0, 0.0], np.linspace(0.0, 10.0, 11), lambda t, y, p: y[:1],
+        root_directions=[1],
+    )
+    assert int(res_r.status) == STATUS["ROOT_RETURN"]
+    assert abs(float(res_r.stats["roots_t"][0]) - 3 * np.pi / 2) < 1e-7
+
+
 def test_terminal_root_stops_at_the_root():
     # g = y0 = cos t: first root at pi/2, falling (-1)
     res = solve([1.0, 0.0], np.linspace(0.0, 3.0, 7), lambda t, y, p: y[:1])
@@ -200,9 +249,23 @@ def test_class_api_batched_and_pickled_events():
     )
 
 
-def test_class_api_roots_require_bdf():
-    with pytest.raises(ValueError, match="BDF core only"):
-        _lv_solver(solver="ADAMS")
+def test_class_api_roots_adams():
+    # CVODES rootfinding is LMM-independent (16_cvodes.h:195-198): the
+    # ADAMS core finds the same root the BDF core does
+    s_adams = _lv_solver(solver="ADAMS")
+    s_bdf = _lv_solver()
+    tvals = np.linspace(0.0, 10.0, 21)
+    y0 = {"hares": 10.0, "lynx": 5.0}
+    for s in (s_adams, s_bdf):
+        s.solve(0.0, tvals, y0)
+    assert int(s_adams.last_stats["n_roots"]) >= 1
+    assert (
+        abs(
+            float(s_adams.last_stats["roots_t"][0])
+            - float(s_bdf.last_stats["roots_t"][0])
+        )
+        < 1e-6
+    )
 
 
 def test_root_direction_filter_skips_falling_crossings():
