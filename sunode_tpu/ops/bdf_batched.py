@@ -177,11 +177,24 @@ def bdf_solve_batched(
     quad0: Optional[jnp.ndarray] = None,  # (B, m)
     first_step: Optional[Any] = None,  # (B,) or scalar; <=0 -> automatic
     batched_fns: bool = False,  # fns already trailing-batch: rhs(t(B,), y(n,B), p(np,B))
+    root_fn: Optional[Callable] = None,  # (t, y, p) -> (nrt,) event functions
+    root_cap: int = 8,
+    root_terminal: bool = True,
+    root_directions: Optional[Any] = None,
 ) -> BDFResult:
     """Batched solve; see module docstring.  Returns leading-batch outputs:
     ys (B, n_t, n), sens (B, n_t, k, n), quad (B, n_t, m); ``saved`` arrays
     are trailing-batch: t (S, B), y (S, n, B), f (S, n, B), n_saved (B,),
-    overflow (B,)."""
+    overflow (B,).
+
+    root_fn/root_cap/root_terminal/root_directions: CVODES-style
+    rootfinding per lane, same semantics as ``bdf_solve`` (see ops/bdf.py).
+    The scan is structure-of-arrays: ONE 64-halving bisection loop whose
+    body localizes every lane's leftmost bracket simultaneously (all-lane g
+    evals, masked by per-lane sign-change state — the SPMD analog of
+    cvRootfind's scalar sequence).  Roots stats come back leading-batch:
+    n_roots (B,), roots_t (B, cap), roots_y (B, cap, n),
+    roots_found (B, cap, nrt)."""
     dtype = jnp.result_type(y0.dtype, jnp.float32)
     y0 = jnp.asarray(y0, dtype).T  # (n, B)
     n, B = y0.shape
@@ -271,6 +284,19 @@ def bdf_solve_batched(
         S0_t = jnp.asarray(S0, dtype).transpose(1, 2, 0)  # (k, n, B)
     if with_quad:
         quad0_t = jnp.asarray(quad0, dtype).T  # (m, B)
+
+    with_roots = root_fn is not None
+    if with_roots:
+        if batched_fns:
+            root_b = root_fn  # (t (B,), y (n, B), p (n_p, B)) -> (nrt, B)
+        else:
+            root_b = jax.vmap(
+                lambda tt, yy, pp: jnp.asarray(
+                    root_fn(tt, yy, pp), dtype
+                ).reshape(-1),
+                in_axes=(0, 1, 1),
+                out_axes=1,
+            )
 
     rtol = jnp.asarray(options.rtol, dtype)
     atol = jnp.broadcast_to(jnp.asarray(options.atol, dtype), (n,))
@@ -461,6 +487,20 @@ def bdf_solve_batched(
         it=jnp.asarray(0, jnp.int32),  # shared attempt counter
         saved=saved0,
     )
+    if with_roots:
+        from sunode_tpu.ops.bdf import _validate_rdir
+
+        g_init0 = root_b(t0_b, y0, params)  # (nrt, B)
+        nrt = g_init0.shape[0]
+        root_cap = max(int(root_cap), 1)
+        rdir = _validate_rdir(nrt, root_directions)
+        carry0.update(
+            g_prev=g_init0,
+            root_t=jnp.full((root_cap, B), jnp.inf, dtype),
+            root_y=jnp.zeros((root_cap, n, B), dtype),
+            root_dirs=jnp.zeros((root_cap, nrt, B), jnp.int32),
+            n_roots=zeros_i,
+        )
 
     def lane_active(c):
         return (c["status"] == -1) & (c["i_out"] < n_t)
@@ -732,17 +772,108 @@ def bdf_solve_batched(
         n_equal = jnp.where(accept, c["n_equal"] + 1, 0)
         t_next = jnp.where(accept, t_new, t)
 
+        # ---- rootfinding (SoA _root_scan analog; one bisection loop
+        # localizes every accepting lane's leftmost bracket) ----------------
+        if with_roots:
+
+            def _rscan(_):
+                g_new = root_b(t_new, y_new, params)  # (nrt, B)
+                gp = c["g_prev"]
+                changed = ((gp * g_new) < 0) | ((g_new == 0.0) & (gp != 0.0))
+                cross_dir = jnp.sign(g_new - gp).astype(jnp.int32)
+                changed = changed & (
+                    (rdir[:, None] == 0) | (rdir[:, None] == cross_dir)
+                )
+                changed = changed & accept[None, :]
+                lane_hit = jnp.any(changed, axis=0)  # (B,)
+
+                def g_at(tt):  # tt (B,)
+                    z = _interpolate_b(D_upd, q, t_new, h_use, tt)
+                    return root_b(tt, z[sl_y], params)
+
+                def bis(_i, st):
+                    lo, hi, glo = st
+                    mid = 0.5 * (lo + hi)
+                    gm = g_at(mid)
+                    in_left = jnp.any(
+                        changed & ((glo * gm < 0) | ((gm == 0.0) & (glo != 0.0))),
+                        axis=0,
+                    )  # (B,)
+                    return (
+                        jnp.where(in_left, lo, mid),
+                        jnp.where(in_left, mid, hi),
+                        jnp.where(in_left[None, :], glo, gm),
+                    )
+
+                lo, hi, _ = lax.fori_loop(0, 64, bis, (t, t_new, gp))
+                tr = 0.5 * (lo + hi)
+                ttol = (
+                    100.0
+                    * jnp.finfo(dtype).eps
+                    * (jnp.abs(t_new) + jnp.abs(h_use))
+                )
+                g_up = g_at(jnp.minimum(tr + ttol, t_new))
+                here = changed & (gp * g_up <= 0)
+                dirs = jnp.where(
+                    here,
+                    jnp.where(
+                        g_up != 0.0, jnp.sign(g_up), jnp.sign(g_new - gp)
+                    ).astype(jnp.int32),
+                    0,
+                )  # (nrt, B)
+                y_root = _interpolate_b(D_upd, q, t_new, h_use, tr)[sl_y]
+                tr = jnp.where(lane_hit, tr, jnp.inf)
+                return lane_hit, tr, dirs, y_root, g_new
+
+            def _rskip(_):
+                return (
+                    jnp.zeros((B,), bool),
+                    jnp.full((B,), jnp.inf, dtype),
+                    jnp.zeros((nrt, B), jnp.int32),
+                    jnp.zeros((n, B), dtype),
+                    c["g_prev"],
+                )
+
+            root_hit, t_root, root_dirs_now, y_root, g_new = lax.cond(
+                jnp.any(accept), _rscan, _rskip, None
+            )
+            can_rec = root_hit & (c["n_roots"] < root_cap)  # (B,)
+            ridx = jnp.minimum(c["n_roots"], root_cap - 1)
+            onehot = (
+                jnp.arange(root_cap)[:, None] == ridx[None, :]
+            )  # (cap, B)
+            wrec = onehot & can_rec[None, :]
+            root_t_buf = jnp.where(wrec, t_root[None, :], c["root_t"])
+            root_y_buf = jnp.where(
+                wrec[:, None, :], y_root[None], c["root_y"]
+            )
+            root_dirs_buf = jnp.where(
+                wrec[:, None, :], root_dirs_now[None], c["root_dirs"]
+            )
+            n_roots_new = c["n_roots"] + root_hit.astype(jnp.int32)
+            g_prev_new = jnp.where(accept[None, :], g_new, c["g_prev"])
+            if root_terminal:
+                t_stop = jnp.where(root_hit, t_root, jnp.inf)  # (B,)
+            else:
+                t_stop = None
+        else:
+            t_stop = None
+
         # ---- emission (shared loop; per-lane masks) -----------------------
         def emit_cond(st):
             i_out = st[0]
             te = tvals[jnp.minimum(i_out, n_t - 1)]
             pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
+            if t_stop is not None:
+                pend = pend & (te <= t_stop)
             return jnp.any(pend)
 
         def emit_body(st):
             i_out, zs = st
             te = tvals[jnp.minimum(i_out, n_t - 1)]
             pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
+            if t_stop is not None:
+                pend = pend & (te <= t_stop)
             zi = _interpolate_b(D_upd, q, t_new, h_use, te)  # (nt, B)
             onehot = (
                 jnp.arange(n_t)[:, None] == jnp.minimum(i_out, n_t - 1)[None, :]
@@ -888,11 +1019,15 @@ def bdf_solve_batched(
         status = jnp.where(
             (status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status
         )
+        root_ret_now = jnp.zeros((B,), bool)
+        if with_roots and root_terminal:
+            root_ret_now = (status == -1) & root_hit
+            status = jnp.where(root_ret_now, STATUS["ROOT_RETURN"], status)
 
         # per-lane post-mortem: snapshot (t, attempted h, order, worst state)
         # on the attempt where a lane's status turns fatal (ref
         # symode/problem.py:150-158 error_* analog)
-        fatal_now = (c["status"] == -1) & (status != -1)
+        fatal_now = (c["status"] == -1) & (status != -1) & ~root_ret_now
         e_err = jnp.abs(error_const[q][None, :] * d_z[sl_y]) * w_z[sl_y]
         e_newt = jnp.abs(d_corr[sl_y]) * w_z[sl_y]
         worst = jnp.argmax(
@@ -903,7 +1038,19 @@ def bdf_solve_batched(
         pm_q = jnp.where(fatal_now, q, c["pm_q"]).astype(jnp.int32)
         pm_worst = jnp.where(fatal_now, worst, c["pm_worst"]).astype(jnp.int32)
 
+        if with_roots:
+            root_updates = dict(
+                g_prev=g_prev_new,
+                root_t=root_t_buf,
+                root_y=root_y_buf,
+                root_dirs=root_dirs_buf,
+                n_roots=n_roots_new.astype(jnp.int32),
+            )
+        else:
+            root_updates = {}
+
         return dict(
+            **root_updates,
             t=t_next,
             h=h_next,
             h_D=jnp.where(active, h_use, c["h_D"]),
@@ -967,6 +1114,12 @@ def bdf_solve_batched(
     )
     if with_sens:
         stats["n_sens_rhs_evals"] = final["nfevS"]
+    if with_roots:
+        # leading-batch layout, matching vmap(bdf_solve)'s stats shapes
+        stats["n_roots"] = final["n_roots"]
+        stats["roots_t"] = final["root_t"].T  # (B, cap)
+        stats["roots_y"] = final["root_y"].transpose(2, 0, 1)  # (B, cap, n)
+        stats["roots_found"] = final["root_dirs"].transpose(2, 0, 1)
 
     if save_steps > 0:
         from sunode_tpu.ops._recording import finalize_saved_batched

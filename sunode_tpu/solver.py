@@ -599,15 +599,16 @@ class Solver(_SolverBase):
             # CV_STAGGERED runs batch-native too: per-lane state-error gating
             # of the sens corrector, with a real cond skipping the sens RHS
             # when every lane's state failed.
-            # rootfinding lives on the single-lane BDF core: with roots on,
-            # batched solves fall through to vmap(bdf_solve) below.
             # 'band'/'sparse' run batch-native too (lockstep lanes share the
             # static band/coloring plan — ops/bdf_batched.py structured
             # Newton); only matrix-free spgmr still routes through vmap.
+            # rootfinding: the batch-native BDF core has the SoA _root_scan
+            # analog; batched ADAMS event solves fall through to
+            # vmap(adams_solve) below.
             use_batch_native = (
                 batched
                 and opts.linear_solver in ("dense", "band", "sparse")
-                and self._root_fn is None
+                and (self._root_fn is None or solver_kind == "BDF")
             )
             root_kw = (
                 dict(
@@ -648,10 +649,12 @@ class Solver(_SolverBase):
                         res = bdf_solve_batched(
                             rhs, jac, t0, y0, params, tvals, o,
                             sens_rhs=sens_rhs, S0=sens0, first_step=first_step,
+                            **root_kw,
                         )
                         return res.ys, res.sens, res.status, res.stats
                     res = bdf_solve_batched(
-                        rhs, jac, t0, y0, params, tvals, o, first_step=first_step
+                        rhs, jac, t0, y0, params, tvals, o, first_step=first_step,
+                        **root_kw,
                     )
                     return res.ys, None, res.status, res.stats
 

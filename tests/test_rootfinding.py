@@ -294,3 +294,124 @@ def test_param_dependent_threshold_event():
     res = fn(jnp.array([1.0, 0.0]), jnp.array([0.25]))
     assert int(res.status) == STATUS["ROOT_RETURN"]
     assert abs(float(res.stats["roots_t"][0]) - np.arccos(0.25)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# batch-native rootfinding (ops/bdf_batched.py SoA _root_scan analog)
+# ---------------------------------------------------------------------------
+
+
+def _batched_solve(y0_b, tvals, root_fn, **kw):
+    from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+
+    fn = jax.jit(
+        lambda y0_: bdf_solve_batched(
+            rhs, jac, 0.0, y0_, jnp.zeros((y0_.shape[0], 1)),
+            jnp.asarray(tvals), OPTS, root_fn=root_fn, **kw,
+        )
+    )
+    return fn(jnp.asarray(y0_b, jnp.float64))
+
+
+_PHASES = np.array([0.0, 0.4, 0.9, 1.4])
+
+
+def test_batch_native_terminal_roots_per_lane_closed_form():
+    # lane i starts at (cos phi_i, -sin phi_i) -> y0(t) = cos(t + phi_i):
+    # first root of y0 at t = pi/2 - phi_i, falling — each lane localizes
+    # its OWN root inside the shared SoA bisection loop
+    y0_b = np.stack([np.cos(_PHASES), -np.sin(_PHASES)], axis=1)
+    res = _batched_solve(y0_b, np.linspace(0.0, 3.0, 7), lambda t, y, p: y[:1])
+    assert np.all(np.asarray(res.status) == STATUS["ROOT_RETURN"])
+    assert np.all(np.asarray(res.stats["n_roots"]) == 1)
+    expect = np.pi / 2 - _PHASES
+    got = np.asarray(res.stats["roots_t"][:, 0])
+    np.testing.assert_allclose(got, expect, atol=1e-9)
+    # state at the root: (0, -1) for every lane; direction falling
+    np.testing.assert_allclose(
+        np.asarray(res.stats["roots_y"][:, 0]),
+        np.tile([0.0, -1.0], (4, 1)),
+        atol=1e-8,
+    )
+    assert np.all(np.asarray(res.stats["roots_found"][:, 0, 0]) == -1)
+    # outputs past each lane's root stay NaN; before it match cos(t+phi)
+    tv = np.linspace(0.0, 3.0, 7)
+    ys = np.asarray(res.ys[:, :, 0])  # (B, n_t)
+    for i, phi in enumerate(_PHASES):
+        before = tv <= expect[i]
+        np.testing.assert_allclose(
+            ys[i, before], np.cos(tv[before] + phi), atol=1e-8
+        )
+        assert np.all(np.isnan(ys[i, ~before]))
+
+
+def test_batch_native_nonterminal_matches_vmap():
+    y0_b = np.stack([np.cos(_PHASES), -np.sin(_PHASES)], axis=1)
+    tv = np.linspace(0.0, 10.0, 11)
+    res = _batched_solve(y0_b, tv, lambda t, y, p: y[:1], root_terminal=False)
+    ref = jax.jit(
+        jax.vmap(
+            lambda y0_: bdf_solve(
+                rhs, jac, 0.0, y0_, jnp.zeros(1), jnp.asarray(tv), OPTS,
+                root_fn=lambda t, y, p: y[:1], root_terminal=False,
+            )
+        )
+    )(jnp.asarray(y0_b, jnp.float64))
+    assert np.all(np.asarray(res.status) == STATUS["SUCCESS"])
+    np.testing.assert_array_equal(
+        np.asarray(res.stats["n_roots"]), np.asarray(ref.stats["n_roots"])
+    )
+    for i in range(len(_PHASES)):
+        nr = int(np.asarray(res.stats["n_roots"])[i])
+        np.testing.assert_allclose(
+            np.asarray(res.stats["roots_t"][i, :nr]),
+            np.asarray(ref.stats["roots_t"][i, :nr]),
+            atol=1e-9,
+        )
+    np.testing.assert_allclose(
+        np.asarray(res.ys), np.asarray(ref.ys), rtol=1e-6, atol=1e-9
+    )
+
+
+def test_batch_native_direction_filter_and_partial_hits():
+    # rising-only filter: lanes root at 3pi/2 - phi; also exercise a lane
+    # whose event never fires inside the horizon (phi large -> root beyond)
+    y0_b = np.stack([np.cos(_PHASES), -np.sin(_PHASES)], axis=1)
+    res = _batched_solve(
+        y0_b, np.linspace(0.0, 5.0, 11), lambda t, y, p: y[:1],
+        root_directions=[1],
+    )
+    expect = 3 * np.pi / 2 - _PHASES  # all < 5.0 -> every lane hits
+    np.testing.assert_allclose(
+        np.asarray(res.stats["roots_t"][:, 0]), expect, atol=1e-9
+    )
+    assert np.all(np.asarray(res.stats["roots_found"][:, 0, 0]) == 1)
+    # horizon shorter than the last lane's root: that lane finishes clean
+    res2 = _batched_solve(
+        y0_b, np.linspace(0.0, 1.2, 5), lambda t, y, p: y[:1]
+    )
+    expect_first = np.pi / 2 - _PHASES
+    hit = expect_first < 1.2
+    st = np.asarray(res2.status)
+    assert np.all(st[hit] == STATUS["ROOT_RETURN"])
+    assert np.all(st[~hit] == STATUS["SUCCESS"])
+    assert np.all(np.isinf(np.asarray(res2.stats["roots_t"])[~hit, 0]))
+
+
+def test_solver_class_batched_roots_route_batch_native():
+    # Solver(roots=...) with batched y0 keeps the batch-native core
+    s = _lv_solver()
+    tvals = np.linspace(0.0, 10.0, 21)
+    y0_b = np.array([[10.0, 5.0], [11.0, 4.0], [12.0, 6.0]])
+    ys = s.solve(0.0, tvals, y0_b)
+    assert (len(tvals), True) in s._jit_cache
+    st = s.last_stats
+    roots_t = np.asarray(st["roots_t"])[:, 0]
+    assert roots_t.shape == (3,)
+    # every lane starts above hares=9 and crosses it within the horizon
+    assert np.all(np.isfinite(roots_t)) and np.all(roots_t > 0)
+    # per-lane agreement with the single-lane solve
+    s1 = _lv_solver()
+    for i in range(3):
+        s1.solve(0.0, tvals, dict(hares=y0_b[i, 0], lynx=y0_b[i, 1]))
+        assert abs(float(s1.last_stats["roots_t"][0]) - roots_t[i]) < 1e-7
