@@ -92,7 +92,9 @@ def _emit_c_function(name: str, exprs, varmap: dict, args_sig: str) -> str:
     return "\n".join(lines)
 
 
-def compile_problem_c(problem, *, cache: bool = True, band=None, band_perm=None):
+def compile_problem_c(
+    problem, *, cache: bool = True, band=None, band_perm=None, roots=None
+):
     """Generate + compile C functions for a SympyProblem; return a ctypes lib
     exposing (all row-major):
 
@@ -116,6 +118,12 @@ def compile_problem_c(problem, *, cache: bool = True, band=None, band_perm=None)
     sparse-direct analog (the reference's KLU role): the exact symbolic
     pattern is concentrated into a band and factored at the permuted
     bandwidth.
+
+    ``roots``: an object array of symbolic event functions
+    (``SympyProblem.symbolic_roots``); emits ``sunode_roots(t, y, p, out)``
+    filling ``out[nrt]`` — consumed by the native rootfinding entries
+    (``cvbdf_solve_roots`` / ``cvadams_solve_roots``, the CVodeRootInit
+    analog).
     """
     n = problem.n_states
     # C-identifier varmap: __y_0 -> y[0] etc.  ccode can't print indexing via
@@ -201,6 +209,16 @@ def compile_problem_c(problem, *, cache: bool = True, band=None, band_perm=None)
                 "double t, const double* y, const double* p, double* out",
             )
         ]
+    roots_src = []
+    if roots is not None:
+        roots_src = [
+            _emit_c_function(
+                "sunode_roots",
+                np.asarray(roots, dtype=object).reshape(-1),
+                varmap,
+                "double t, const double* y, const double* p, double* out",
+            )
+        ]
     # prologue mapping placeholders to array loads
     defines = []
     for i in range(n):
@@ -215,6 +233,7 @@ def compile_problem_c(problem, *, cache: bool = True, band=None, band_perm=None)
             + header[1:]
             + [rhs_src, jac_src, adj_src, quad_src, dfdp_src, dfdt_src]
             + band_src
+            + roots_src
             + ["}"]
         )
         + "\n"

@@ -62,6 +62,10 @@ class CpuSolver:
         linear_solver: str = "dense",
         linear_solver_kwargs: Optional[Mapping[str, Any]] = None,
         constraints=None,
+        roots=None,
+        root_directions=None,
+        root_cap: int = 8,
+        root_terminal: bool = True,
     ):
         if method not in ("BDF", "ADAMS"):
             raise ValueError("method must be 'BDF' or 'ADAMS'")
@@ -137,15 +141,53 @@ class CpuSolver:
             if not np.isin(self._cons, [0.0, 1.0, -1.0, 2.0, -2.0]).all():
                 raise ValueError("constraints entries must be 0, +-1 or +-2")
 
+        # rootfinding (CVodeRootInit analog on the native path): `roots` is
+        # the same sympy-callable Solver(roots=...) takes; the event vector
+        # is emitted as C (sunode_roots) next to the RHS/Jacobian
+        self._roots_sym = None
+        self._rdir: Optional[np.ndarray] = None
+        self._root_cap = max(int(root_cap), 1)
+        self._root_terminal = bool(root_terminal)
+        if roots is not None:
+            if self._spgmr:
+                raise ValueError(
+                    "native rootfinding is not available with "
+                    "linear_solver='spgmr' — use dense/band/sparse"
+                )
+            if not hasattr(problem, "symbolic_roots"):
+                raise ValueError(
+                    "native rootfinding requires a SympyProblem (the event "
+                    "functions are compiled to C from their symbolic form)"
+                )
+            self._roots_sym = problem.symbolic_roots(roots)
+            nrt = len(self._roots_sym)
+            if root_directions is not None:
+                rdir = np.asarray(root_directions, np.int32).reshape(-1)
+                if rdir.shape != (nrt,):
+                    raise ValueError(
+                        f"root_directions must have one entry per root "
+                        f"component: expected shape ({nrt},), got {rdir.shape}"
+                    )
+                if not np.all(np.isin(rdir, (-1, 0, 1))):
+                    raise ValueError(
+                        "root_directions entries must be -1, 0 or +1"
+                    )
+                self._rdir = np.ascontiguousarray(rdir)
+
         self._core = ctypes.CDLL(str(native_lib_path()))
         self._plib = compile_problem_c(
-            problem, band=self._band, band_perm=self._perm
+            problem, band=self._band, band_perm=self._perm,
+            roots=self._roots_sym,
         )
         self._rhs_ptr = ctypes.cast(self._plib.sunode_rhs, ctypes.c_void_p)
         self._jac_ptr = ctypes.cast(self._plib.sunode_jac, ctypes.c_void_p)
         if self._band is not None:
             self._jacband_ptr = ctypes.cast(
                 self._plib.sunode_jac_banded, ctypes.c_void_p
+            )
+        if self._roots_sym is not None:
+            self._roots_ptr = ctypes.cast(
+                self._plib.sunode_roots, ctypes.c_void_p
             )
         self._rec_handle: Optional[int] = None
         self._register_restypes()
@@ -170,6 +212,11 @@ class CpuSolver:
             self._core.cvbdf_adjoint_solve_spgmr_batch.restype = None
             self._core.cvbdf_forward_record_spgmr.restype = ctypes.c_void_p
             self._core.cvbdf_backward_recorded_spgmr.restype = ctypes.c_int
+
+        if getattr(self, "_roots_sym", None) is not None:
+            self._core.cvbdf_solve_roots.restype = ctypes.c_int
+            self._core.cvbdf_solve_banded_roots.restype = ctypes.c_int
+            self._core.cvadams_solve_roots.restype = ctypes.c_int
 
         self._core.cvbdf_solve.restype = ctypes.c_int
         self._core.cvbdf_solve_batch.restype = None
@@ -201,6 +248,7 @@ class CpuSolver:
                 "_quad_ptr",
                 "_jacband_ptr",
                 "_rec_handle",
+                "_roots_ptr",
             )
         }
         return state
@@ -210,7 +258,8 @@ class CpuSolver:
         self._rec_handle = None
         self._core = ctypes.CDLL(str(native_lib_path()))
         self._plib = compile_problem_c(
-            self._problem, band=self._band, band_perm=self._perm
+            self._problem, band=self._band, band_perm=self._perm,
+            roots=getattr(self, "_roots_sym", None),
         )
         self._rhs_ptr = ctypes.cast(self._plib.sunode_rhs, ctypes.c_void_p)
         self._jac_ptr = ctypes.cast(self._plib.sunode_jac, ctypes.c_void_p)
@@ -223,6 +272,10 @@ class CpuSolver:
         if self._band is not None:
             self._jacband_ptr = ctypes.cast(
                 self._plib.sunode_jac_banded, ctypes.c_void_p
+            )
+        if getattr(self, "_roots_sym", None) is not None:
+            self._roots_ptr = ctypes.cast(
+                self._plib.sunode_roots, ctypes.c_void_p
             )
         self._register_restypes()
 
@@ -279,6 +332,12 @@ class CpuSolver:
         dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
 
         if y0.ndim == 2:
+            if self._roots_sym is not None:
+                raise SolverError(
+                    "native batched event solves are not supported — the "
+                    "batch-native JAX core (Solver with batched y0) handles "
+                    "rootfinding at batch scale"
+                )
             batch = y0.shape[0]
             params = np.ascontiguousarray(
                 np.broadcast_to(self._params, (batch, self._params.size)), np.float64
@@ -373,6 +432,13 @@ class CpuSolver:
                 codes = sorted(set(int(s) for s in status if s))
                 msgs = "; ".join(_STATUS_MESSAGES.get(c, f"code {c}") for c in codes)
                 raise SolverError(f"Native batch solve failed: {msgs}")
+        elif self._roots_sym is not None:
+            ys, rc = self._solve_single_roots(t0, tvals, y0, n, n_t)
+            if rc not in (0, 5):
+                raise SolverError(
+                    f"Native solve failed: "
+                    f"{_STATUS_MESSAGES.get(rc, f'code {rc}')}"
+                )
         else:
             ys = np.full((n_t, n), np.nan)
             stats = np.zeros(8, np.int64)
@@ -460,6 +526,110 @@ class CpuSolver:
             y_out[...] = ys
             return y_out
         return ys
+
+    def _solve_single_roots(self, t0, tvals, y0, n, n_t):
+        """Single-instance solve with native rootfinding (cvbdf_solve_roots /
+        cvbdf_solve_banded_roots / cvadams_solve_roots).  rc 5 is
+        CV_ROOT_RETURN: a terminal root stopped the solve successfully —
+        outputs past the root stay NaN and ``last_stats`` carries
+        ``n_roots`` / ``roots_t`` / ``roots_y`` / ``roots_found`` with the
+        same shapes and conventions as the JAX cores."""
+        nrt = len(self._roots_sym)
+        cap = self._root_cap
+        ys = np.full((n_t, n), np.nan)
+        stats = np.zeros(8, np.int64)
+        roots_t = np.full(cap, np.inf)
+        roots_y = np.zeros((cap, n))
+        roots_found = np.zeros((cap, nrt), np.int32)
+        n_roots = np.zeros(1, np.int64)
+        dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+        rdir_ptr = (
+            self._rdir.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            if self._rdir is not None
+            else None
+        )
+        root_args = (
+            self._roots_ptr,
+            ctypes.c_int(nrt),
+            rdir_ptr,
+            ctypes.c_int(1 if self._root_terminal else 0),
+            ctypes.c_int(cap),
+        )
+        root_outs = (
+            dptr(roots_t),
+            dptr(roots_y),
+            roots_found.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_roots.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if self._method == "ADAMS":
+            rc = self._core.cvadams_solve_roots(
+                ctypes.c_int(n),
+                self._rhs_ptr,
+                *root_args,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_double(-1.0),
+                ctypes.c_int(self._adams_max_order),
+                dptr(ys),
+                *root_outs,
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
+            )
+        elif self._band is not None:
+            rc = self._core.cvbdf_solve_banded_roots(
+                ctypes.c_int(n),
+                ctypes.c_int(self._band[0]),
+                ctypes.c_int(self._band[1]),
+                self._rhs_ptr,
+                self._jacband_ptr,
+                *root_args,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_double(-1.0),
+                dptr(ys),
+                *root_outs,
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
+                self._perm_ptr(),
+            )
+        else:
+            rc = self._core.cvbdf_solve_roots(
+                ctypes.c_int(n),
+                self._rhs_ptr,
+                self._jac_ptr,
+                *root_args,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_double(-1.0),
+                dptr(ys),
+                *root_outs,
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
+            )
+        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
+        self.last_stats["n_roots"] = int(n_roots[0])
+        self.last_stats["roots_t"] = roots_t
+        self.last_stats["roots_y"] = roots_y
+        self.last_stats["roots_found"] = roots_found
+        return ys, rc
 
     # --- adjoint gradients --------------------------------------------
     def solve_adjoint(

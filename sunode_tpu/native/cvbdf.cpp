@@ -567,6 +567,122 @@ double wrms(int n, const double* x, const double* scale) {
   return std::sqrt(acc / n);
 }
 
+// ---------------------------------------------------------------------
+// Rootfinding (CVodeRootInit / CVodeSetRootDirection / CV_ROOT_RETURN
+// analog — the reference binds the API, include/cvodes/16_cvodes.h:195-198,
+// but never exposes it from Python).  Shares the detection/localization
+// semantics of ops/bdf.py _root_scan: g is evaluated at ACCEPTED steps
+// only; per-component sign changes are direction-filtered; the leftmost
+// bracket is halved on the calling core's dense output (one full-vector g
+// eval per halving — cvRootfind's single scalar sequence); components
+// rooting within the CVODES ttol of the leftmost report together, with
+// CVodeGetRootInfo sign conventions.  Buffers hold the FIRST `cap` roots;
+// *n_roots keeps counting, so *n_roots > cap signals truncation.
+// ---------------------------------------------------------------------
+struct RootCfg {
+  rhs_fn g_fn = nullptr;  // (t, y, p, out[nrt]) event functions
+  int nrt = 0;
+  const int32_t* rdir = nullptr;  // 0 both, +1 rising only, -1 falling only
+  int terminal = 1;               // stop at the first root (CV_ROOT_RETURN)
+  int cap = 0;
+  double* roots_t = nullptr;       // [cap], +inf padded
+  double* roots_y = nullptr;       // [cap * n]
+  int32_t* roots_found = nullptr;  // [cap * nrt]
+  int64_t* n_roots = nullptr;
+  std::vector<double> g_prev, g_new, g_tmp, glo, y_tmp;
+  std::vector<char> changed;
+
+  void init(int n, double t0, const double* y0, const double* p) {
+    g_prev.resize(nrt);
+    g_new.resize(nrt);
+    g_tmp.resize(nrt);
+    glo.resize(nrt);
+    y_tmp.resize(n);
+    changed.resize(nrt);
+    g_fn(t0, y0, p, g_prev.data());
+    for (int i = 0; i < cap; ++i) roots_t[i] = INFINITY;
+    std::fill(roots_y, roots_y + (size_t)cap * n, 0.0);
+    std::fill(roots_found, roots_found + (size_t)cap * nrt, 0);
+    *n_roots = 0;
+  }
+
+  // Scan one accepted step [t_old, t_new]; y_at(tt, out) is the core's
+  // dense output.  Returns true on a hit with *t_root_out = root time.
+  template <class YAT>
+  bool scan(int n, const double* params, double t_old, double t_new,
+            double h_use, const double* y_new, YAT&& y_at,
+            double* t_root_out) {
+    g_fn(t_new, y_new, params, g_new.data());
+    bool hit = false;
+    for (int c = 0; c < nrt; ++c) {
+      bool ch = (g_prev[c] * g_new[c] < 0) ||
+                (g_new[c] == 0.0 && g_prev[c] != 0.0);
+      if (ch && rdir && rdir[c] != 0) {
+        // crossing direction over the step: sign(g_new - g_prev)
+        int cd = (g_new[c] > g_prev[c]) ? 1 : ((g_new[c] < g_prev[c]) ? -1 : 0);
+        ch = (rdir[c] == cd);
+      }
+      changed[c] = ch ? 1 : 0;
+      hit = hit || ch;
+    }
+    if (hit) {
+      double lo = t_old, hi = t_new;
+      std::copy(g_prev.begin(), g_prev.end(), glo.begin());
+      for (int it = 0; it < 64; ++it) {
+        double mid = 0.5 * (lo + hi);
+        if (!(mid > lo && mid < hi)) break;  // bracket at rounding floor
+        y_at(mid, y_tmp.data());
+        g_fn(mid, y_tmp.data(), params, g_tmp.data());
+        bool in_left = false;
+        for (int c = 0; c < nrt; ++c)
+          if (changed[c] && ((glo[c] * g_tmp[c] < 0) ||
+                             (g_tmp[c] == 0.0 && glo[c] != 0.0))) {
+            in_left = true;
+            break;
+          }
+        if (in_left) {
+          hi = mid;
+        } else {
+          lo = mid;
+          std::copy(g_tmp.begin(), g_tmp.end(), glo.begin());
+        }
+      }
+      double tr = 0.5 * (lo + hi);
+      // CVODES ttol clustering (cvRcheck3): components rooting within
+      // 100*uround*(|t|+|h|) of the leftmost one report together
+      double ttol = 100.0 * 2.220446049250313e-16 *
+                    (std::fabs(t_new) + std::fabs(h_use));
+      double t_up = std::min(tr + ttol, t_new);
+      y_at(t_up, y_tmp.data());
+      g_fn(t_up, y_tmp.data(), params, g_tmp.data());
+      if (*n_roots < cap) {
+        int64_t r = *n_roots;
+        roots_t[r] = tr;
+        for (int c = 0; c < nrt; ++c) {
+          bool here = changed[c] && (g_prev[c] * g_tmp[c] <= 0);
+          int32_t d = 0;
+          if (here) {
+            // CVodeGetRootInfo sign: +1 increasing through zero, -1
+            // decreasing (exact zero takes the secant slope's sign)
+            if (g_tmp[c] != 0.0)
+              d = g_tmp[c] > 0 ? 1 : -1;
+            else
+              d = (g_new[c] > g_prev[c]) ? 1
+                                         : ((g_new[c] < g_prev[c]) ? -1 : 0);
+          }
+          roots_found[r * nrt + c] = d;
+        }
+        y_at(tr, y_tmp.data());
+        for (int i = 0; i < n; ++i) roots_y[r * n + i] = y_tmp[i];
+      }
+      ++*n_roots;
+      *t_root_out = tr;
+    }
+    std::copy(g_new.begin(), g_new.end(), g_prev.begin());
+    return hit;
+  }
+};
+
 // Hairer-Wanner initial step estimate (shared by both integrators; same
 // formula as ops/bdf.py _initial_step).  Costs one extra RHS eval.
 template <class F>
@@ -599,7 +715,8 @@ int solve_one_lin(int n, F&& f_fn, LIN& lin, double t0, const double* y0,
                   double rtol, const double* atol, int64_t max_steps,
                   double first_step, double* ys_out, Stats* stats,
                   FwdRecord* rec = nullptr,
-                  const double* cons = nullptr) {
+                  const double* cons = nullptr,
+                  RootCfg* rt = nullptr) {
   const double* gamma_tab = BDF_GAMMA;
   // alpha[q] == gamma_q for every order actually used (q >= 1 throughout)
   const double* alpha = BDF_GAMMA;
@@ -653,6 +770,7 @@ int solve_one_lin(int n, F&& f_fn, LIN& lin, double t0, const double* y0,
     rec->n = n;
     rec->add(t0, y0, f0.data());
   }
+  if (rt) rt->init(n, t0, y0, params);
 
   double newton_tol =
       std::max(10 * 2.220446049250313e-16 / rtol, std::min(0.03, std::sqrt(rtol)));
@@ -795,10 +913,32 @@ int solve_one_lin(int n, F&& f_fn, LIN& lin, double t0, const double* y0,
       rec->add(t, w.y.data(), w.f.data());
     }
 
-    while (i_out < n_t && tvals[i_out] <= t + 1e-14 * std::fabs(t)) {
+    // root scan on the accepted step (accept-gated, like the JAX core)
+    double t_stop = INFINITY;
+    bool root_terminal_hit = false;
+    if (rt) {
+      auto y_at = [&](double tt, double* out) {
+        interpolate(n, q, w.D.data(), t, h_use, tt, out);
+      };
+      double tr;
+      if (rt->scan(n, params, t - h_use, t, h_use, w.y.data(), y_at, &tr) &&
+          rt->terminal) {
+        t_stop = tr;
+        root_terminal_hit = true;
+      }
+    }
+
+    while (i_out < n_t && tvals[i_out] <= t + 1e-14 * std::fabs(t) &&
+           tvals[i_out] <= t_stop) {
       interpolate(n, q, w.D.data(), t, h_use, tvals[i_out],
                   ys_out + (size_t)i_out * n);
       ++i_out;
+    }
+    if (root_terminal_hit) {
+      // CV_ROOT_RETURN: a successful early stop — outputs past the root
+      // stay NaN; the root is in roots_t/roots_y/roots_found[0]
+      stats->final_order = q;
+      return 5;
     }
 
     h = h_use;
@@ -948,7 +1088,8 @@ int adams_solve_one(int n, F&& f_fn, double t0, const double* y0,
                     const double* params, int n_t, const double* tvals,
                     double rtol, const double* atol, int64_t max_steps,
                     double first_step, int max_order, double* ys_out,
-                    Stats* stats, const double* cons = nullptr) {
+                    Stats* stats, const double* cons = nullptr,
+                    RootCfg* rt = nullptr) {
   max_order = std::clamp(max_order, 1, A_MAX_ORDER);
   for (int i = 0; i < n_t * n; ++i) ys_out[i] = NAN;
 
@@ -980,6 +1121,7 @@ int adams_solve_one(int n, F&& f_fn, double t0, const double* y0,
     for (int i = 0; i < n; ++i) ys_out[i_out * n + i] = y0[i];
     ++i_out;
   }
+  if (rt) rt->init(n, t0, y0, params);
 
   double newton_tol =
       std::max(10 * 2.220446049250313e-16 / rtol, std::min(0.03, std::sqrt(rtol)));
@@ -1106,11 +1248,31 @@ int adams_solve_one(int n, F&& f_fn, double t0, const double* y0,
     ++stats->n_steps;
     ++n_equal;
 
-    while (i_out < n_t && tvals[i_out] <= t + 1e-14 * std::fabs(t)) {
+    // root scan on the accepted step (shared RootCfg; Adams dense output)
+    double t_stop = INFINITY;
+    bool root_terminal_hit = false;
+    if (rt) {
+      auto y_at = [&](double tt, double* out) {
+        adams_interp(n, p, DF.data(), y.data(), h_use, (tt - t) / h_use, out);
+      };
+      double tr;
+      if (rt->scan(n, params, t - h_use, t, h_use, y.data(), y_at, &tr) &&
+          rt->terminal) {
+        t_stop = tr;
+        root_terminal_hit = true;
+      }
+    }
+
+    while (i_out < n_t && tvals[i_out] <= t + 1e-14 * std::fabs(t) &&
+           tvals[i_out] <= t_stop) {
       double s = (tvals[i_out] - t) / h_use;
       adams_interp(n, p, DF.data(), y.data(), h_use, s,
                    ys_out + (size_t)i_out * n);
       ++i_out;
+    }
+    if (root_terminal_hit) {
+      stats->final_order = p;
+      return 5;
     }
 
     h = h_use;
@@ -2355,6 +2517,103 @@ int cvadams_solve(int n, rhs_fn f_fn, double t0, const double* y0,
   int rc = adams_solve_one(n, f_fn, t0, y0, params, n_t, tvals, rtol, atol,
                            max_steps, first_step, max_order, ys_out, &st,
                            constraints);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// ---------------------------------------------------------------------
+// Rootfinding entries (CVodeRootInit + CVodeSetRootDirection +
+// CV_ROOT_RETURN analog; cf. include/cvodes/16_cvodes.h:195-198).  g_fn
+// fills out[nrt] with the event functions.  rdir may be NULL (report both
+// crossing directions).  Returns 5 when a terminal root stops the solve:
+// outputs past the root stay NaN and the root lives in
+// roots_t/roots_y/roots_found[0].  Non-terminal mode records the FIRST
+// `cap` roots while integration continues; *n_roots keeps counting, so
+// *n_roots > cap signals truncation.
+// ---------------------------------------------------------------------
+int cvbdf_solve_roots(int n, rhs_fn f_fn, jac_fn j_fn, rhs_fn g_fn, int nrt,
+                      const int32_t* rdir, int terminal, int cap, double t0,
+                      const double* y0, const double* params, int n_t,
+                      const double* tvals, double rtol, const double* atol,
+                      int64_t max_steps, double first_step, double* ys_out,
+                      double* roots_t, double* roots_y, int32_t* roots_found,
+                      int64_t* n_roots, int64_t* stats_out,
+                      const double* constraints) {
+  Stats st;
+  RootCfg rt;
+  rt.g_fn = g_fn;
+  rt.nrt = nrt;
+  rt.rdir = rdir;
+  rt.terminal = terminal;
+  rt.cap = cap;
+  rt.roots_t = roots_t;
+  rt.roots_y = roots_y;
+  rt.roots_found = roots_found;
+  rt.n_roots = n_roots;
+  DenseLin<jac_fn> lin(n, j_fn);
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, rtol,
+                         atol, max_steps, first_step, ys_out, &st, nullptr,
+                         constraints, &rt);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// banded/RCM-permuted-Newton variant (linear_solver='band'/'sparse' with
+// events): same RootCfg semantics over the banded step loop
+int cvbdf_solve_banded_roots(int n, int lower, int upper, rhs_fn f_fn,
+                             jac_fn jb_fn, rhs_fn g_fn, int nrt,
+                             const int32_t* rdir, int terminal, int cap,
+                             double t0, const double* y0, const double* params,
+                             int n_t, const double* tvals, double rtol,
+                             const double* atol, int64_t max_steps,
+                             double first_step, double* ys_out,
+                             double* roots_t, double* roots_y,
+                             int32_t* roots_found, int64_t* n_roots,
+                             int64_t* stats_out, const double* constraints,
+                             const int64_t* perm) {
+  Stats st;
+  RootCfg rt;
+  rt.g_fn = g_fn;
+  rt.nrt = nrt;
+  rt.rdir = rdir;
+  rt.terminal = terminal;
+  rt.cap = cap;
+  rt.roots_t = roots_t;
+  rt.roots_y = roots_y;
+  rt.roots_found = roots_found;
+  rt.n_roots = n_roots;
+  BandLin<jac_fn> lin(n, lower, upper, jb_fn, perm);
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, rtol,
+                         atol, max_steps, first_step, ys_out, &st, nullptr,
+                         constraints, &rt);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// Adams variant (events are LMM-independent — rootfinding rides the
+// functional-iteration core's dense output exactly like the BDF one's)
+int cvadams_solve_roots(int n, rhs_fn f_fn, rhs_fn g_fn, int nrt,
+                        const int32_t* rdir, int terminal, int cap, double t0,
+                        const double* y0, const double* params, int n_t,
+                        const double* tvals, double rtol, const double* atol,
+                        int64_t max_steps, double first_step, int max_order,
+                        double* ys_out, double* roots_t, double* roots_y,
+                        int32_t* roots_found, int64_t* n_roots,
+                        int64_t* stats_out, const double* constraints) {
+  Stats st;
+  RootCfg rt;
+  rt.g_fn = g_fn;
+  rt.nrt = nrt;
+  rt.rdir = rdir;
+  rt.terminal = terminal;
+  rt.cap = cap;
+  rt.roots_t = roots_t;
+  rt.roots_y = roots_y;
+  rt.roots_found = roots_found;
+  rt.n_roots = n_roots;
+  int rc = adams_solve_one(n, f_fn, t0, y0, params, n_t, tvals, rtol, atol,
+                           max_steps, first_step, max_order, ys_out, &st,
+                           constraints, &rt);
   fill_stats(st, stats_out);
   return rc;
 }

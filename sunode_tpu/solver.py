@@ -496,11 +496,19 @@ class Solver(_SolverBase):
         )
         # constraints enforce CVodeSetConstraints semantics natively in
         # both cores (solve_one_lin / adams_solve_one)
+        # events keep the native route when given symbolically (the C
+        # rootfinding entries need sunode_roots codegen): dense/band/sparse
+        # on both cores; spgmr and raw-JAX root callables fall to JAX
+        roots_ok = self._root_fn is None or (
+            getattr(self, "_roots_src", None) is not None
+            and hasattr(self._problem, "symbolic_roots")
+            and self._linear_solver in ("dense", "band", "sparse")
+        )
         return (
             self._native_single_enabled
             and self._solver_kind in ("BDF", "ADAMS")
             and not self._compute_sens
-            and self._root_fn is None
+            and roots_ok
             and ls_ok
             and o.first_step is None
             and (self._solver_kind == "ADAMS" or o.max_order == MAX_ORDER)
@@ -561,6 +569,14 @@ class Solver(_SolverBase):
                         linear_solver_kwargs=dict(self._linear_solver_kwargs),
                     )
                 cons = self._options.constraints
+                root_kw = {}
+                if getattr(self, "_roots_src", None) is not None:
+                    root_kw = dict(
+                        roots=self._roots_src,
+                        root_directions=self._root_directions,
+                        root_cap=self._root_cap,
+                        root_terminal=self._root_terminal,
+                    )
                 self._native_solver = CpuSolver(
                     self._problem,
                     abstol=np.asarray(self._options.atol),
@@ -570,6 +586,7 @@ class Solver(_SolverBase):
                     method=self._solver_kind,
                     adams_max_order=int(self._options.adams_max_order),
                     constraints=None if cons is None else np.asarray(cons),
+                    **root_kw,
                     **ls_kw,
                 )
             except Exception:

@@ -235,15 +235,14 @@ class SympyProblem(problem_mod.Problem):
         """Generated df/dp_subset, shape (n_states, n_deriv)."""
         return self._lower("dfdp", ["_t", "_y", "_p"], self._sym_dydp)
 
-    def make_root_fn(self, roots_sympy: Callable) -> Callable:
-        """Lower symbolic event functions to a JAX ``(t, y, p) -> (nrt,)``.
+    def symbolic_roots(self, roots_sympy: Callable) -> np.ndarray:
+        """Symbolic event-function vector (object array of sympy exprs).
 
         ``roots_sympy`` is called once with the same ``(t, states, params)``
         symbol records as ``rhs_sympy`` and must return a sympy expression
-        or a list/tuple of them; zero crossings of each component become
-        events for ``bdf_solve(root_fn=...)`` / ``Solver(roots=...)``
-        (CVodeRootInit analog — the reference declares the API,
-        include/cvodes/16_cvodes.h:195, but never exposes it)."""
+        or a list/tuple of them.  Shared by the JAX lowering
+        (:meth:`make_root_fn`) and the native C codegen
+        (``native/codegen.py`` ``sunode_roots``)."""
         state_rec = self.states.record(
             lambda path, shape: _symbol_leaf(
                 "__y_", self.states.slices[path].start, shape
@@ -262,6 +261,18 @@ class SympyProblem(problem_mod.Problem):
             vec = np.array(
                 [self._simplify_elem(e) for e in vec], dtype=object
             )
+        return vec
+
+    def make_root_fn(self, roots_sympy: Callable) -> Callable:
+        """Lower symbolic event functions to a JAX ``(t, y, p) -> (nrt,)``.
+
+        ``roots_sympy`` is called once with the same ``(t, states, params)``
+        symbol records as ``rhs_sympy`` and must return a sympy expression
+        or a list/tuple of them; zero crossings of each component become
+        events for ``bdf_solve(root_fn=...)`` / ``Solver(roots=...)``
+        (CVodeRootInit analog — the reference declares the API,
+        include/cvodes/16_cvodes.h:195, but never exposes it)."""
+        vec = self.symbolic_roots(roots_sympy)
         # not routed through _fn_cache: distinct roots_sympy callables would
         # collide on any static key
         return lambdify_jax(["_t", "_y", "_p"], vec, self._varmap, name="roots")
