@@ -228,6 +228,7 @@ class CpuSolver:
         self._core.cvbdf_forward_record.restype = ctypes.c_void_p
         self._core.cvbdf_backward_recorded.restype = ctypes.c_int
         self._core.cvbdf_record_free.restype = None
+        self._core.cvbdf_record_info.restype = ctypes.c_int64
         self._core.cvbdf_adjoint_solve_batch.restype = None
         self._core.cvadams_adjoint_solve_batch.restype = None
         self._core.cvadams_sens_solve.restype = ctypes.c_int
@@ -1231,6 +1232,23 @@ class CpuSolver:
             self._free_record()
         except Exception:
             pass
+
+    def checkpoint_times(self) -> np.ndarray:
+        """Recorded checkpoint times from the live native record
+        (CVodeGetAdjCheckPointsInfo analog, 16_cvodes.h:429-439)."""
+        if getattr(self, "_rec_handle", None) is None:
+            raise SolverError(
+                "checkpoint_times called before solve_forward_recorded"
+            )
+        count = int(
+            self._core.cvbdf_record_info(ctypes.c_void_p(self._rec_handle), None)
+        )
+        ts = np.empty(count, np.float64)
+        self._core.cvbdf_record_info(
+            ctypes.c_void_p(self._rec_handle),
+            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        )
+        return ts
 
     def solve_forward_recorded(self, t0, tvals, y0):
         """BDF forward solve that keeps the dense (t, y, f[, fdot]) Hermite

@@ -2995,6 +2995,16 @@ void cvbdf_record_free(void* rec_handle) {
   delete static_cast<FwdRecord*>(rec_handle);
 }
 
+// Checkpoint-table introspection (CVodeGetAdjCheckPointsInfo analog,
+// 16_cvodes.h:429-439): row count, and optionally the recorded times
+// themselves (pass ts_out=NULL to query the size first).
+int64_t cvbdf_record_info(void* rec_handle, double* ts_out) {
+  const auto* rec = static_cast<const FwdRecord*>(rec_handle);
+  int64_t count = (int64_t)rec->ts.size();
+  if (ts_out) std::copy(rec->ts.begin(), rec->ts.end(), ts_out);
+  return count;
+}
+
 // Banded handle-API pair (CVodeF/CVodeB split with banded Newton).
 void* cvbdf_forward_record_banded(int n, int lower, int upper, rhs_fn f_fn,
                                   jac_fn jb_fn, rhs_fn dfdt_fn, double t0,

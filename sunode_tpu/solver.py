@@ -1338,6 +1338,54 @@ class AdjointSolver(_SolverBase):
         self._check_status(status, "solve_forward")
         return ys if y_out is None else y_out
 
+    def checkpoint_info(self) -> dict:
+        """Inspect the checkpoint table recorded by :meth:`solve_forward`
+        (CVodeGetAdjCheckPointsInfo analog, 16_cvodes.h:429-439 — the
+        reference declares but never exposes it).
+
+        Returns a dict with ``n_recorded`` (rows actually holding data),
+        ``capacity`` (buffer size; ``None`` for the native record, which
+        grows unbounded), ``times`` (the recorded t values, ascending),
+        ``t_first``/``t_last`` (coverage), ``dt_min``/``dt_max``/``dt_mean``
+        (spacing of the interpolation grid the backward pass will read),
+        ``thinning_level`` (halvings applied when the fixed JAX buffer
+        filled — spacing grew 2^level) and ``overflow``.
+        """
+        if self._last_forward is None:
+            raise SolverError("checkpoint_info called before solve_forward")
+        fwd = self._last_forward
+        if "native_ys" in fwd:
+            if fwd.get("native_mode") == "BDF":
+                times = self._native_adj().checkpoint_times()
+            else:
+                # ADAMS augmented re-solve: backward re-integrates y with
+                # resets at the recorded observations — those rows ARE the
+                # checkpoint table
+                times = np.asarray(fwd["native_tvals"], np.float64)
+            capacity: Optional[int] = None
+            thin = 0
+        else:
+            saved = fwd["saved"]
+            n_rec = int(np.asarray(saved["n_saved"]))
+            times = np.asarray(saved["t"])[:n_rec]
+            capacity = int(np.asarray(saved["t"]).shape[0])
+            thin = int(
+                np.max((self.last_stats or {}).get("checkpoint_thinning_levels", 0))
+            )
+        dts = np.diff(times) if len(times) > 1 else np.zeros(0)
+        return dict(
+            n_recorded=int(len(times)),
+            capacity=capacity,
+            times=times,
+            t_first=float(times[0]) if len(times) else np.nan,
+            t_last=float(times[-1]) if len(times) else np.nan,
+            dt_min=float(dts.min()) if len(dts) else np.nan,
+            dt_max=float(dts.max()) if len(dts) else np.nan,
+            dt_mean=float(dts.mean()) if len(dts) else np.nan,
+            thinning_level=thin,
+            overflow=thin > 0,
+        )
+
     def solve_backward(self, t0, tend, tvals, grads, grad_out=None, lamda_out=None):
         """Backward adjoint pass (CVodeB; solver.py:723-784).
 

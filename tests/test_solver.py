@@ -175,6 +175,50 @@ def test_adjoint_backward_before_forward_raises(problem):
         solver.solve_backward(8.0, 0.0, TVALS, np.ones((len(TVALS), 2)))
 
 
+def test_checkpoint_info_native_record(problem):
+    """checkpoint_info: CVodeGetAdjCheckPointsInfo analog on the native
+    CVodeF record (16_cvodes.h:429-439)."""
+    solver = AdjointSolver(problem)
+    solver.set_params_dict(PARAMS)
+    with pytest.raises(SolverError, match="before solve_forward"):
+        solver.checkpoint_info()
+    solver.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
+    info = solver.checkpoint_info()
+    assert info["capacity"] is None  # native record grows unbounded
+    assert info["thinning_level"] == 0 and not info["overflow"]
+    ts = info["times"]
+    assert info["n_recorded"] == len(ts) > 10
+    assert np.all(np.diff(ts) > 0)  # strictly advancing rows
+    # the table must cover the backward sweep range
+    assert info["t_first"] <= TVALS[0]
+    assert info["t_last"] >= TVALS[-1] - 1e-9
+    assert 0 < info["dt_min"] <= info["dt_mean"] <= info["dt_max"]
+
+
+def test_checkpoint_info_jax_thinning(problem):
+    """On the fixed-size JAX buffer, thinning shows up in checkpoint_info
+    instead of requiring reaching into private state."""
+    big = AdjointSolver(problem, checkpoint_n=8192, native_single=False)
+    big.set_params_dict(PARAMS)
+    big.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
+    info_big = big.checkpoint_info()
+    assert info_big["capacity"] in (8192, 8193)  # buffer holds t0 row + steps
+    assert info_big["thinning_level"] == 0 and not info_big["overflow"]
+
+    small_n = max(16, info_big["n_recorded"] // 4)
+    small = AdjointSolver(problem, checkpoint_n=small_n, native_single=False)
+    small.set_params_dict(PARAMS)
+    with pytest.warns(RuntimeWarning, match="thinned"):
+        small.solve_forward(0.0, TVALS, np.array([10.0, 2.0]))
+    info = small.checkpoint_info()
+    assert info["capacity"] in (small_n, small_n + 1)
+    assert info["n_recorded"] <= info["capacity"]
+    assert info["overflow"] and info["thinning_level"] >= 1
+    # thinning doubles the spacing per level vs the big-buffer table
+    assert info["dt_mean"] > info_big["dt_mean"] * 1.5
+    assert np.all(np.diff(info["times"]) > 0)
+
+
 def test_empty_and_nested_params():
     """Reference test_solve.py exercises scalar/nested/empty params."""
 
