@@ -27,7 +27,7 @@ try:
 except ImportError:
     # fall back to the vendored Op-protocol shim: the Ops + logp/dlogp path
     # below run unchanged (pymc itself still needs the real pytensor)
-    from sunode_tpu.wrappers.pt_shim import install
+    from sunode_tpu._compat.pt_shim import install
 
     install()
     import pytensor

@@ -9,13 +9,14 @@ engine — that ``sunode_tpu.wrappers.as_pytensor`` executes end-to-end in
 environments without pytensor (this repo's CI has none).  When the real
 pytensor is installed, ``install()`` is a no-op and the real package wins.
 
-This is a test/compatibility harness, NOT a PyTensor replacement: only the
-ops the wrapper and PyMC-style logp/dlogp graphs need are provided
+This is a test/compatibility harness, NOT a PyTensor replacement (hence
+its home in ``sunode_tpu._compat``, outside the product surface): only
+the ops the wrapper and PyMC-style logp/dlogp graphs need are provided
 (elementwise arithmetic, pow, sum, reshape, basic subtensor, concatenate),
 with gradients computed against runtime shapes (no static shape inference).
 
 Usage:
-    from sunode_tpu.wrappers.pt_shim import install
+    from sunode_tpu._compat.pt_shim import install
     install()          # registers 'pytensor', 'pytensor.tensor', ... if absent
     import pytensor.tensor as pt   # now works either way
 """

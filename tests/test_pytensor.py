@@ -1,13 +1,13 @@
 """PyTensor wrapper — modeled on reference sunode/test_pytensor.py.
 
 Runs against the real pytensor when installed; otherwise against the
-vendored Op-protocol shim (sunode_tpu/wrappers/pt_shim.py), so the wrapper's
+vendored Op-protocol shim (sunode_tpu/_compat/pt_shim.py), so the wrapper's
 perform/grad bodies execute either way."""
 
 import numpy as np
 import pytest
 
-from sunode_tpu.wrappers.pt_shim import install as _install_shim
+from sunode_tpu._compat.pt_shim import install as _install_shim
 
 _install_shim()
 
@@ -211,7 +211,7 @@ def test_nullgrad_raises_not_zero():
     """grad through an op whose input gradient is grad_not_implemented must
     raise (pytensor NullTypeGradError semantics), never silently return
     zeros (code-review round 2)."""
-    from sunode_tpu.wrappers.pt_shim import NullTypeGradError
+    from sunode_tpu._compat.pt_shim import NullTypeGradError
 
     x = pt.dscalar("x")
     e = pt.as_tensor_variable(np.asarray(2.0)) ** x  # d/d(exponent): null
