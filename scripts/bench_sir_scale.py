@@ -66,20 +66,36 @@ def build(mode, checkpoint_n=1024):
     )
 
 
+GOLDEN = os.path.join(
+    os.path.dirname(HERE := os.path.dirname(os.path.abspath(__file__))),
+    "tests", "golden", "sir_1000.npz",
+)
+
+
 def run(mode, B):
     solve = build(mode)
     rng = np.random.default_rng(0)
     S0 = 0.99 + 0.005 * rng.standard_normal((B, R))
     I0 = 0.01 * np.abs(1 + 0.1 * rng.standard_normal((B, R)))
-    y0 = jnp.asarray(np.concatenate([S0, I0, np.zeros((B, R))], axis=1), DTYPE)
-    psub = jnp.asarray(
-        np.stack(
-            [0.4 * (1 + 0.05 * rng.standard_normal(B)),
-             0.15 * (1 + 0.05 * rng.standard_normal(B))],
-            axis=1,
-        ),
-        DTYPE,
+    y0 = np.concatenate([S0, I0, np.zeros((B, R))], axis=1)
+    psub = np.stack(
+        [0.4 * (1 + 0.05 * rng.standard_normal(B)),
+         0.15 * (1 + 0.05 * rng.standard_normal(B))],
+        axis=1,
     )
+    # correctness gate (BASELINE bar: throughput only counts for a solve
+    # that is right): pin lane 0 to the committed independent oracle
+    # (scipy DOP853 rtol=1e-12 + central FD, tests/golden/sir_1000.npz)
+    golden = None
+    if R == 1000 and os.path.exists(GOLDEN):
+        golden = np.load(GOLDEN)
+        y0[0] = golden["y0"]
+        psub[0] = golden["p0"][:2]
+        np.testing.assert_allclose(
+            float(p_fix[0]), golden["p0"][2], rtol=1e-6
+        )  # device roundtrip may differ in the last ulp
+    y0 = jnp.asarray(y0, DTYPE)
+    psub = jnp.asarray(psub, DTYPE)
 
     def loss(psub):
         ys = solve(0.0, y0, psub, p_fix, tvals)
@@ -89,6 +105,20 @@ def run(mode, B):
     g = gfn(psub)
     g.block_until_ready()
     assert bool(jnp.isfinite(g).all()), f"non-finite gradients ({mode}, B={B})"
+    if golden is not None:
+        # lanes are independent, so g[0] is lane 0's dL0/d(beta, gamma)
+        ys0 = np.asarray(solve(0.0, y0, psub, p_fix, tvals)[0], np.float64)
+        if F32:
+            np.testing.assert_allclose(ys0, golden["ys"], rtol=1e-2, atol=2e-3)
+            np.testing.assert_allclose(
+                np.asarray(g[0], np.float64), golden["gp"], rtol=2e-2
+            )
+        else:
+            np.testing.assert_allclose(ys0, golden["ys"], rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(
+                np.asarray(g[0], np.float64), golden["gp"], rtol=1e-3
+            )
+        print(f"  lane-0 golden gate OK ({'f32' if F32 else 'f64'})")
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):

@@ -203,9 +203,59 @@ def make_sir():
     print("sir_regions.npz", ys.shape)
 
 
+# ---- config 5 (FULL scale): SIR R=1000, the bench_sir_scale lane-0 gate ----
+# Same family at the benchmarked size (n = 3000 states).  DOP853 at
+# rtol=1e-12: a high-order non-stiff method with no Jacobian — exact for
+# this family and an independent stack from both repo cores.  The bench
+# pins its lane 0 to this fixture and gates ys and dL/d(beta,gamma).
+def make_sir_1000():
+    R = 1000
+    rng = np.random.default_rng(12345)
+    S0 = 0.99 + 0.005 * rng.standard_normal(R)
+    I0 = 0.01 * np.abs(1 + 0.1 * rng.standard_normal(R))
+    y0 = np.concatenate([S0, I0, np.zeros(R)])
+    tvals = np.linspace(5.0, 60.0, 12)
+    p0 = np.array([0.4, 0.15, 0.05])  # beta, gamma, mix
+
+    def rhs(t, y, p):
+        b, g, m = p
+        S, I = y[:R], y[R : 2 * R]
+        I_eff = I + m * (np.roll(I, 1) + np.roll(I, -1))
+        inf = b * S * I_eff
+        rec = g * I
+        return np.concatenate([-inf, inf - rec, rec])
+
+    def traj(p):
+        sol = scipy_solve(
+            rhs, (0.0, float(tvals[-1])), y0, t_eval=tvals,
+            rtol=1e-12, atol=1e-13, method="DOP853", args=(p,),
+        )
+        assert sol.success
+        return sol.y.T  # (n_t, 3R)
+
+    ys = traj(p0)
+
+    def loss(p):
+        return float(np.sum(traj(p)[:, R : 2 * R] ** 2))
+
+    gp = np.zeros(2)
+    for k in range(2):
+        e = 1e-6
+        pp, pm = p0.copy(), p0.copy()
+        pp[k] += e
+        pm[k] -= e
+        gp[k] = (loss(pp) - loss(pm)) / (2 * e)
+    np.savez(
+        os.path.join(OUT, "sir_1000.npz"),
+        tvals=tvals, p0=p0, y0=y0, ys=ys, gp=gp, R=R,
+    )
+    print("sir_1000.npz", ys.shape, "gp:", gp)
+
+
 if __name__ == "__main__":
     make_lv_forward()
     make_lv_adjoint()
     make_lv_sens()
     make_robertson()
     make_sir()
+    make_sir_1000()

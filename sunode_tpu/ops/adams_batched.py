@@ -10,7 +10,17 @@ epidemiological families) at roughly half the steps of BDF.
 
 Supports a quadrature block (combined z = [y | q]; quadratures ride the same
 corrector since they don't couple back), which is what the adjoint backward
-pass needs.  Sensitivities: use the BDF core.
+pass needs.
+
+Sensitivities: genuine CV_STAGGERED (16_cvodes.h:31-33) via ``sens_rhs``/
+``sens0``: the state corrector converges and passes its OWN error test
+first, then a per-lane-gated functional corrector advances the sensitivity
+block against the converged state (z = [y | q | S]; the whole sens phase is
+a real ``lax.cond`` so an attempt where every lane's state failed evaluates
+no sensitivity RHS at all — same sequencing as ``ops/bdf_batched.py``).
+CV_SIMULTANEOUS callers should instead augment the state vector with
+vec(S) and pass the augmented rhs (triangular coupling: functional
+iteration converges exactly as for y) — see ``Solver._adams_sens_setup``.
 """
 
 from __future__ import annotations
@@ -51,6 +61,8 @@ def adams_solve_batched(
     *,
     quad_rhs: Optional[Callable] = None,
     quad0: Optional[jnp.ndarray] = None,  # (B, m)
+    sens_rhs: Optional[Callable] = None,  # (t, y, S, p) -> (k, n), staggered
+    sens0: Optional[jnp.ndarray] = None,  # (B, k, n)
     first_step: Optional[Any] = None,
     batched_fns: bool = False,
     inject_times: Optional[jnp.ndarray] = None,  # (n_e,) ascending, shared
@@ -75,9 +87,21 @@ def adams_solve_batched(
 
     with_quad = quad_rhs is not None
     m_quad = quad0.shape[1] if with_quad else 0
-    nz = n + m_quad
+    # staggered sensitivities append the S block AFTER the quad rows
+    # (z = [y | q | S]) so the state+quad corrector rows stay contiguous
+    with_sens = sens_rhs is not None
+    k_sens = sens0.shape[1] if with_sens else 0
+    n_S = k_sens * n
+    n_yq = n + m_quad
+    nz = n_yq + n_S
     sl_y = slice(0, n)
-    sl_Q = slice(n, nz)
+    sl_Q = slice(n, n_yq)
+    sl_S = slice(n_yq, nz)
+    if with_sens:
+        assert inject_times is None and stage_fn is None, (
+            "staggered sensitivities do not combine with the adjoint "
+            "backward machinery"
+        )
 
     P_MAX = min(options.adams_max_order, 12)
     KAB = P_MAX + 3  # DF rows 0..p+2
@@ -85,12 +109,17 @@ def adams_solve_batched(
     if batched_fns:
         rhs_b = rhs
         quad_rhs_b = quad_rhs
+        sens_rhs_b = sens_rhs
     else:
         rhs_b = jax.vmap(rhs, in_axes=(0, 1, 1), out_axes=1)
         if with_quad:
             quad_rhs_b = jax.vmap(quad_rhs, in_axes=(0, 1, 1), out_axes=1)
+        if with_sens:
+            sens_rhs_b = jax.vmap(sens_rhs, in_axes=(0, 1, 2, 1), out_axes=2)
     if with_quad:
         quad0_t = jnp.asarray(quad0, dtype).T
+    if with_sens:
+        S0_t = jnp.asarray(sens0, dtype).transpose(1, 2, 0)  # (k, n, B)
 
     with_stage = stage_fn is not None
 
@@ -119,7 +148,11 @@ def adams_solve_batched(
     gamma_star_abs = jnp.asarray(np.abs(_GAMMA_STAR), dtype)
 
     # combined error weights over z
-    n_blocks = 1 + (1 if (with_quad and options.quad_err_con) else 0)
+    n_blocks = (
+        1
+        + (1 if (with_quad and options.quad_err_con) else 0)
+        + (k_sens if (with_sens and options.sens_err_con) else 0)
+    )
     v_parts = [jnp.full((n,), 1.0 / (n * n_blocks), dtype)]
     atol_parts = [atol]
     rtol_parts = [jnp.full((n,), rtol, dtype)]
@@ -140,6 +173,23 @@ def adams_solve_batched(
             jnp.full(
                 (m_quad,),
                 (1.0 / (m_quad * n_blocks)) if options.quad_err_con else 0.0,
+                dtype,
+            )
+        )
+    if with_sens:
+        # CVodeSensEEtolerances analog: atol_S[k] = atol / pbar_k (see
+        # ops/bdf_batched.py — identical block structure)
+        pbar = (
+            jnp.broadcast_to(jnp.asarray(options.sens_pbar, dtype), (k_sens,))
+            if options.sens_pbar is not None
+            else jnp.ones((k_sens,), dtype)
+        )
+        atol_parts.append((atol[None, :] / pbar[:, None]).reshape(-1))
+        rtol_parts.append(jnp.full((n_S,), rtol, dtype))
+        v_parts.append(
+            jnp.full(
+                (n_S,),
+                (1.0 / (n * n_blocks)) if options.sens_err_con else 0.0,
                 dtype,
             )
         )
@@ -196,6 +246,10 @@ def adams_solve_batched(
     h0 = jnp.where(jnp.isfinite(h0), h0, jnp.asarray(1e-6, dtype))
 
     z0 = jnp.concatenate([y0, quad0_t]) if with_quad else y0
+    if with_sens:
+        fS0 = sens_rhs_b(t0_b, y0, S0_t, params).reshape(n_S, B)
+        z0 = jnp.concatenate([z0, S0_t.reshape(n_S, B)])
+        fz0 = jnp.concatenate([fz0, fS0])
     DF0 = jnp.zeros((KAB, nz, B), dtype).at[0].set(fz0)
 
     save_steps = int(options.save_steps)
@@ -238,6 +292,7 @@ def adams_solve_batched(
         consec_fails=zeros_i,
         nsteps=zeros_i,
         nfev=jnp.full((B,), 2, jnp.int32),
+        nfevS=jnp.full((B,), 1 if with_sens else 0, jnp.int32),
         nniters=zeros_i,
         n_err_fails=zeros_i,
         n_conv_fails=zeros_i,
@@ -326,7 +381,11 @@ def adams_solve_batched(
 
         stage = stage_fn(t_new) if with_stage else None
 
-        # fixed-point corrector (statically unrolled, per-lane masked)
+        # fixed-point corrector (statically unrolled, per-lane masked) —
+        # phase 1: state+quad rows only; the sens block (if any) waits for
+        # the converged state (CV_STAGGERED sequencing, below)
+        z_pred_yq = z_pred[:n_yq] if with_sens else z_pred
+        f_extrap_yq = f_extrap[:n_yq] if with_sens else f_extrap
         y_it = z_pred[sl_y]
         conv = ~active
         div = jnp.zeros((B,), bool)
@@ -336,7 +395,7 @@ def adams_solve_batched(
         for k in range(FUNCTIONAL_MAXITER):
             fz_k = fz(t_new, y_it, stage)
             bad_f = ~jnp.all(jnp.isfinite(fz_k), axis=0)
-            z_next = z_pred + c_A[None, :] * (fz_k - f_extrap)
+            z_next = z_pred_yq + c_A[None, :] * (fz_k - f_extrap_yq)
             delta = z_next[sl_y] - y_it
             dy_norm = jnp.sqrt(jnp.mean((delta * w_y) ** 2, axis=0))
             rate = dy_norm / dy_old
@@ -356,10 +415,101 @@ def adams_solve_batched(
         conv = conv & ~bad & pred_ok
         # final combined derivative at the converged y
         fz_new = fz(t_new, y_it, stage)
-        d_fz = fz_new - f_extrap  # (nz, B)
+        d_yq = fz_new - f_extrap_yq  # (n_yq, B)
+        y_new = (z_pred_yq + c_A[None, :] * d_yq)[sl_y]
+        nfev_n = niter + 1
+
+        state_err_ok = jnp.ones((B,), bool)
+        nfevS_n = zeros_i
+        if with_sens:
+            # CV_STAGGERED (16_cvodes.h:31-33): the state must converge AND
+            # pass its OWN error test before any sensitivity work.  Per-lane
+            # gate + a real lax.cond so an attempt where every lane's state
+            # failed evaluates no sensitivity RHS at all (mirrors
+            # ops/bdf_batched.py's staggered Newton sequencing, functional
+            # iteration here).
+            gsp_gate = gamma_star_abs[p]  # (B,)
+            err_y_only = jnp.sqrt(
+                jnp.mean(
+                    (((gsp_gate * h_use)[None, :] * d_yq[sl_y]) * w_y) ** 2,
+                    axis=0,
+                )
+            )
+            state_err_ok = conv & (err_y_only <= 1.0)
+            sens_gate = active & state_err_ok
+            S_pred = z_pred[sl_S].reshape(k_sens, n, B)
+            fS_extrap = f_extrap[sl_S].reshape(k_sens, n, B)
+            wS = w_z[sl_S].reshape(k_sens, n, B)
+
+            def sbody(st):
+                it_s, S_it, old, s_conv, s_div, s_bad, nfs = st
+                FS = sens_rhs_b(t_new, y_new, S_it, params)
+                bad_f = ~jnp.all(jnp.isfinite(FS), axis=(0, 1))
+                S_next = S_pred + c_A[None, None, :] * (FS - fS_extrap)
+                norm = jnp.sqrt(
+                    jnp.mean(((S_next - S_it) * wS) ** 2, axis=(0, 1))
+                )
+                rate = norm / old
+                live = ~(s_conv | s_div | s_bad)
+                S_it = jnp.where(live[None, None, :], S_next, S_it)
+                conv_new = (
+                    (norm == 0.0)
+                    | (
+                        (it_s > 0)
+                        & (rate < 1.0)
+                        & (rate / (1 - rate) * norm < newton_tol)
+                    )
+                    | (norm < 0.1 * newton_tol)
+                )
+                div_new = (it_s > 0) & (rate >= 2.0)
+                s_bad = s_bad | (live & bad_f)
+                s_conv = s_conv | (live & conv_new & ~s_bad)
+                s_div = s_div | (live & div_new & ~conv_new)
+                nfs = nfs + live.astype(jnp.int32)
+                return (
+                    it_s + 1, S_it, jnp.where(live, norm, old),
+                    s_conv, s_div, s_bad, nfs,
+                )
+
+            sinit = (
+                jnp.asarray(0, jnp.int32),
+                S_pred,
+                jnp.full((B,), jnp.inf, dtype),
+                ~sens_gate,  # gated-out lanes sit converged (frozen)
+                jnp.zeros((B,), bool),
+                jnp.zeros((B,), bool),
+                zeros_i,
+            )
+
+            def run_sens(_):
+                sst = sinit
+                for _ in range(FUNCTIONAL_MAXITER):
+                    sst = sbody(sst)
+                # final corrector derivative at the converged S (same
+                # pattern as the state phase)
+                _, S_fin, _, s_conv, s_div, s_bad, nfs = sst
+                FS_fin = sens_rhs_b(t_new, y_new, S_fin, params)
+                return (
+                    FS_fin, s_conv, s_div, s_bad,
+                    nfs + sens_gate.astype(jnp.int32),
+                )
+
+            FS_fin, s_conv, s_div, s_bad, nfevS_n = lax.cond(
+                jnp.any(sens_gate),
+                run_sens,
+                lambda _: (fS_extrap, sinit[3], sinit[4], sinit[5], zeros_i),
+                None,
+            )
+            d_S = (FS_fin - fS_extrap).reshape(n_S, B)
+            # a gated-off sens corrector must not mask the state rejection:
+            # acceptance requires state_err_ok anyway (below)
+            conv = conv & ((s_conv & ~s_bad & ~s_div) | ~state_err_ok)
+            d_S = jnp.where(state_err_ok[None, :], d_S, 0.0)
+            d_fz = jnp.concatenate([d_yq, d_S])
+        else:
+            d_fz = d_yq
         z_new = z_pred + c_A[None, :] * d_fz
         y_new = z_new[sl_y]
-        nfev_n = niter + 1
 
         if constraints is not None:
             cns = constraints[:, None]
@@ -389,7 +539,14 @@ def adams_solve_batched(
             jnp.sum((err_rows * w_z[None]) ** 2 * v_err[None, :, None], axis=1)
         )
         err_norm = err3[0]
-        err_ok = err_norm <= 1.0
+        if with_sens:
+            # the state's OWN error test gates acceptance, and the
+            # step-reduction factor must see the state failure too (a gated
+            # sens corrector left the d_S block zero) — see bdf_batched.py
+            err_norm = jnp.maximum(err_norm, err_y_only)
+            err_ok = (err_norm <= 1.0) & state_err_ok
+        else:
+            err_ok = err_norm <= 1.0
         accept = active & conv & err_ok & ~constraint_fail
         err_reject = active & conv & (~err_ok | constraint_fail)
 
@@ -606,6 +763,7 @@ def adams_solve_batched(
             consec_fails=cfails.astype(jnp.int32),
             nsteps=nsteps,
             nfev=c["nfev"] + nfev_n,
+            nfevS=c["nfevS"] + nfevS_n,
             nniters=c["nniters"] + niter,
             n_err_fails=c["n_err_fails"] + err_reject.astype(jnp.int32),
             n_conv_fails=c["n_conv_fails"] + (active & ~conv).astype(jnp.int32),
@@ -687,9 +845,16 @@ def adams_solve_batched(
     else:
         saved_out = None
 
+    if with_sens:
+        stats["n_sens_rhs_evals"] = final["nfevS"]
     zs = final["zs"]
     ys = jnp.moveaxis(zs[:, sl_y, :], 2, 0)
     quad = jnp.moveaxis(zs[:, sl_Q, :], 2, 0) if with_quad else None
+    sens = (
+        jnp.moveaxis(zs[:, sl_S, :], 2, 0).reshape(B, n_t, k_sens, n)
+        if with_sens
+        else None
+    )
     return BDFResult(
-        ys=ys, status=status, stats=stats, saved=saved_out, sens=None, quad=quad
+        ys=ys, status=status, stats=stats, saved=saved_out, sens=sens, quad=quad
     )

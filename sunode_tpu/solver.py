@@ -291,19 +291,6 @@ class Solver(_SolverBase):
                 )
         self._options = options
 
-        if solver == "ADAMS" and sens_mode == "staggered":
-            import warnings
-
-            warnings.warn(
-                "solver='ADAMS' with sens_mode='staggered': unbatched "
-                "solves run genuine CV_STAGGERED natively; BATCHED solves "
-                "use the jitted simultaneous augmented corrector (joint "
-                "error control — a conservative superset of staggered). "
-                "Genuine staggering on the jitted path is BDF-only.",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-
         self._linear_solver_kwargs = dict(linear_solver_kwargs or {})
         # B=1 host fast path: a single plain BDF solve routes through the
         # native C++ integrator (native/cvbdf.cpp; ~109us for README LV
@@ -643,6 +630,17 @@ class Solver(_SolverBase):
 
                 def run(t0, y0, params, tvals, sens0, max_steps, first_step):
                     if solver_kind == "ADAMS":
+                        if self._compute_sens and opts.sens_staggered:
+                            # genuine CV_STAGGERED in the batched functional
+                            # core: state corrector + own error test first,
+                            # then the per-lane-gated sens corrector
+                            o = opts._replace(max_steps=max_steps)
+                            res = adams_solve_batched(
+                                rhs, t0, y0, params, tvals, o,
+                                sens_rhs=sens_rhs, sens0=sens0,
+                                first_step=first_step,
+                            )
+                            return res.ys, res.sens, res.status, res.stats
                         if self._compute_sens:
                             o = opts_aug._replace(max_steps=max_steps)
                             B = y0.shape[0]
@@ -682,6 +680,32 @@ class Solver(_SolverBase):
                 if solver_kind == "ADAMS":
                     from sunode_tpu.ops.adams import adams_solve
 
+                    if (
+                        self._compute_sens
+                        and opts.sens_staggered
+                        and self._root_fn is None
+                    ):
+                        # genuine CV_STAGGERED for the unbatched jitted
+                        # path too: the batch-native functional core at
+                        # B=1 (events still use the augmented corrector —
+                        # the batched ADAMS core has no rootfinding)
+                        from sunode_tpu.ops.adams_batched import (
+                            adams_solve_batched,
+                        )
+
+                        o = opts._replace(max_steps=max_steps)
+                        res = adams_solve_batched(
+                            rhs, t0, y0[None], params[None], tvals, o,
+                            sens_rhs=sens_rhs, sens0=sens0[None],
+                            first_step=first_step,
+                        )
+                        stats = {
+                            kk: vv[0] if getattr(vv, "ndim", 0) > 0 else vv
+                            for kk, vv in res.stats.items()
+                        }
+                        return (
+                            res.ys[0], res.sens[0], res.status[0], stats,
+                        )
                     if self._compute_sens:
                         o = opts_aug._replace(max_steps=max_steps)
                         y0_aug = jnp.concatenate([y0, sens0.reshape(-1)])

@@ -1228,8 +1228,12 @@ def test_native_adams_staggered_sens():
     fd = (sol(1.0 + eps) - sol(1.0 - eps)) / (2 * eps)
     assert (np.abs(sens_st[:, 0, :] - fd) / (np.abs(fd) + 1e-3)).max() < 1e-3
 
-    # the ctor warns that BATCHED solves use the simultaneous corrector
-    with pytest.warns(RuntimeWarning, match="CV_STAGGERED"):
+    # no warning: batched ADAMS staggering is genuine now
+    # (ops/adams_batched.py sens_rhs path)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
         s = Solver(
             prob, abstol=1e-10, reltol=1e-10, solver="ADAMS",
             sens_mode="staggered",
