@@ -28,8 +28,12 @@ from sunode_tpu.ops.bdf import BDFOptions
 from sunode_tpu.problem import JaxProblem
 from sunode_tpu.wrappers.as_jax import make_batched_solve_fn
 
-argv = [a for a in sys.argv[1:] if a != "--f32"]
+argv = [a for a in sys.argv[1:] if not a.startswith("--")]
 F32 = "--f32" in sys.argv[1:]
+MODES = ("resolve", "hermite")
+for a in sys.argv[1:]:
+    if a.startswith("--modes="):
+        MODES = tuple(a.split("=", 1)[1].split(","))
 DTYPE = jnp.float32 if F32 else jnp.float64
 RTOL, ATOL = (1e-5, 1e-7) if F32 else (1e-8, 1e-10)
 R = int(argv[0]) if argv else 1000
@@ -99,15 +103,18 @@ def run(mode, B):
 
     def loss(psub):
         ys = solve(0.0, y0, psub, p_fix, tvals)
-        return jnp.sum(ys[:, :, R : 2 * R] ** 2)
+        # lane 0's trajectory rides along as aux so the correctness gate
+        # reuses THIS compiled program (a separate forward-only solve would
+        # double the multi-minute AOT compile per configuration)
+        return jnp.sum(ys[:, :, R : 2 * R] ** 2), ys[0]
 
-    gfn = jax.jit(jax.grad(loss))
-    g = gfn(psub)
+    gfn = jax.jit(jax.value_and_grad(loss, has_aux=True))
+    (_, ys0_dev), g = gfn(psub)
     g.block_until_ready()
     assert bool(jnp.isfinite(g).all()), f"non-finite gradients ({mode}, B={B})"
     if golden is not None:
         # lanes are independent, so g[0] is lane 0's dL0/d(beta, gamma)
-        ys0 = np.asarray(solve(0.0, y0, psub, p_fix, tvals)[0], np.float64)
+        ys0 = np.asarray(ys0_dev, np.float64)
         if F32:
             np.testing.assert_allclose(ys0, golden["ys"], rtol=1e-2, atol=2e-3)
             np.testing.assert_allclose(
@@ -122,7 +129,7 @@ def run(mode, B):
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        g = gfn(psub)
+        (_, _), g = gfn(psub)
     g.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     print(
@@ -134,7 +141,7 @@ def run(mode, B):
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
-    for mode in ("resolve", "hermite"):
+    for mode in MODES:
         for B in BS:
             try:
                 run(mode, B)

@@ -265,10 +265,17 @@ class ParamSpec:
     # flatten / unflatten (work on numpy or jax arrays; jnp ops are static-
     # index slices so XLA fuses them away)
     # ------------------------------------------------------------------
-    def flatten_dict(self, nested: Mapping[str, Any], xp: Any = np) -> Any:
+    def flatten_dict(
+        self, nested: Mapping[str, Any], xp: Any = np, follow_dtype: bool = False
+    ) -> Any:
         """Nested dict of arrays/scalars -> flat vector (ordered per spec).
 
         Missing leaves are an error; extra leaves are an error.
+        ``follow_dtype=True`` keeps the leaves' common floating dtype
+        instead of coercing to ``self.dtype`` — required on traced compute
+        paths (e.g. JaxProblem rhs outputs) so an f32 pipeline stays f32
+        end-to-end under x64 mode; non-floating leaves still promote to
+        ``self.dtype``.
         """
         flat = flatten_path_dict(nested)
         extra = set(flat) - set(self.paths)
@@ -277,9 +284,14 @@ class ParamSpec:
         missing = set(self.paths) - set(flat)
         if missing:
             raise KeyError(f"Missing entries: {sorted(missing)}")
+        dtype = self.dtype
+        if follow_dtype and self.paths:
+            dtype = xp.result_type(*(flat[path] for path in self.paths))
+            if not xp.issubdtype(dtype, xp.floating):
+                dtype = self.dtype
         parts = []
         for path in self.paths:
-            value = xp.asarray(flat[path], dtype=self.dtype)
+            value = xp.asarray(flat[path], dtype=dtype)
             expected = self.shapes[path]
             # Allow scalars to broadcast into shaped leaves (matches the
             # reference's structured-array assignment semantics).
@@ -336,7 +348,14 @@ class ParamSpec:
         f32 pipeline stays f32 end-to-end under x64 mode; non-floating inputs
         (e.g. integer literals) still promote to ``self.dtype``."""
         batch = xp.broadcast_shapes(subset_vec.shape[:-1], remainder_vec.shape[:-1])
-        dtype = xp.result_type(subset_vec.dtype, remainder_vec.dtype)
+        # zero-size halves don't vote on the dtype (an empty f64 remainder
+        # must not upcast an f32 subset)
+        voting = [
+            v.dtype
+            for v in (subset_vec, remainder_vec)
+            if v.shape[-1:] != (0,)
+        ]
+        dtype = xp.result_type(*voting) if voting else self.dtype
         if not xp.issubdtype(dtype, xp.floating):
             dtype = self.dtype
         out = xp.zeros(batch + (self.n_items,), dtype=dtype)

@@ -307,7 +307,9 @@ class JaxProblem(Problem):
             out = user_rhs(t, y_rec, p_rec)
             if not isinstance(out, Mapping):
                 raise TypeError("JaxProblem rhs must return a dict of state derivatives")
-            return states.flatten_dict(out, xp=jnp)
+            # follow the traced input dtype: an f32 pipeline must not be
+            # upcast to the spec's f64 here (f32 speed mode)
+            return states.flatten_dict(out, xp=jnp, follow_dtype=True)
 
         return rhs
 

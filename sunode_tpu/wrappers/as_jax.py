@@ -470,6 +470,13 @@ def solve_ivp(
     ``derivative_params``: paths to differentiate w.r.t.; when None, every
     param leaf given as a jax array/tracer is selected (the reference
     auto-detects PyTensor variables the same way, as_pytensor.py:72-81).
+
+    Dtype follows the inputs (f32 speed mode): float32 ``y0``/``params``
+    leaves run the whole pipeline — forward carry, backward pass,
+    gradients — at native TPU f32 even with x64 enabled (~6x f64
+    throughput; pair with rtol ~1e-5/1e-6, see docs/performance.md).
+    Python scalars are weakly typed and follow the array leaves; all-f64
+    (or all-scalar) inputs keep the reference's f64 semantics.
     """
     from sunode_tpu.paramspec import flatten_path_dict, nest_path_dict
     from sunode_tpu.problem import JaxProblem
@@ -546,10 +553,22 @@ def solve_ivp(
     return SolveResult(solution=solution, ys=ys, problem=problem, solve_fn=solve_fn)
 
 
+def _traced_dtype(spec, values, paths):
+    """dtype follows the INPUTS (f32 speed mode contract: f32 leaves run
+    the whole pipeline at f32 under x64); non-floating leaves (python
+    ints/floats are weakly typed) promote to the spec dtype."""
+    arrs = [values[p] for p in paths if hasattr(values[p], "dtype")]
+    if not arrs:
+        return spec.dtype
+    dtype = jnp.result_type(*arrs)
+    return dtype if jnp.issubdtype(dtype, jnp.floating) else spec.dtype
+
+
 def _flatten_traced(spec, values):
+    dtype = _traced_dtype(spec, values, spec.paths)
     parts = []
     for path in spec.paths:
-        v = jnp.asarray(values[path], spec.dtype)
+        v = jnp.asarray(values[path], dtype)
         v = jnp.broadcast_to(v, spec.shapes[path])
         parts.append(v.reshape(-1))
     if not parts:
@@ -558,9 +577,10 @@ def _flatten_traced(spec, values):
 
 
 def _flatten_subset_traced(spec, values):
+    dtype = _traced_dtype(spec, values, spec.subset_paths)
     parts = []
     for path in spec.subset_paths:
-        v = jnp.asarray(values[path], spec.dtype)
+        v = jnp.asarray(values[path], dtype)
         v = jnp.broadcast_to(v, spec.shapes[path])
         parts.append(v.reshape(-1))
     if not parts:
@@ -569,11 +589,11 @@ def _flatten_subset_traced(spec, values):
 
 
 def _flatten_remainder_traced(spec, values):
+    rem_paths = [p for p in spec.paths if p not in spec.subset_paths]
+    dtype = _traced_dtype(spec, values, rem_paths)
     parts = []
-    for path in spec.paths:
-        if path in spec.subset_paths:
-            continue
-        v = jnp.asarray(values[path], spec.dtype)
+    for path in rem_paths:
+        v = jnp.asarray(values[path], dtype)
         v = jnp.broadcast_to(v, spec.shapes[path])
         parts.append(v.reshape(-1))
     if not parts:

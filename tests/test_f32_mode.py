@@ -60,6 +60,63 @@ def test_paramspec_combine_follows_input_dtype(lv_problem):
     assert spec.combine(sub.astype(jnp.float64), rem, xp=jnp).dtype == jnp.float64
 
 
+def test_jaxproblem_rhs_follows_input_dtype():
+    """Regression (round 4): JaxProblem.make_rhs used to coerce its output
+    dict to the spec's f64 via flatten_dict, silently upcasting the whole
+    f32 pipeline (caught by the SIR-1000 f32 bench: the adams carry broke
+    with a f32/f64 while_loop mismatch)."""
+    from sunode_tpu.problem import JaxProblem
+
+    prob = JaxProblem(
+        params={"k": ()},
+        states={"x": (2,)},
+        rhs=lambda t, y, p: {"x": -p.k * y.x},
+        derivative_params=[("k",)],
+    )
+    rhs = prob.make_rhs()
+    y32 = jnp.ones(2, jnp.float32)
+    p32 = jnp.asarray([0.5], jnp.float32)
+    assert rhs(0.0, y32, p32).dtype == jnp.float32
+    assert rhs(0.0, y32.astype(jnp.float64), p32.astype(jnp.float64)).dtype == jnp.float64
+
+
+def test_solve_ivp_follows_input_dtype():
+    """solve_ivp contract: f32 leaves run the pipeline (and gradients) at
+    f32; f64 leaves keep reference semantics."""
+    from sunode_tpu.wrappers.as_jax import solve_ivp
+
+    def rhs(t, y, p):
+        return {"x": -p.k * y.x}
+
+    def run(dtype):
+        def loss(k):
+            res = solve_ivp(
+                0.0,
+                {"x": (jnp.asarray([1.0, 2.0], dtype), (2,))},
+                {"k": (k, ())},
+                jnp.linspace(0.5, 2.0, 4).astype(dtype),
+                rhs,
+                derivatives="adjoint",
+                # f32-reachable tolerances both directions (the default
+                # 1e-10 backward pass cannot converge at f32)
+                solver_kwargs=dict(
+                    rtol=1e-5, atol=1e-6,
+                    adjoint_options=BDFOptions(rtol=1e-5, atol=1e-6),
+                ),
+            )
+            return jnp.sum(res.ys**2), res.ys.dtype
+
+        k = jnp.asarray(0.7, dtype)
+        (l, ys_dtype), g = jax.value_and_grad(loss, has_aux=True)(k)
+        return ys_dtype, g.dtype, float(g)
+
+    ys32, g32, gv32 = run(jnp.float32)
+    assert ys32 == jnp.float32 and g32 == jnp.float32
+    ys64, g64, gv64 = run(jnp.float64)
+    assert ys64 == jnp.float64 and g64 == jnp.float64
+    assert abs(gv32 - gv64) < 1e-3 * max(1.0, abs(gv64))
+
+
 def test_forward_solve_f32(lv_problem):
     solve = make_batched_solve_fn(
         lv_problem,
