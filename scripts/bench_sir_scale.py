@@ -24,6 +24,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the R=1000 programs take minutes of remote AOT
+# compile per (mode, B); a re-run after an interruption resumes from cache
+jax.config.update("jax_compilation_cache_dir", "/tmp/sunode_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from sunode_tpu.ops.bdf import BDFOptions
 from sunode_tpu.problem import JaxProblem
 from sunode_tpu.wrappers.as_jax import make_batched_solve_fn

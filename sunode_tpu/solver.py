@@ -992,9 +992,28 @@ class AdjointSolver(_SolverBase):
         linear_solver: str = "dense",
         linear_solver_kwargs: Optional[dict] = None,
         native_single: bool = True,
+        roots: Optional[Callable] = None,
+        root_directions: Optional[Any] = None,
+        root_cap: int = 8,
     ):
         if solver not in ("BDF", "ADAMS") or adjoint_solver not in ("BDF", "ADAMS"):
             raise ValueError("solver/adjoint_solver must be 'BDF' or 'ADAMS'")
+        # terminal events during the recording pass (CVodeF records while
+        # rootfinding, 16_cvodes.h:365-439): solve_forward stops AT the
+        # root (outputs past it NaN, stats['roots_t'] set), the checkpoint
+        # record ends there, and solve_backward integrates the recorded
+        # span — gradient rows at observation times past the root are
+        # zeroed (a pre-impact observable cannot depend on them)
+        self._roots_src = roots
+        self._root_fn = (
+            problem.make_root_fn(roots)
+            if roots is not None and hasattr(problem, "make_root_fn")
+            else roots
+        )
+        self._root_cap = int(root_cap)
+        self._root_directions = (
+            None if root_directions is None else np.asarray(root_directions)
+        )
         if adjoint_solver == "ADAMS" and solver != "ADAMS":
             raise NotImplementedError(
                 "adjoint_solver='ADAMS' requires solver='ADAMS'"
@@ -1136,6 +1155,7 @@ class AdjointSolver(_SolverBase):
             "_last_forward",
             "last_stats",
             "_native_adj_solver",
+            "_root_fn",
         ):
             state.pop(key, None)
         return state
@@ -1143,6 +1163,12 @@ class AdjointSolver(_SolverBase):
     def __setstate__(self, state):
         self.__dict__.update(state)
         self._init_derived()
+        roots = getattr(self, "_roots_src", None)
+        self._root_fn = (
+            self._problem.make_root_fn(roots)
+            if roots is not None and hasattr(self._problem, "make_root_fn")
+            else roots
+        )
         self._jit_cache = {}
         self._last_forward = None
         self.last_stats = None
@@ -1160,18 +1186,32 @@ class AdjointSolver(_SolverBase):
         key = ("fwd", n_t)
         if key not in self._jit_cache:
             rhs, jac, opts = self._rhs, self._jac, self._options
+            root_kw = (
+                dict(
+                    root_fn=self._root_fn,
+                    root_cap=self._root_cap,
+                    root_terminal=True,
+                    root_directions=self._root_directions,
+                )
+                if self._root_fn is not None
+                else {}
+            )
 
             if self._solver_kind == "ADAMS":
                 from sunode_tpu.ops.adams import adams_solve
 
                 def run(t0, y0, params, tvals):
-                    res = adams_solve(rhs, t0, y0, params, tvals, opts)
+                    res = adams_solve(
+                        rhs, t0, y0, params, tvals, opts, **root_kw
+                    )
                     return res.ys, res.status, res.saved, res.stats
 
             else:
 
                 def run(t0, y0, params, tvals):
-                    res = bdf_solve(rhs, jac, t0, y0, params, tvals, opts)
+                    res = bdf_solve(
+                        rhs, jac, t0, y0, params, tvals, opts, **root_kw
+                    )
                     return res.ys, res.status, res.saved, res.stats
 
             self._jit_cache[key] = jax.jit(run)
@@ -1261,6 +1301,7 @@ class AdjointSolver(_SolverBase):
             self._native_single_enabled
             and kind_ok
             and ls_ok
+            and self._root_fn is None  # event recording is the JAX path
             and o.constraints is None
             and o.first_step is None
             and not np.isfinite(o.max_step)
@@ -1359,7 +1400,12 @@ class AdjointSolver(_SolverBase):
         ys = np.asarray(ys)
         if y_out is not None:
             y_out[...] = ys
-        self._check_status(status, "solve_forward")
+        status_f = np.asarray(status)
+        if self._root_fn is not None:
+            # CV_ROOT_RETURN (5) is a successful early return: the record
+            # ends at the root and backward integrates the recorded span
+            status_f = np.where(status_f == 5, 0, status_f)
+        self._check_status(status_f, "solve_forward")
         return ys if y_out is None else y_out
 
     def checkpoint_info(self) -> dict:
@@ -1457,6 +1503,20 @@ class AdjointSolver(_SolverBase):
             if grad_out is None and lamda_out is None:
                 return quad, -lam0
             return grad_out, lamda_out
+        grads = np.asarray(grads, np.float64)
+        if self._root_fn is not None and self.last_stats is not None:
+            # CVodeB-after-CVodeF-root semantics: the recording stopped AT
+            # the terminal root, observations past it are NaN by contract,
+            # so their cotangent rows are zeroed — the backward pass then
+            # computes the exact gradient of the pre-impact observable
+            # (lambda stays identically 0 until the first retained
+            # injection, so the truncated record costs nothing)
+            rt = np.asarray(self.last_stats.get("roots_t", np.inf)).reshape(-1)
+            t_root = float(rt[0]) if rt.size else np.inf
+            post = np.asarray(tvals, np.float64) >= t_root
+            if post.any():
+                grads = grads.copy()
+                grads[post] = 0.0
         args = (
             fwd["saved"],
             jnp.asarray(tend, jnp.float64),

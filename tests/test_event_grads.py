@@ -31,6 +31,10 @@ OPTS = BDFOptions(rtol=1e-10, atol=1e-12)
 H, G = 2.0, 9.81
 
 
+def _drag_rhs(t, y, p):
+    return {"x": y.v, "v": -p.g - p.c * y.v}
+
+
 def _closed_forms():
     t_star = np.sqrt(2 * H / G)
     return dict(
@@ -142,6 +146,89 @@ def test_event_fn_validation_and_no_root(ball):
     y0 = jnp.array([H, 0.0])
     t_ev = event(0.0, y0, jnp.array([0.01]), p_fix, 0.5)[0]  # barely falls
     assert not np.isfinite(float(t_ev))
+
+
+@pytest.mark.parametrize("kinds", [("BDF", "BDF"), ("ADAMS", "ADAMS")])
+def test_adjoint_solver_with_terminal_event(kinds):
+    """VERDICT r3 #9: CVodeF-records-while-rootfinding analog.
+    AdjointSolver(roots=...) stops the recording pass at the terminal
+    root; solve_backward zeroes the (NaN) post-impact cotangent rows and
+    returns the exact gradient of the pre-impact observable (FD-checked
+    against a rootless tight solve — the pre-impact trajectory is
+    identical with or without the event)."""
+    import jax.numpy as jnp
+
+    from sunode_tpu.solver import AdjointSolver
+    from sunode_tpu.wrappers.as_jax import make_solve_fn
+
+    prob = SympyProblem(
+        params={"g": (), "c": ()},
+        states={"x": (), "v": ()},
+        rhs_sympy=_drag_rhs,
+        derivative_params=[("g",), ("c",)],
+    )
+    y0 = np.array([H, 0.0])
+    p_dict = {"g": G, "c": 0.3}
+    # impact at ~0.65s with drag: two observations before, two after
+    tvals = np.array([0.2, 0.4, 0.8, 1.0])
+
+    solver, adjoint_solver = kinds
+    s = AdjointSolver(
+        prob, abstol=1e-10, reltol=1e-10, roots=_roots,
+        solver=solver, adjoint_solver=adjoint_solver,
+    )
+    assert not s._native_adj_eligible()  # event recording is the JAX path
+    s.set_params_dict(p_dict)
+    ys = s.solve_forward(0.0, tvals, y0)
+    st = s.last_stats
+    assert int(st["n_roots"]) == 1
+    t_root = float(st["roots_t"][0])
+    assert 0.4 < t_root < 0.8
+    assert np.isfinite(ys[:2]).all() and np.isnan(ys[2:]).all()
+
+    # L = sum of x(t_i)^2 over the PRE-impact observations; the NaN rows'
+    # cotangents (as a naive loss would produce) must be sanitized away
+    grads = 2.0 * ys
+    grads[:, 1] = 0.0  # only x enters L
+    quad, lam = s.solve_backward(tvals[-1], 0.0, tvals, grads)
+    assert np.isfinite(quad).all() and np.isfinite(lam).all()
+
+    # FD oracle through the rootless differentiable solve (identical
+    # dynamics before the impact)
+    from sunode_tpu.ops.bdf import BDFOptions
+
+    plain = make_solve_fn(
+        prob, derivatives=None, options=BDFOptions(rtol=1e-12, atol=1e-13)
+    )
+    tv_pre = jnp.asarray(tvals[:2])
+
+    def L(p_sub, y0v):
+        ys = plain(0.0, jnp.asarray(y0v), jnp.asarray(p_sub), jnp.zeros((0,)), tv_pre)
+        return float(jnp.sum(ys[:, 0] ** 2))
+
+    p0 = np.array([G, 0.3])
+    eps = 1e-6
+    for k in range(2):
+        pp, pm = p0.copy(), p0.copy()
+        pp[k] += eps
+        pm[k] -= eps
+        fd = (L(pp, y0) - L(pm, y0)) / (2 * eps)
+        assert abs(quad[k] - fd) < 1e-5 * max(1.0, abs(fd)), (k, quad[k], fd)
+    # dL/dy0 = -lamda (reference sign convention)
+    for k in range(2):
+        yp, ym = y0.copy(), y0.copy()
+        yp[k] += eps
+        ym[k] -= eps
+        fd = (L(p0, yp) - L(p0, ym)) / (2 * eps)
+        assert abs(-lam[k] - fd) < 1e-5 * max(1.0, abs(fd)), (k, -lam[k], fd)
+
+    # pickling keeps the event config (reference AdjointSolver cannot
+    # pickle at all)
+    import pickle
+
+    s2 = pickle.loads(pickle.dumps(s))
+    s2.solve_forward(0.0, tvals, y0)
+    assert abs(float(s2.last_stats["roots_t"][0]) - t_root) < 1e-12
 
 
 def test_second_root_nonterminal(ball):
