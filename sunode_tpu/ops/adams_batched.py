@@ -63,6 +63,10 @@ def adams_solve_batched(
     quad0: Optional[jnp.ndarray] = None,  # (B, m)
     sens_rhs: Optional[Callable] = None,  # (t, y, S, p) -> (k, n), staggered
     sens0: Optional[jnp.ndarray] = None,  # (B, k, n)
+    root_fn: Optional[Callable] = None,  # (t, y, p) -> (nrt,) event functions
+    root_cap: int = 8,
+    root_terminal: bool = True,
+    root_directions: Optional[Any] = None,
     first_step: Optional[Any] = None,
     batched_fns: bool = False,
     inject_times: Optional[jnp.ndarray] = None,  # (n_e,) ascending, shared
@@ -102,6 +106,22 @@ def adams_solve_batched(
             "staggered sensitivities do not combine with the adjoint "
             "backward machinery"
         )
+    with_roots = root_fn is not None
+    if with_roots:
+        assert inject_times is None and stage_fn is None, (
+            "rootfinding does not combine with the adjoint backward "
+            "machinery"
+        )
+        if batched_fns:
+            root_b = root_fn  # (t (B,), y (n, B), p (n_p, B)) -> (nrt, B)
+        else:
+            root_b = jax.vmap(
+                lambda tt, yy, pp: jnp.asarray(
+                    root_fn(tt, yy, pp), dtype
+                ).reshape(-1),
+                in_axes=(0, 1, 1),
+                out_axes=1,
+            )
 
     P_MAX = min(options.adams_max_order, 12)
     KAB = P_MAX + 3  # DF rows 0..p+2
@@ -278,7 +298,24 @@ def adams_solve_batched(
     i_out0 = jnp.sum(emit_mask0, axis=0).astype(jnp.int32)
 
     zeros_i = jnp.zeros((B,), jnp.int32)
+    if with_roots:
+        from sunode_tpu.ops.bdf import _validate_rdir
+
+        g_init0 = root_b(t0_b, y0, params)  # (nrt, B)
+        nrt = g_init0.shape[0]
+        root_cap = max(int(root_cap), 1)
+        rdir = _validate_rdir(nrt, root_directions)
+        root_carry0 = dict(
+            g_prev=g_init0,
+            root_t=jnp.full((root_cap, B), jnp.inf, dtype),
+            root_y=jnp.zeros((root_cap, n, B), dtype),
+            root_dirs=jnp.zeros((root_cap, nrt, B), jnp.int32),
+            n_roots=zeros_i,
+        )
+    else:
+        root_carry0 = {}
     carry0 = dict(
+        **root_carry0,
         t=t0_b,
         z=z0,
         h=h0,
@@ -579,18 +616,8 @@ def adams_solve_batched(
         else:
             at_event = jnp.zeros((B,), bool)
 
-        # ---- emission (exact integral-basis interpolation) ---------------
-        def emit_cond(st):
-            i_out = st[0]
-            te = tvals[jnp.minimum(i_out, n_t - 1)]
-            pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
-            return jnp.any(pend)
-
-        def emit_body(st):
-            i_out, zs = st
-            te = tvals[jnp.minimum(i_out, n_t - 1)]
-            pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
-            s = (te - t_new) / h_use  # (B,)
+        def _z_interp(tt):  # tt (B,) -> (nz, B): integral-basis dense output
+            s = (tt - t_new) / h_use
             acc = jnp.zeros_like(z_new)
             for i in range(K):
                 coefs = _C_INT[i]
@@ -599,7 +626,111 @@ def adams_solve_batched(
                     ci = ci * s + a
                 wgt = jnp.where(i <= p, ci, 0.0)
                 acc = acc + wgt[None, :] * DF_upd[i]
-            zi = z_new + h_use[None, :] * acc
+            return z_new + h_use[None, :] * acc
+
+        # ---- rootfinding (SoA _root_scan analog on the Adams dense
+        # output; one bisection loop localizes every accepting lane's
+        # leftmost bracket — see ops/bdf_batched.py) ------------------------
+        if with_roots:
+
+            def _rscan(_):
+                g_new = root_b(t_new, y_new, params)  # (nrt, B)
+                gp = c["g_prev"]
+                changed = ((gp * g_new) < 0) | ((g_new == 0.0) & (gp != 0.0))
+                cross_dir = jnp.sign(g_new - gp).astype(jnp.int32)
+                changed = changed & (
+                    (rdir[:, None] == 0) | (rdir[:, None] == cross_dir)
+                )
+                changed = changed & accept[None, :]
+                lane_hit = jnp.any(changed, axis=0)  # (B,)
+
+                def g_at(tt):  # tt (B,)
+                    return root_b(tt, _z_interp(tt)[sl_y], params)
+
+                def bis(_i, st):
+                    lo, hi, glo = st
+                    mid = 0.5 * (lo + hi)
+                    gm = g_at(mid)
+                    in_left = jnp.any(
+                        changed & ((glo * gm < 0) | ((gm == 0.0) & (glo != 0.0))),
+                        axis=0,
+                    )  # (B,)
+                    return (
+                        jnp.where(in_left, lo, mid),
+                        jnp.where(in_left, mid, hi),
+                        jnp.where(in_left[None, :], glo, gm),
+                    )
+
+                lo, hi, _ = lax.fori_loop(0, 64, bis, (t, t_new, gp))
+                tr = 0.5 * (lo + hi)
+                ttol = (
+                    100.0
+                    * jnp.finfo(dtype).eps
+                    * (jnp.abs(t_new) + jnp.abs(h_use))
+                )
+                g_up = g_at(jnp.minimum(tr + ttol, t_new))
+                here = changed & (gp * g_up <= 0)
+                dirs = jnp.where(
+                    here,
+                    jnp.where(
+                        g_up != 0.0, jnp.sign(g_up), jnp.sign(g_new - gp)
+                    ).astype(jnp.int32),
+                    0,
+                )  # (nrt, B)
+                y_root = _z_interp(tr)[sl_y]
+                tr = jnp.where(lane_hit, tr, jnp.inf)
+                return lane_hit, tr, dirs, y_root, g_new
+
+            def _rskip(_):
+                return (
+                    jnp.zeros((B,), bool),
+                    jnp.full((B,), jnp.inf, dtype),
+                    jnp.zeros((nrt, B), jnp.int32),
+                    jnp.zeros((n, B), dtype),
+                    c["g_prev"],
+                )
+
+            root_hit, t_root, root_dirs_now, y_root, g_new = lax.cond(
+                jnp.any(accept), _rscan, _rskip, None
+            )
+            can_rec = root_hit & (c["n_roots"] < root_cap)  # (B,)
+            ridx = jnp.minimum(c["n_roots"], root_cap - 1)
+            onehot_r = (
+                jnp.arange(root_cap)[:, None] == ridx[None, :]
+            )  # (cap, B)
+            wrec = onehot_r & can_rec[None, :]
+            root_t_buf = jnp.where(wrec, t_root[None, :], c["root_t"])
+            root_y_buf = jnp.where(
+                wrec[:, None, :], y_root[None], c["root_y"]
+            )
+            root_dirs_buf = jnp.where(
+                wrec[:, None, :], root_dirs_now[None], c["root_dirs"]
+            )
+            n_roots_new = c["n_roots"] + root_hit.astype(jnp.int32)
+            g_prev_new = jnp.where(accept[None, :], g_new, c["g_prev"])
+            if root_terminal:
+                t_stop = jnp.where(root_hit, t_root, jnp.inf)  # (B,)
+            else:
+                t_stop = None
+        else:
+            t_stop = None
+
+        # ---- emission (exact integral-basis interpolation) ---------------
+        def emit_cond(st):
+            i_out = st[0]
+            te = tvals[jnp.minimum(i_out, n_t - 1)]
+            pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
+            if t_stop is not None:
+                pend = pend & (te <= t_stop)
+            return jnp.any(pend)
+
+        def emit_body(st):
+            i_out, zs = st
+            te = tvals[jnp.minimum(i_out, n_t - 1)]
+            pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
+            if t_stop is not None:
+                pend = pend & (te <= t_stop)
+            zi = _z_interp(te)
             onehot = jnp.arange(n_t)[:, None] == jnp.minimum(i_out, n_t - 1)[None, :]
             write = onehot[:, None, :] & pend[None, None, :]
             zs = jnp.where(write, zi[None], zs)
@@ -734,11 +865,15 @@ def adams_solve_batched(
             status,
         )
         status = jnp.where((status == -1) & underflow, STATUS["STEP_UNDERFLOW"], status)
+        root_ret_now = jnp.zeros((B,), bool)
+        if with_roots and root_terminal:
+            root_ret_now = (status == -1) & root_hit
+            status = jnp.where(root_ret_now, STATUS["ROOT_RETURN"], status)
 
         # per-lane post-mortem: snapshot (t, attempted h, order, worst state)
         # on the attempt where a lane's status turns fatal (ref
         # symode/problem.py:150-158 error_* analog)
-        fatal_now = (c["status"] == -1) & (status != -1)
+        fatal_now = (c["status"] == -1) & (status != -1) & ~root_ret_now
         e_err = jnp.abs(err_rows[0, sl_y]) * w_z[sl_y]
         e_newt = jnp.abs((z_new - z_pred)[sl_y]) * w_z[sl_y]
         worst = jnp.argmax(
@@ -749,7 +884,19 @@ def adams_solve_batched(
         pm_q = jnp.where(fatal_now, p, c["pm_q"]).astype(jnp.int32)
         pm_worst = jnp.where(fatal_now, worst, c["pm_worst"]).astype(jnp.int32)
 
+        if with_roots:
+            root_updates = dict(
+                g_prev=g_prev_new,
+                root_t=root_t_buf,
+                root_y=root_y_buf,
+                root_dirs=root_dirs_buf,
+                n_roots=n_roots_new.astype(jnp.int32),
+            )
+        else:
+            root_updates = {}
+
         return dict(
+            **root_updates,
             t=t_next,
             z=z_next_carry,
             h=h_next,
@@ -847,6 +994,11 @@ def adams_solve_batched(
 
     if with_sens:
         stats["n_sens_rhs_evals"] = final["nfevS"]
+    if with_roots:
+        stats["n_roots"] = final["n_roots"]
+        stats["roots_t"] = final["root_t"].T  # (B, cap)
+        stats["roots_y"] = final["root_y"].transpose(2, 0, 1)  # (B, cap, n)
+        stats["roots_found"] = final["root_dirs"].transpose(2, 0, 1)
     zs = final["zs"]
     ys = jnp.moveaxis(zs[:, sl_y, :], 2, 0)
     quad = jnp.moveaxis(zs[:, sl_Q, :], 2, 0) if with_quad else None

@@ -606,13 +606,10 @@ class Solver(_SolverBase):
             # 'band'/'sparse' run batch-native too (lockstep lanes share the
             # static band/coloring plan — ops/bdf_batched.py structured
             # Newton); only matrix-free spgmr still routes through vmap.
-            # rootfinding: the batch-native BDF core has the SoA _root_scan
-            # analog; batched ADAMS event solves fall through to
-            # vmap(adams_solve) below.
-            use_batch_native = (
-                batched
-                and opts.linear_solver in ("dense", "band", "sparse")
-                and (self._root_fn is None or solver_kind == "BDF")
+            # rootfinding: BOTH batch-native cores carry the SoA _root_scan
+            # analog (per-lane terminal stop, records, direction filters).
+            use_batch_native = batched and opts.linear_solver in (
+                "dense", "band", "sparse",
             )
             root_kw = (
                 dict(
@@ -638,7 +635,7 @@ class Solver(_SolverBase):
                             res = adams_solve_batched(
                                 rhs, t0, y0, params, tvals, o,
                                 sens_rhs=sens_rhs, sens0=sens0,
-                                first_step=first_step,
+                                first_step=first_step, **root_kw,
                             )
                             return res.ys, res.sens, res.status, res.stats
                         if self._compute_sens:
@@ -647,16 +644,30 @@ class Solver(_SolverBase):
                             y0_aug = jnp.concatenate(
                                 [y0, sens0.reshape(B, -1)], axis=1
                             )
+                            # event functions see the state block of the
+                            # augmented vector (CVODES evaluates g on y only)
+                            root_kw_aug = dict(root_kw)
+                            if "root_fn" in root_kw_aug:
+                                rf = root_kw_aug["root_fn"]
+                                root_kw_aug["root_fn"] = (
+                                    lambda t, z, p: rf(t, z[:n], p)
+                                )
                             res = adams_solve_batched(
                                 rhs_aug, t0, y0_aug, params, tvals, o,
-                                first_step=first_step,
+                                first_step=first_step, **root_kw_aug,
                             )
                             ys = res.ys[:, :, :n]
                             sens = res.ys[:, :, n:].reshape(B, n_t, k, n)
-                            return ys, sens, res.status, res.stats
+                            stats = dict(res.stats)
+                            if "roots_y" in stats:
+                                # report the state block only, not the
+                                # augmented sens tail
+                                stats["roots_y"] = stats["roots_y"][:, :, :n]
+                            return ys, sens, res.status, stats
                         o = opts._replace(max_steps=max_steps)
                         res = adams_solve_batched(
-                            rhs, t0, y0, params, tvals, o, first_step=first_step
+                            rhs, t0, y0, params, tvals, o,
+                            first_step=first_step, **root_kw,
                         )
                         return res.ys, None, res.status, res.stats
                     o = opts._replace(max_steps=max_steps)
@@ -680,15 +691,11 @@ class Solver(_SolverBase):
                 if solver_kind == "ADAMS":
                     from sunode_tpu.ops.adams import adams_solve
 
-                    if (
-                        self._compute_sens
-                        and opts.sens_staggered
-                        and self._root_fn is None
-                    ):
+                    if self._compute_sens and opts.sens_staggered:
                         # genuine CV_STAGGERED for the unbatched jitted
                         # path too: the batch-native functional core at
-                        # B=1 (events still use the augmented corrector —
-                        # the batched ADAMS core has no rootfinding)
+                        # B=1 (it carries the SoA rootfinding scan, so
+                        # events compose with staggering here as well)
                         from sunode_tpu.ops.adams_batched import (
                             adams_solve_batched,
                         )
@@ -697,7 +704,7 @@ class Solver(_SolverBase):
                         res = adams_solve_batched(
                             rhs, t0, y0[None], params[None], tvals, o,
                             sens_rhs=sens_rhs, sens0=sens0[None],
-                            first_step=first_step,
+                            first_step=first_step, **root_kw,
                         )
                         stats = {
                             kk: vv[0] if getattr(vv, "ndim", 0) > 0 else vv

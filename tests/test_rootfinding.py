@@ -535,3 +535,141 @@ def test_native_cpusolver_roots_direct_api():
     # spgmr has no native rootfinding entry
     with pytest.raises(ValueError, match="spgmr"):
         CpuSolver(prob, roots=_roots_x, linear_solver="spgmr")
+
+
+# ---------------------------------------------------------------------------
+# batch-native ADAMS rootfinding (ops/adams_batched.py SoA _root_scan
+# analog on the integral-basis dense output) — completes the events matrix:
+# {single, vmap, batch-native, native} x {BDF, ADAMS}
+# ---------------------------------------------------------------------------
+
+
+def _batched_adams_solve(y0_b, tvals, root_fn, **kw):
+    from sunode_tpu.ops.adams_batched import adams_solve_batched
+
+    fn = jax.jit(
+        lambda y0_: adams_solve_batched(
+            rhs, 0.0, y0_, jnp.zeros((y0_.shape[0], 1)),
+            jnp.asarray(tvals), OPTS, root_fn=root_fn, **kw,
+        )
+    )
+    return fn(jnp.asarray(y0_b, jnp.float64))
+
+
+def test_adams_batch_native_terminal_roots_closed_form():
+    y0_b = np.stack([np.cos(_PHASES), -np.sin(_PHASES)], axis=1)
+    res = _batched_adams_solve(
+        y0_b, np.linspace(0.0, 3.0, 7), lambda t, y, p: y[:1]
+    )
+    assert np.all(np.asarray(res.status) == STATUS["ROOT_RETURN"])
+    expect = np.pi / 2 - _PHASES
+    np.testing.assert_allclose(
+        np.asarray(res.stats["roots_t"][:, 0]), expect, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.stats["roots_y"][:, 0]),
+        np.tile([0.0, -1.0], (4, 1)),
+        atol=1e-8,
+    )
+    assert np.all(np.asarray(res.stats["roots_found"][:, 0, 0]) == -1)
+    tv = np.linspace(0.0, 3.0, 7)
+    ys = np.asarray(res.ys[:, :, 0])
+    for i, phi in enumerate(_PHASES):
+        before = tv <= expect[i]
+        np.testing.assert_allclose(
+            ys[i, before], np.cos(tv[before] + phi), atol=1e-7
+        )
+        assert np.all(np.isnan(ys[i, ~before]))
+
+
+def test_adams_batch_native_nonterminal_matches_vmap():
+    from sunode_tpu.ops.adams import adams_solve
+
+    y0_b = np.stack([np.cos(_PHASES), -np.sin(_PHASES)], axis=1)
+    tv = np.linspace(0.0, 10.0, 11)
+    res = _batched_adams_solve(
+        y0_b, tv, lambda t, y, p: y[:1], root_terminal=False
+    )
+    ref = jax.jit(
+        jax.vmap(
+            lambda y0_: adams_solve(
+                rhs, 0.0, y0_, jnp.zeros(1), jnp.asarray(tv), OPTS,
+                root_fn=lambda t, y, p: y[:1], root_terminal=False,
+            )
+        )
+    )(jnp.asarray(y0_b, jnp.float64))
+    assert np.all(np.asarray(res.status) == STATUS["SUCCESS"])
+    np.testing.assert_array_equal(
+        np.asarray(res.stats["n_roots"]), np.asarray(ref.stats["n_roots"])
+    )
+    for i in range(len(_PHASES)):
+        nr = int(np.asarray(res.stats["n_roots"])[i])
+        np.testing.assert_allclose(
+            np.asarray(res.stats["roots_t"][i, :nr]),
+            np.asarray(ref.stats["roots_t"][i, :nr]),
+            atol=1e-8,
+        )
+
+
+def test_solver_class_batched_adams_roots_route_batch_native():
+    # Solver(solver='ADAMS', roots=...) with batched y0 keeps the
+    # batch-native Adams core (no vmap fallback)
+    s = _lv_solver(solver="ADAMS")
+    tvals = np.linspace(0.0, 10.0, 21)
+    y0_b = np.array([[10.0, 5.0], [11.0, 4.0], [12.0, 6.0]])
+    s.solve(0.0, tvals, y0_b)
+    st = s.last_stats
+    assert "n_attempts" in st  # shared attempt counter = batch-native core
+    roots_t = np.asarray(st["roots_t"])[:, 0]
+    assert np.all(np.isfinite(roots_t)) and np.all(roots_t > 0)
+    s1 = _lv_solver(solver="ADAMS")
+    for i in range(3):
+        s1.solve(0.0, tvals, y0_b[i])
+        assert abs(float(s1.last_stats["roots_t"][0]) - roots_t[i]) < 1e-7
+
+
+def test_adams_batch_native_staggered_sens_with_roots_closed_form():
+    """Genuine CV_STAGGERED composes with terminal events in the batched
+    ADAMS core (previously this combination fell back to the simultaneous
+    augmented corrector on the vmap path).  Parametrized oscillator
+    y'' = -w^2 y from (1, 0): y = (cos wt, -w sin wt), dy/dw has closed
+    forms and the first root of y_1 sits at t* = pi/(2w)."""
+    from sunode_tpu.ops.adams_batched import adams_solve_batched
+
+    def rhs_w(t, y, p):
+        return jnp.array([y[1], -p[0] ** 2 * y[0]])
+
+    def sens_rhs_w(t, y, S, p):
+        # S is (k=1, n=2): row = J @ S[0] + df/dw
+        Js = jnp.array([S[0, 1], -p[0] ** 2 * S[0, 0]])
+        dfdw = jnp.array([0.0, -2.0 * p[0] * y[0]])
+        return (Js + dfdw)[None, :]
+
+    w = np.array([1.0, 1.2, 1.5])
+    B = w.size
+    y0_b = jnp.asarray(np.tile([1.0, 0.0], (B, 1)))
+    p_b = jnp.asarray(w[:, None])
+    tvals = jnp.asarray([0.3, 0.6, 2.0])  # 2.0 lies past every lane's root
+    o = BDFOptions(rtol=1e-10, atol=1e-10, sens_staggered=True)
+    res = jax.jit(
+        lambda y0_: adams_solve_batched(
+            rhs_w, 0.0, y0_, p_b, tvals, o,
+            sens_rhs=sens_rhs_w, sens0=jnp.zeros((B, 1, 2)),
+            root_fn=lambda t, y, p: y[:1],
+        )
+    )(y0_b)
+    assert np.all(np.asarray(res.status) == STATUS["ROOT_RETURN"])
+    np.testing.assert_allclose(
+        np.asarray(res.stats["roots_t"][:, 0]), np.pi / (2 * w), atol=1e-8
+    )
+    tv = np.asarray(tvals)[None, :2]  # the pre-root output times
+    wt = w[:, None] * tv
+    np.testing.assert_allclose(
+        np.asarray(res.sens[:, :2, 0, 0]), -tv * np.sin(wt), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.sens[:, :2, 0, 1]),
+        -np.sin(wt) - wt * np.cos(wt),
+        atol=1e-7,
+    )
+    assert np.all(np.isnan(np.asarray(res.ys[:, 2])))  # past the root
