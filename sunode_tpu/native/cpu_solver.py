@@ -39,6 +39,20 @@ _STAT_KEYS = [
 ]
 
 
+def _assemble_stats(stats) -> dict:
+    """Build a ``last_stats`` dict with the same key surface as the JAX path.
+
+    The native C++ integrator never resumes mid-solve (its step budget is
+    enforced inside one call), so ``n_resumes`` is always 0 and
+    ``n_steps_total`` equals ``n_steps`` — but both keys must exist so code
+    written against ``Solver.last_stats`` works regardless of routing.
+    """
+    d = dict(zip(_STAT_KEYS, stats.tolist()))
+    d["n_resumes"] = 0
+    d["n_steps_total"] = d["n_steps"]
+    return d
+
+
 class CpuSolver:
     """Solve ODE problems on the host with the native C++ integrator.
 
@@ -518,7 +532,7 @@ class CpuSolver:
                     stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                     self._cons_ptr(),
                 )
-            self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
+            self.last_stats = _assemble_stats(stats)
             if rc != 0:
                 raise SolverError(
                     f"Native solve failed: {_STATUS_MESSAGES.get(rc, f'code {rc}')}"
@@ -625,7 +639,7 @@ class CpuSolver:
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 self._cons_ptr(),
             )
-        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
+        self.last_stats = _assemble_stats(stats)
         self.last_stats["n_roots"] = int(n_roots[0])
         self.last_stats["roots_t"] = roots_t
         self.last_stats["roots_y"] = roots_y
@@ -811,7 +825,7 @@ class CpuSolver:
                 dptr(dLdp),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
-        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
+        self.last_stats = _assemble_stats(stats)
         if rc != 0:
             raise SolverError(
                 f"Native adjoint solve failed: "
@@ -1059,7 +1073,7 @@ class CpuSolver:
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 self._cons_ptr(),
             )
-        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
+        self.last_stats = _assemble_stats(stats)
         if rc != 0:
             raise SolverError(
                 f"Native sensitivity solve failed: "
@@ -1328,7 +1342,7 @@ class CpuSolver:
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 ctypes.byref(rc),
             )
-        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
+        self.last_stats = _assemble_stats(stats)
         if rc.value != 0 or not handle:
             raise SolverError(
                 f"Native forward record failed: "
@@ -1442,7 +1456,7 @@ class CpuSolver:
                 dptr(dLdp),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
-        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
+        self.last_stats = _assemble_stats(stats)
         if rc != 0:
             raise SolverError(
                 f"Native backward solve failed: "
@@ -1503,7 +1517,7 @@ class CpuSolver:
             dptr(dLdp),
             stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
-        self.last_stats = dict(zip(_STAT_KEYS, stats.tolist()))
+        self.last_stats = _assemble_stats(stats)
         if rc != 0:
             raise SolverError(
                 f"Native adjoint backward failed: "

@@ -359,6 +359,12 @@ class ParamSpec:
         if not xp.issubdtype(dtype, xp.floating):
             dtype = self.dtype
         out = xp.zeros(batch + (self.n_items,), dtype=dtype)
+        # cast BOTH halves to the resolved dtype before scattering: a
+        # zero-size f64 half that lost the dtype vote must not be scattered
+        # as-is into an f32 output (JAX's .at[].set of f64 into f32 is a
+        # FutureWarning scheduled to become an error)
+        subset_vec = subset_vec.astype(dtype)
+        remainder_vec = remainder_vec.astype(dtype)
         if hasattr(out, "at"):  # jax
             out = out.at[..., self.subset_indices].set(subset_vec)
             out = out.at[..., self.remainder_indices].set(remainder_vec)

@@ -47,7 +47,12 @@ def test_resume_merges_root_records_across_segments():
     # cos t has roots at pi/2, 3pi/2, 5pi/2 in [0, 10].  With a tiny
     # max_steps budget the solve is interrupted and resumed mid-interval;
     # the merged stats must still carry ALL three roots in order.
-    solver = _osc_solver(abstol=1e-10, reltol=1e-10, max_steps=40)
+    # native_single=False pins the JAX route: this test gates the JAX-side
+    # resume/merge machinery specifically (the native C++ integrator never
+    # resumes; its root reporting is covered below).
+    solver = _osc_solver(
+        abstol=1e-10, reltol=1e-10, max_steps=40, native_single=False
+    )
     tvals = np.linspace(0.0, 10.0, 11)
     ys = solver.solve(0.0, tvals, {"a": 1.0, "b": 0.0})
     st = solver.last_stats
@@ -56,6 +61,22 @@ def test_resume_merges_root_records_across_segments():
     expect = np.array([np.pi / 2, 3 * np.pi / 2, 5 * np.pi / 2])
     assert np.allclose(np.asarray(st["roots_t"][:3]), expect, atol=1e-7)
     assert list(np.asarray(st["roots_found"][:3, 0])) == [-1, 1, -1]
+    assert np.allclose(np.asarray(ys[:, 0]), np.cos(tvals), atol=1e-7)
+
+
+def test_native_route_reports_roots_and_unified_stats_surface():
+    # A symbolic-roots B=1 solve is native-eligible since the round-4
+    # routing change; the native path must report the same roots AND carry
+    # the same stats keys (n_resumes/n_steps_total) as the JAX path.
+    solver = _osc_solver(abstol=1e-10, reltol=1e-10)
+    tvals = np.linspace(0.0, 10.0, 11)
+    ys = solver.solve(0.0, tvals, {"a": 1.0, "b": 0.0})
+    st = solver.last_stats
+    assert int(st["n_resumes"]) == 0
+    assert int(st["n_steps_total"]) == int(st["n_steps"])
+    assert int(st["n_roots"]) == 3
+    expect = np.array([np.pi / 2, 3 * np.pi / 2, 5 * np.pi / 2])
+    assert np.allclose(np.asarray(st["roots_t"][:3]), expect, atol=1e-7)
     assert np.allclose(np.asarray(ys[:, 0]), np.cos(tvals), atol=1e-7)
 
 

@@ -17,6 +17,11 @@ import jax
 import jax.numpy as jnp
 
 from sunode_tpu.ops.bdf import BDFOptions
+
+# a dtype leak on the f32 path surfaces as a JAX FutureWarning ("cannot
+# safely cast float64 to float32") scheduled to become an ERROR — fail
+# loudly now rather than on the next JAX upgrade
+pytestmark = pytest.mark.filterwarnings("error::FutureWarning")
 from sunode_tpu.symode import SympyProblem
 from sunode_tpu.wrappers.as_jax import make_batched_solve_fn
 
