@@ -28,10 +28,16 @@ from sunode_tpu.symode import SympyProblem  # noqa: E402
 from sunode_tpu.solver import AdjointSolver, Solver, SolverError  # noqa: E402
 import sunode_tpu.solver  # noqa: E402,F401  (reference parity: `import sunode.solver`)
 from sunode_tpu.sample import nuts_sample, split_rhat, ess_bulk  # noqa: E402
-from sunode_tpu.events import make_event_fn  # noqa: E402
+from sunode_tpu.events import (  # noqa: E402
+    HybridResult,
+    make_event_fn,
+    make_hybrid_solve_fn,
+)
 
 __all__ = [
     "make_event_fn",
+    "make_hybrid_solve_fn",
+    "HybridResult",
     "ParamSpec",
     "Record",
     "Problem",

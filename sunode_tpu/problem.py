@@ -313,6 +313,23 @@ class JaxProblem(Problem):
 
         return rhs
 
+    def make_root_fn(self, roots: Callable) -> Callable:
+        """Lower a record-view event function to the flat ``(t, y, p) ->
+        (nrt,)`` contract the integrator cores consume (CVodeRootInit's
+        CVRootFn analog).  ``roots(t, y_record, p_record)`` returns a
+        sequence/array of event-function values, same convention as the
+        RHS."""
+        states = self.states
+        params = self.params
+
+        def root_fn(t, y, p):
+            out = roots(t, states.record(y), params.record(p))
+            if isinstance(out, (list, tuple)):
+                out = jnp.stack([jnp.asarray(g) for g in out])
+            return jnp.asarray(out).reshape(-1)
+
+        return root_fn
+
 
 # ---------------------------------------------------------------------------
 # Output conversion helpers
