@@ -166,17 +166,50 @@ def adams_solve(
     root_cap: int = 8,
     root_terminal: bool = True,
     root_directions: Optional[Any] = None,
+    quad_rhs: Optional[Callable] = None,  # (t, y, p) -> (m,)
+    quad0: Optional[jnp.ndarray] = None,  # (m,)
 ) -> BDFResult:
     """Integrate a (non-stiff) ODE with adaptive-order Adams-Moulton.
 
     Same contract as ``bdf_solve`` minus the Jacobian (functional iteration)
-    and the sens/quad blocks (use BDF for those paths for now).
+    and the sens block (use BDF or the batched core for sensitivities).
     jit/vmap-compatible.
 
     root_fn/root_cap/root_terminal/root_directions: CVODES-style
     rootfinding, identical semantics to ``bdf_solve`` (CVODES rootfinding is
     LMM-independent, 16_cvodes.h:195-198) — the shared ``_root_scan`` runs
-    on the Adams dense output (exact f-interpolant integral)."""
+    on the Adams dense output (exact f-interpolant integral).
+
+    quad_rhs/quad0: CVodeQuadInit analog — quadrature integration is
+    LMM-independent (16_cvodes.h:246-267), so quad blocks ride the Adams
+    corrector too (error-controlled per ``options.quad_err_con``).  Runs
+    through the batch-native functional core at B=1, which carries the
+    quad machinery natively."""
+    if quad_rhs is not None:
+        if quad0 is None:
+            raise ValueError("quad_rhs requires quad0")
+        if int(options.save_steps) > 0:
+            raise ValueError(
+                "quad_rhs with save_steps > 0 is not supported on the "
+                "Adams core (the adjoint paths carry their own quadrature)"
+            )
+        from sunode_tpu.ops.adams_batched import adams_solve_batched
+
+        res = adams_solve_batched(
+            rhs, t0, jnp.asarray(y0)[None], jnp.asarray(params)[None],
+            tvals, options,
+            quad_rhs=quad_rhs, quad0=jnp.asarray(quad0)[None],
+            first_step=first_step, root_fn=root_fn, root_cap=root_cap,
+            root_terminal=root_terminal, root_directions=root_directions,
+        )
+        stats = {
+            k: (v[0] if getattr(v, "ndim", 0) > 0 else v)
+            for k, v in res.stats.items()
+        }
+        return BDFResult(
+            ys=res.ys[0], status=res.status[0], stats=stats, saved=None,
+            quad=res.quad[0],
+        )
     dtype = jnp.result_type(y0.dtype, jnp.float32)
     y0 = jnp.asarray(y0, dtype)
     t0 = jnp.asarray(t0, dtype)
@@ -191,13 +224,16 @@ def adams_solve(
     # step counts.  Raiseable to 12 at your own risk.
     max_order = min(options.adams_max_order, ADAMS_MAX_ORDER)
 
-    rtol = jnp.asarray(options.rtol, dtype)
+    # scalar or per-state (n,) vector rtol (CVodeVVtolerances analog;
+    # see ops/bdf.py) — heuristics use the tightest component
+    rtol = jnp.broadcast_to(jnp.asarray(options.rtol, dtype), (n,))
+    rtol_s = jnp.min(rtol)
     atol = jnp.broadcast_to(jnp.asarray(options.atol, dtype), (n,))
     gamma = jnp.asarray(_GAMMA, dtype)
     gamma_star = jnp.asarray(np.abs(_GAMMA_STAR), dtype)
 
     newton_tol = options.newton_tol_factor * jnp.maximum(
-        10 * jnp.finfo(dtype).eps / rtol, jnp.minimum(0.03, jnp.sqrt(rtol))
+        10 * jnp.finfo(dtype).eps / rtol_s, jnp.minimum(0.03, jnp.sqrt(rtol_s))
     )
 
     if options.constraints is not None:

@@ -56,7 +56,7 @@ def adams_solve_batched(
     t0,
     y0: jnp.ndarray,  # (B, n)
     params: jnp.ndarray,  # (B, n_p)
-    tvals: jnp.ndarray,  # (n_t,) shared
+    tvals: jnp.ndarray,  # (n_t,) shared or (B, n_t) per-lane grids
     options: BDFOptions = BDFOptions(),
     *,
     quad_rhs: Optional[Callable] = None,
@@ -80,8 +80,27 @@ def adams_solve_batched(
     # t0 may be per-lane (B,) — resume-in-place support (see bdf_batched)
     t0 = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
     tvals = jnp.asarray(tvals, dtype)
-    n_t = tvals.shape[0]
-    t_end = tvals[-1]
+    # per-lane observation grids: tvals may be (B, n_t) — each lane emits on
+    # its own (ascending) grid (ragged datasets; pad a lane's grid with
+    # copies of its last time).  Shared (n_t,) stays the fast layout.
+    per_lane_tvals = tvals.ndim == 2
+    if per_lane_tvals:
+        tvals_tb = tvals.T  # (n_t, B)
+        n_t = tvals_tb.shape[0]
+        t_end = tvals_tb[-1]  # (B,)
+
+        def _t_emit(i_out):  # (B,) indices -> (B,) per-lane times
+            idx = jnp.minimum(i_out, n_t - 1)
+            return jnp.take_along_axis(tvals_tb, idx[None, :], axis=0)[0]
+
+    else:
+        tvals_tb = tvals[:, None]
+        n_t = tvals.shape[0]
+        t_end = tvals[-1]
+
+        def _t_emit(i_out):
+            return tvals[jnp.minimum(i_out, n_t - 1)]
+
     params = jnp.asarray(params, dtype).T
 
     with_inject = inject_times is not None
@@ -162,7 +181,10 @@ def adams_solve_batched(
             return jnp.concatenate([f, g])
         return f
 
-    rtol = jnp.asarray(options.rtol, dtype)
+    # scalar or per-state (n,) vector rtol (CVodeVVtolerances analog;
+    # see ops/bdf.py) — heuristics use the tightest component
+    rtol = jnp.broadcast_to(jnp.asarray(options.rtol, dtype), (n,))
+    rtol_s = jnp.min(rtol)
     atol = jnp.broadcast_to(jnp.asarray(options.atol, dtype), (n,))
     gamma = jnp.asarray(_GAMMA, dtype)
     gamma_star_abs = jnp.asarray(np.abs(_GAMMA_STAR), dtype)
@@ -175,10 +197,12 @@ def adams_solve_batched(
     )
     v_parts = [jnp.full((n,), 1.0 / (n * n_blocks), dtype)]
     atol_parts = [atol]
-    rtol_parts = [jnp.full((n,), rtol, dtype)]
+    rtol_parts = [rtol]
     if with_quad:
-        quad_rtol = jnp.asarray(
-            options.quad_rtol if options.quad_rtol is not None else options.rtol, dtype
+        quad_rtol = (
+            jnp.asarray(options.quad_rtol, dtype)
+            if options.quad_rtol is not None
+            else rtol_s
         )
         quad_atol = jnp.broadcast_to(
             jnp.asarray(
@@ -205,7 +229,7 @@ def adams_solve_batched(
             else jnp.ones((k_sens,), dtype)
         )
         atol_parts.append((atol[None, :] / pbar[:, None]).reshape(-1))
-        rtol_parts.append(jnp.full((n_S,), rtol, dtype))
+        rtol_parts.append(jnp.tile(rtol, k_sens))
         v_parts.append(
             jnp.full(
                 (n_S,),
@@ -223,7 +247,7 @@ def adams_solve_batched(
         constraints = None
 
     newton_tol = options.newton_tol_factor * jnp.maximum(
-        10 * jnp.finfo(dtype).eps / rtol, jnp.minimum(0.03, jnp.sqrt(rtol))
+        10 * jnp.finfo(dtype).eps / rtol_s, jnp.minimum(0.03, jnp.sqrt(rtol_s))
     )
 
     t0_b = t0
@@ -236,7 +260,7 @@ def adams_solve_batched(
     bad_init = ~(jnp.all(jnp.isfinite(y0), axis=0) & jnp.all(jnp.isfinite(f0), axis=0))
 
     # initial step (Hairer-Wanner, order-1 estimate)
-    scale0 = atol[:, None] + rtol * jnp.abs(y0)
+    scale0 = atol[:, None] + rtol[:, None] * jnp.abs(y0)
     w0 = 1.0 / scale0
     d0n = jnp.sqrt(jnp.mean((y0 * w0) ** 2, axis=0))
     d1n = jnp.sqrt(jnp.mean((f0 * w0) ** 2, axis=0))
@@ -293,7 +317,7 @@ def adams_solve_batched(
         saved0 = None
 
     zs0 = jnp.full((n_t, nz, B), jnp.nan, dtype)
-    emit_mask0 = tvals[:, None] <= t0[None, :]  # (n_t, B) per-lane
+    emit_mask0 = tvals_tb <= t0[None, :]  # (n_t, B) per-lane
     zs0 = jnp.where(emit_mask0[:, None, :], z0[None], zs0)
     i_out0 = jnp.sum(emit_mask0, axis=0).astype(jnp.int32)
 
@@ -718,7 +742,7 @@ def adams_solve_batched(
         # ---- emission (exact integral-basis interpolation) ---------------
         def emit_cond(st):
             i_out = st[0]
-            te = tvals[jnp.minimum(i_out, n_t - 1)]
+            te = _t_emit(i_out)
             pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
             if t_stop is not None:
                 pend = pend & (te <= t_stop)
@@ -726,7 +750,7 @@ def adams_solve_batched(
 
         def emit_body(st):
             i_out, zs = st
-            te = tvals[jnp.minimum(i_out, n_t - 1)]
+            te = _t_emit(i_out)
             pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
             if t_stop is not None:
                 pend = pend & (te <= t_stop)

@@ -509,14 +509,19 @@ def bdf_solve(
     sl_S = slice(n, n + n_S)
     sl_Q = slice(n + n_S, n_tot)
 
-    rtol = jnp.asarray(options.rtol, dtype)
+    # rtol may be a scalar or a per-state (n,) vector (CVodeVVtolerances
+    # analog, ref solver.py:398-403; the per-component WRMS weight
+    # atol_i + rtol_i*|y_i| is the natural form here).  Step-size/Newton
+    # heuristics use the tightest component.
+    rtol = jnp.broadcast_to(jnp.asarray(options.rtol, dtype), (n,))
+    rtol_s = jnp.min(rtol)
     atol = jnp.broadcast_to(jnp.asarray(options.atol, dtype), (n,))
     gamma, alpha, error_const = _order_constants(options.use_ndf, dtype)
     max_order = min(options.max_order, MAX_ORDER)
 
     # combined tolerance vectors over z
     atol_parts = [atol]
-    rtol_parts = [jnp.full((n,), rtol, dtype)]
+    rtol_parts = [rtol]
     # error-norm entry weights: block-mean of block-wrms^2 (CVODES cvSensNorm)
     n_blocks = 1 + (k_sens if (with_sens and options.sens_err_con) else 0) + (
         1 if (with_quad and options.quad_err_con) else 0
@@ -532,7 +537,9 @@ def bdf_solve(
         # CVodeSensEEtolerances: atol_S[k] = atol / pbar_k
         atol_S = (atol[None, :] / pbar[:, None]).reshape(-1)
         atol_parts.append(atol_S)
-        rtol_parts.append(jnp.full((n_S,), rtol, dtype))
+        # per-state rtol applies to each sensitivity block (CVODES scales
+        # sens tolerances from the state tolerances)
+        rtol_parts.append(jnp.tile(rtol, k_sens))
         v_parts.append(
             jnp.full(
                 (n_S,),
@@ -542,8 +549,10 @@ def bdf_solve(
         )
     if with_quad:
         quad0 = jnp.asarray(quad0, dtype)
-        quad_rtol = jnp.asarray(
-            options.quad_rtol if options.quad_rtol is not None else options.rtol, dtype
+        quad_rtol = (
+            jnp.asarray(options.quad_rtol, dtype)
+            if options.quad_rtol is not None
+            else rtol_s
         )
         quad_atol = jnp.broadcast_to(
             jnp.asarray(
@@ -574,7 +583,7 @@ def bdf_solve(
         constraints = None
 
     newton_tol = options.newton_tol_factor * jnp.maximum(
-        10 * jnp.finfo(dtype).eps / rtol, jnp.minimum(0.03, jnp.sqrt(rtol))
+        10 * jnp.finfo(dtype).eps / rtol_s, jnp.minimum(0.03, jnp.sqrt(rtol_s))
     )
 
     f0 = rhs(t0, y0, params)

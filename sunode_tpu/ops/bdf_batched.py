@@ -168,7 +168,7 @@ def bdf_solve_batched(
     t0,
     y0: jnp.ndarray,  # (B, n)
     params: jnp.ndarray,  # (B, n_p)
-    tvals: jnp.ndarray,  # (n_t,) shared
+    tvals: jnp.ndarray,  # (n_t,) shared or (B, n_t) per-lane grids
     options: BDFOptions = BDFOptions(),
     *,
     sens_rhs: Optional[Callable] = None,
@@ -177,6 +177,7 @@ def bdf_solve_batched(
     quad0: Optional[jnp.ndarray] = None,  # (B, m)
     first_step: Optional[Any] = None,  # (B,) or scalar; <=0 -> automatic
     batched_fns: bool = False,  # fns already trailing-batch: rhs(t(B,), y(n,B), p(np,B))
+    jac_prod: Optional[Callable] = None,  # (t, y, v, p) -> J@v, for spgmr
     root_fn: Optional[Callable] = None,  # (t, y, p) -> (nrt,) event functions
     root_cap: int = 8,
     root_terminal: bool = True,
@@ -207,14 +208,25 @@ def bdf_solve_batched(
     # large-state batched quadrant: Newton cost O(B n w^2) instead of
     # O(B n^3).  'sparse' additionally routes residuals through the RCM
     # permutation around the banded LU (see ops/sparsity.py).
+    use_spgmr = options.linear_solver == "spgmr"
     use_sparse = options.linear_solver == "sparse"
     use_band = options.linear_solver == "band" or use_sparse
-    if options.linear_solver not in ("dense", "band", "sparse"):
+    if options.linear_solver not in ("dense", "band", "sparse", "spgmr"):
         raise NotImplementedError(
-            "bdf_solve_batched supports linear_solver 'dense', 'band' or "
-            "'sparse'; matrix-free spgmr batches route through "
-            "vmap(bdf_solve)"
+            "bdf_solve_batched supports linear_solver 'dense', 'band', "
+            "'sparse' or 'spgmr'"
         )
+    if use_spgmr:
+        # matrix-free lockstep Newton: B GMRES(maxl) solves share ONE
+        # static Arnoldi/Givens unroll whose body is (n, B)/(B,)-shaped
+        # fused arithmetic (ops/krylov.py gmres_solve_batched) — the same
+        # SoA lift as the banded LU.  The Hessenberg recurrences live in
+        # (maxl+1, maxl, B) per-lane scalars.
+        from sunode_tpu.ops.krylov import gmres_solve_batched
+
+        if jac_prod is None:
+            def jac_prod(t, y, v, p):  # noqa: F811
+                return jax.jvp(lambda y_: rhs(t, y_, p), (y,), (v,))[1]
     if use_band:
         from sunode_tpu.ops.banded import banded_factor, banded_solve
 
@@ -249,14 +261,35 @@ def bdf_solve_batched(
             def lin_solve_b(factors, res):
                 return _bsolve_raw(factors[0], factors[1], factors[2], res)
 
+    elif use_spgmr:
+        lin_solve_b = None  # built per-attempt (linearizes at the predictor)
     else:
         lin_solve_b = solve_factored_b
     # t0 may be per-lane (B,) — lanes resuming an interrupted solve restart
     # from their own final_time (resume-in-place, ref solver.py:510-519)
     t0 = jnp.broadcast_to(jnp.asarray(t0, dtype), (B,))
     tvals = jnp.asarray(tvals, dtype)
-    n_t = tvals.shape[0]
-    t_end = tvals[-1]
+    # per-lane observation grids: tvals may be (B, n_t) — each lane emits on
+    # its own (ascending) grid (ragged datasets; pad a lane's grid with
+    # copies of its last time).  Shared (n_t,) stays the fast layout.
+    per_lane_tvals = tvals.ndim == 2
+    if per_lane_tvals:
+        tvals_tb = tvals.T  # (n_t, B)
+        n_t = tvals_tb.shape[0]
+        t_end = tvals_tb[-1]  # (B,)
+
+        def _t_emit(i_out):  # (B,) indices -> (B,) per-lane times
+            idx = jnp.minimum(i_out, n_t - 1)
+            return jnp.take_along_axis(tvals_tb, idx[None, :], axis=0)[0]
+
+    else:
+        tvals_tb = tvals[:, None]
+        n_t = tvals.shape[0]
+        t_end = tvals[-1]
+
+        def _t_emit(i_out):
+            return tvals[jnp.minimum(i_out, n_t - 1)]
+
     params = jnp.asarray(params, dtype).T  # (n_p, B)
 
     with_sens = sens_rhs is not None
@@ -273,9 +306,19 @@ def bdf_solve_batched(
     if batched_fns:
         rhs_b, jac_b = rhs, jac
         sens_rhs_b, quad_rhs_b = sens_rhs, quad_rhs
+        jac_prod_b = jac_prod if use_spgmr else None
     else:
         rhs_b = jax.vmap(rhs, in_axes=(0, 1, 1), out_axes=1)
-        jac_b = jax.vmap(jac, in_axes=(0, 1, 1), out_axes=2)
+        jac_b = (
+            jax.vmap(jac, in_axes=(0, 1, 1), out_axes=2)
+            if not use_spgmr
+            else None
+        )
+        jac_prod_b = (
+            jax.vmap(jac_prod, in_axes=(0, 1, 1, 1), out_axes=1)
+            if use_spgmr
+            else None
+        )
         if with_sens:
             sens_rhs_b = jax.vmap(sens_rhs, in_axes=(0, 1, 2, 1), out_axes=2)
         if with_quad:
@@ -298,14 +341,17 @@ def bdf_solve_batched(
                 out_axes=1,
             )
 
-    rtol = jnp.asarray(options.rtol, dtype)
+    # scalar or per-state (n,) vector rtol (CVodeVVtolerances analog;
+    # see ops/bdf.py) — heuristics use the tightest component
+    rtol = jnp.broadcast_to(jnp.asarray(options.rtol, dtype), (n,))
+    rtol_s = jnp.min(rtol)
     atol = jnp.broadcast_to(jnp.asarray(options.atol, dtype), (n,))
     gamma, alpha, error_const = _order_constants(options.use_ndf, dtype)
     max_order = min(options.max_order, MAX_ORDER)
 
     # combined tolerance / error-weight vectors over z (see bdf.py)
     atol_parts = [atol]
-    rtol_parts = [jnp.full((n,), rtol, dtype)]
+    rtol_parts = [rtol]
     n_blocks = 1 + (k_sens if (with_sens and options.sens_err_con) else 0) + (
         1 if (with_quad and options.quad_err_con) else 0
     )
@@ -317,7 +363,7 @@ def bdf_solve_batched(
             else jnp.ones((k_sens,), dtype)
         )
         atol_parts.append((atol[None, :] / pbar[:, None]).reshape(-1))
-        rtol_parts.append(jnp.full((n_S,), rtol, dtype))
+        rtol_parts.append(jnp.tile(rtol, k_sens))
         v_parts.append(
             jnp.full(
                 (n_S,),
@@ -326,8 +372,10 @@ def bdf_solve_batched(
             )
         )
     if with_quad:
-        quad_rtol = jnp.asarray(
-            options.quad_rtol if options.quad_rtol is not None else options.rtol, dtype
+        quad_rtol = (
+            jnp.asarray(options.quad_rtol, dtype)
+            if options.quad_rtol is not None
+            else rtol_s
         )
         quad_atol = jnp.broadcast_to(
             jnp.asarray(
@@ -359,7 +407,7 @@ def bdf_solve_batched(
         constraints = None
 
     newton_tol = options.newton_tol_factor * jnp.maximum(
-        10 * jnp.finfo(dtype).eps / rtol, jnp.minimum(0.03, jnp.sqrt(rtol))
+        10 * jnp.finfo(dtype).eps / rtol_s, jnp.minimum(0.03, jnp.sqrt(rtol_s))
     )
 
     t0_b = t0
@@ -367,7 +415,7 @@ def bdf_solve_batched(
     bad_init = ~(jnp.all(jnp.isfinite(y0), axis=0) & jnp.all(jnp.isfinite(f0), axis=0))
 
     # Hairer-Wanner initial step per lane
-    scale0 = atol[:, None] + rtol * jnp.abs(y0)
+    scale0 = atol[:, None] + rtol[:, None] * jnp.abs(y0)
     w0 = 1.0 / scale0
     d0n = jnp.sqrt(jnp.mean((y0 * w0) ** 2, axis=0))
     d1n = jnp.sqrt(jnp.mean((f0 * w0) ** 2, axis=0))
@@ -414,22 +462,31 @@ def bdf_solve_batched(
     rec_fd = save_steps > 0 and options.hermite_order == 5
 
     zs0 = jnp.full((n_t, nt_tot, B), jnp.nan, dtype)
-    emit_mask0 = tvals[:, None] <= t0[None, :]  # (n_t, B) per-lane
+    emit_mask0 = tvals_tb <= t0[None, :]  # (n_t, B) per-lane
     zs0 = jnp.where(emit_mask0[:, None, :], z0[None], zs0)
     i_out0 = jnp.sum(emit_mask0, axis=0).astype(jnp.int32)
 
-    J0 = jac_b(t0_b, y0, params)  # (n, n, B) dense / (l+u+1, n, B) banded
     eye_b = jnp.eye(n, dtype=dtype)[:, :, None]
-    if use_band:
+    if use_spgmr:
+        # matrix-free: no Jacobian matrix, no factorization state
+        J0 = jnp.zeros((1, 1, B), dtype)
+        factors0 = (jnp.zeros((1, 1, B), dtype),)
+    elif use_band:
+        J0 = jac_b(t0_b, y0, params)  # (l+u+1, n, B) banded rows
         eye_ab = jnp.zeros((band_l + band_u + 1, n, B), dtype).at[band_u].set(1.0)
         factors0 = _bfactor(eye_ab)
     else:
+        J0 = jac_b(t0_b, y0, params)  # (n, n, B) dense
         factors0 = factor_newton_b(jnp.broadcast_to(eye_b, (n, n, B)))
 
     def _lip_norm_b(J):
         # per-lane Lipschitz scale for the quintic stiffness gate: dense ->
         # ||J||_inf (row sums), banded storage -> ||J||_1 (column sums, an
-        # equally valid scale); stale Newton J is fine — order-of-magnitude
+        # equally valid scale); stale Newton J is fine — order-of-magnitude.
+        # matrix-free spgmr has no J: +inf forces the evaluator's cubic
+        # fallback (see ops/bdf.py)
+        if use_spgmr:
+            return jnp.full((B,), jnp.inf, dtype)
         if use_band:
             return jnp.max(jnp.sum(jnp.abs(J), axis=0), axis=0)  # (B,)
         return jnp.max(jnp.sum(jnp.abs(J), axis=1), axis=0)  # (B,)
@@ -549,7 +606,10 @@ def bdf_solve_batched(
             )
             return fsel, jnp.where(need, c_coef, c["c_factored"]), c["nfactor"] + need
 
-        if n <= 4 and not use_band:
+        if use_spgmr:
+            # matrix-free: nothing to factor (linearization is per-attempt)
+            factors, c_factored, nfactor = c["factors"], c_coef, c["nfactor"]
+        elif n <= 4 and not use_band:
             # tiny systems: "factorizing" is a handful of fused VPU ops —
             # cheaper to do unconditionally than to pay the cond sync
             factors, c_factored, nfactor = do_factor(None)
@@ -568,6 +628,20 @@ def bdf_solve_batched(
         w_y = w_z[sl_y]
         pred_ok = jnp.all(jnp.isfinite(z_pred), axis=0)
 
+        if use_spgmr:
+            # (I - cJ)x = b via lockstep GMRES, linearized at the predictor
+            # (CVODES difference-quotient jtimes freezes ycur the same way)
+            def lin_solve_loc(_factors, res):
+                return gmres_solve_batched(
+                    lambda v: v
+                    - c_coef[None, :] * jac_prod_b(t_new, y_pred, v, params),
+                    res,
+                    maxl=options.krylov_dim,
+                )
+
+        else:
+            lin_solve_loc = lin_solve_b
+
         # ---- Newton on the y block (per-lane masked; shared loop) ---------
         psi_y = psi_z[sl_y]
 
@@ -576,7 +650,7 @@ def bdf_solve_batched(
             f = rhs_b(t_new, y, params)
             bad_f = ~jnp.all(jnp.isfinite(f), axis=0)
             res = c_coef[None, :] * f - psi_y - d
-            delta = lin_solve_b(factors, res)
+            delta = lin_solve_loc(factors, res)
             bad_d = ~jnp.all(jnp.isfinite(delta), axis=0)
             dy_norm = jnp.sqrt(jnp.mean((delta * w_y) ** 2, axis=0))
             rate = dy_norm / dy_old
@@ -609,11 +683,26 @@ def bdf_solve_batched(
             jnp.zeros((B,), bool),
             zeros_i,
         )
-        # statically unrolled: in lockstep the max-over-lanes iteration count
-        # governs anyway, and unrolling removes per-iteration cond syncs
-        nst = ninit
-        for _ in range(NEWTON_MAXITER):
-            nst = nbody(nst)
+        # small n: statically unrolled — in lockstep the max-over-lanes
+        # iteration count governs anyway, and unrolling removes
+        # per-iteration cond syncs (iterations are a handful of fused VPU
+        # ops).  Large n: a real while_loop with all-lanes early exit —
+        # each iteration costs an O(n·w²)/O(n²) linear solve, so paying
+        # NEWTON_MAXITER unconditionally when the batch typically converges
+        # in 1-2 iterations wastes most of the Newton time (measured: the
+        # unrolled batch-native band core LOST to vmap(bdf_solve) at
+        # n=128/B=1024 for exactly this reason).
+        if n <= 16:
+            nst = ninit
+            for _ in range(NEWTON_MAXITER):
+                nst = nbody(nst)
+        else:
+
+            def ncond(st):
+                k, _, _, _, conv_c, div_c, bad_c, _ = st
+                return (k < NEWTON_MAXITER) & jnp.any(~(conv_c | div_c | bad_c))
+
+            nst = lax.while_loop(ncond, nbody, ninit)
         _, y_new, d_corr, _, n_conv, n_div, n_bad, n_iters = nst
         conv = n_conv & ~n_bad & pred_ok
         nfev_n = n_iters  # per-lane rhs evals this attempt
@@ -626,7 +715,7 @@ def bdf_solve_batched(
             S_pred = z_pred[sl_S].reshape(k_sens, n, B)
             psi_S = psi_z[sl_S].reshape(k_sens, n, B)
             wS = w_z[sl_S].reshape(k_sens, n, B)
-            solve_rows = jax.vmap(lin_solve_b, in_axes=(None, 0))
+            solve_rows = jax.vmap(lin_solve_loc, in_axes=(None, 0))
 
             if staggered:
                 # CV_STAGGERED (16_cvodes.h:31-33): the state must converge
@@ -681,21 +770,29 @@ def bdf_solve_batched(
                 zeros_i,
             )
 
+            # same unroll-vs-early-exit tradeoff as the state Newton:
+            # each sens iteration pays k_sens linear solves, so large n
+            # uses a while_loop with all-lanes exit
+            def scond(st):
+                it_s, _, _, _, s_conv_c, s_bad_c, _ = st
+                return (it_s < SENS_MAXITER) & jnp.any(~(s_conv_c | s_bad_c))
+
+            def run_unrolled(_):
+                sst = sinit
+                for _ in range(SENS_MAXITER):
+                    sst = sbody(sst)
+                return sst
+
+            def run_while(_):
+                return lax.while_loop(scond, sbody, sinit)
+
+            run_sens = run_unrolled if n <= 16 else run_while
             if staggered:
-
-                def run_sens(_):
-                    sst = sinit
-                    for _ in range(SENS_MAXITER):
-                        sst = sbody(sst)
-                    return sst
-
                 sst = lax.cond(
                     jnp.any(sens_gate), run_sens, lambda _: sinit, None
                 )
             else:
-                sst = sinit
-                for _ in range(SENS_MAXITER):
-                    sst = sbody(sst)
+                sst = run_sens(None)
             _, S_new, dS_corr, _, s_conv, s_bad, nfevS_n = sst
             if staggered:
                 # a gated-off sens corrector must not mask the state
@@ -729,14 +826,21 @@ def bdf_solve_batched(
             constraint_fail = jnp.zeros((B,), bool)
 
         newton_failed = active & ~conv
-        refresh_J = newton_failed & ~c["J_current"]
-        halve = newton_failed & c["J_current"]
+        # spgmr is matrix-free: the linearization is always fresh, so a
+        # Newton failure goes straight to step reduction (see ops/bdf.py)
+        if use_spgmr:
+            refresh_J = jnp.zeros((B,), bool)
+        else:
+            refresh_J = newton_failed & ~c["J_current"]
+        halve = newton_failed & (c["J_current"] | use_spgmr)
 
         def do_jac(_):
             Jn = jac_b(t_new, y_pred, params)
             return jnp.where(refresh_J[None, None, :], Jn, c["J"])
 
-        if n <= 4 and not use_band:
+        if use_spgmr:
+            J_new = c["J"]
+        elif n <= 4 and not use_band:
             J_new = do_jac(None)  # cheap; avoid the cond sync
         else:
             J_new = lax.cond(jnp.any(refresh_J), do_jac, lambda _: c["J"], None)
@@ -862,7 +966,7 @@ def bdf_solve_batched(
         # ---- emission (shared loop; per-lane masks) -----------------------
         def emit_cond(st):
             i_out = st[0]
-            te = tvals[jnp.minimum(i_out, n_t - 1)]
+            te = _t_emit(i_out)
             pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
             if t_stop is not None:
                 pend = pend & (te <= t_stop)
@@ -870,7 +974,7 @@ def bdf_solve_batched(
 
         def emit_body(st):
             i_out, zs = st
-            te = tvals[jnp.minimum(i_out, n_t - 1)]
+            te = _t_emit(i_out)
             pend = accept & (i_out < n_t) & (te <= t_new + 1e-14 * jnp.abs(t_new))
             if t_stop is not None:
                 pend = pend & (te <= t_stop)

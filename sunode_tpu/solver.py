@@ -109,9 +109,20 @@ class _SolverBase:
     """Shared params handling + output conversion."""
 
     _problem: Problem
+    # working precision of the solve (np.float64 default = CVODES realtype
+    # parity, ref basic.py:40-43; np.float32 opts into TPU-speed mode)
+    _dtype: np.dtype = np.dtype(np.float64)
+
+    def _set_dtype(self, dtype) -> None:
+        dt = np.dtype(dtype)
+        if dt not in (np.dtype(np.float32), np.dtype(np.float64)):
+            raise ValueError(
+                f"dtype must be float32 or float64, got {dt}"
+            )
+        self._dtype = dt
 
     def _init_params_state(self):
-        self._params = np.zeros(self._problem.n_all_params, dtype=np.float64)
+        self._params = np.zeros(self._problem.n_all_params, dtype=self._dtype)
 
     # --- dtype parity accessors (solver.py:436-445) -------------------
     @property
@@ -133,7 +144,7 @@ class _SolverBase:
     # --- params get/set (solver.py:447-465) ---------------------------
     def set_params(self, params):
         self._params = np.asarray(
-            self._problem.params.coerce_flat(params), dtype=np.float64
+            self._problem.params.coerce_flat(params), dtype=self._dtype
         ).copy()
 
     def get_params(self):
@@ -141,7 +152,7 @@ class _SolverBase:
 
     def set_params_dict(self, params: Mapping[str, Any]) -> None:
         self._params = np.asarray(
-            self._problem.params.flatten_dict(params), dtype=np.float64
+            self._problem.params.flatten_dict(params), dtype=self._dtype
         )
 
     def get_params_dict(self):
@@ -152,7 +163,7 @@ class _SolverBase:
         if isinstance(params, Mapping):
             sub = np.asarray(spec.flatten_subset_dict(params))
         else:
-            sub = np.asarray(params, dtype=np.float64).reshape(-1)
+            sub = np.asarray(params, dtype=self._dtype).reshape(-1)
         self._params[spec.subset_indices] = sub
 
     def set_remaining_params(self, params) -> None:
@@ -160,7 +171,7 @@ class _SolverBase:
         if isinstance(params, Mapping):
             rem = np.asarray(spec.remainder.flatten_dict(params))
         else:
-            rem = np.asarray(params, dtype=np.float64).reshape(-1)
+            rem = np.asarray(params, dtype=self._dtype).reshape(-1)
         self._params[spec.remainder_indices] = rem
 
     def as_xarray(
@@ -207,10 +218,27 @@ class Solver(_SolverBase):
         root_cap: int = 8,
         root_terminal: bool = True,
         root_directions: Optional[Any] = None,
+        dtype: Any = np.float64,
     ):
         # reference defaults: abstol=1e-10, reltol=1e-10 (solver.py:242-254)
         if solver not in ("BDF", "ADAMS"):
             raise ValueError("solver must be 'BDF' or 'ADAMS'")
+        # dtype=np.float32 opts the whole solve into TPU-speed f32 mode
+        # (the default f64 matches the reference realtype, basic.py:40-43).
+        # f32 runs skip the f64-only native host route and need tolerances
+        # the precision can meet (rtol >~ 1e-6); see docs/limitations.md.
+        self._set_dtype(dtype)
+        if self._dtype == np.float32:
+            _rt = 1e-10 if reltol is None else reltol
+            if options is not None:
+                _rt = options.rtol
+            _rt = float(np.min(_rt))
+            if _rt < 1e-7:
+                raise ValueError(
+                    f"reltol={_rt:g} is below float32 precision; pass "
+                    "reltol>=1e-7 (1e-5 is a good default) with "
+                    "dtype=np.float32"
+                )
         # events / rootfinding (CVodeRootInit analog; ops/bdf.py root_fn):
         # a SympyProblem lowers a symbolic (t, states, params) callable,
         # any other problem passes a flat JAX (t, y, p) -> (nrt,) directly
@@ -409,9 +437,11 @@ class Solver(_SolverBase):
     def make_output_buffers(self, tvals):
         n_states = self._problem.n_states
         n_params = self._problem.n_params
-        y_vals = np.zeros((len(tvals), n_states))
+        y_vals = np.zeros((len(tvals), n_states), dtype=self._dtype)
         if self._compute_sens:
-            sens_vals = np.zeros((len(tvals), n_params, n_states))
+            sens_vals = np.zeros(
+                (len(tvals), n_params, n_states), dtype=self._dtype
+            )
             return y_vals, sens_vals
         return y_vals
 
@@ -432,7 +462,8 @@ class Solver(_SolverBase):
             if opts.sens_pbar is None
             else np.broadcast_to(np.asarray(opts.sens_pbar, np.float64), (k,))
         )
-        rtol_aug = opts.rtol
+        rtol_v = np.broadcast_to(np.asarray(opts.rtol, np.float64), (n,))
+        rtol_aug = np.concatenate([rtol_v, np.tile(rtol_v, k)])
         if opts.sens_err_con:
             # CVodeSensEEtolerances: atol_S[k] = atol / pbar_k
             atol_S = (atol[None, :] / pbar[:, None]).reshape(-1)
@@ -448,7 +479,7 @@ class Solver(_SolverBase):
             atol_S = np.full(k * n, 1e12)
             f = 1.0 / np.sqrt(1.0 + k)
             atol_y = atol * f
-            rtol_aug = float(opts.rtol) * f
+            rtol_aug = rtol_aug * f
         atol_aug = np.concatenate([atol_y, atol_S])
         cons = opts.constraints
         cons_aug = (
@@ -493,8 +524,10 @@ class Solver(_SolverBase):
         )
         return (
             self._native_single_enabled
+            and self._dtype == np.float64  # native realtype is f64-only
             and self._solver_kind in ("BDF", "ADAMS")
             and not self._compute_sens
+            and np.ndim(o.rtol) == 0  # vector rtol is a JAX-core feature
             and roots_ok
             and ls_ok
             and o.first_step is None
@@ -517,8 +550,10 @@ class Solver(_SolverBase):
         )
         return (
             self._native_single_enabled
+            and self._dtype == np.float64  # native realtype is f64-only
             and self._solver_kind in ("ADAMS", "BDF")
             and self._compute_sens
+            and np.ndim(o.rtol) == 0  # vector rtol is a JAX-core feature
             and self._root_fn is None
             and self._sens_mode in ("simultaneous", "staggered")
             and o.sens_pbar is None
@@ -605,11 +640,12 @@ class Solver(_SolverBase):
             # when every lane's state failed.
             # 'band'/'sparse' run batch-native too (lockstep lanes share the
             # static band/coloring plan — ops/bdf_batched.py structured
-            # Newton); only matrix-free spgmr still routes through vmap.
+            # Newton), and matrix-free 'spgmr' runs batch-native through the
+            # lockstep SoA GMRES (ops/krylov.py gmres_solve_batched).
             # rootfinding: BOTH batch-native cores carry the SoA _root_scan
             # analog (per-lane terminal stop, records, direction filters).
             use_batch_native = batched and opts.linear_solver in (
-                "dense", "band", "sparse",
+                "dense", "band", "sparse", "spgmr",
             )
             root_kw = (
                 dict(
@@ -675,12 +711,12 @@ class Solver(_SolverBase):
                         res = bdf_solve_batched(
                             rhs, jac, t0, y0, params, tvals, o,
                             sens_rhs=sens_rhs, S0=sens0, first_step=first_step,
-                            **root_kw,
+                            jac_prod=jac_prod, **root_kw,
                         )
                         return res.ys, res.sens, res.status, res.stats
                     res = bdf_solve_batched(
                         rhs, jac, t0, y0, params, tvals, o, first_step=first_step,
-                        **root_kw,
+                        jac_prod=jac_prod, **root_kw,
                     )
                     return res.ys, None, res.status, res.stats
 
@@ -780,11 +816,22 @@ class Solver(_SolverBase):
         Returns ``y_out`` (and fills ``sens_out`` when sensitivities are on).
         """
         spec = self._problem.states
-        y0_flat = spec.coerce_flat(y0, xp=np)
+        dt = self._dtype
+        y0_flat = np.asarray(spec.coerce_flat(y0, xp=np), dt)
         batched = np.ndim(y0_flat) == 2
-        params = self._params
+        params = np.asarray(self._params, dt)
         if batched and params.ndim == 1:
             params = np.broadcast_to(params, (y0_flat.shape[0], params.size))
+        # per-lane observation grids: tvals (B, n_t) rides the batch-native
+        # cores directly (ragged datasets — pad each lane's grid with copies
+        # of its final time); validated up front so the B=1 native routes
+        # below never see a 2-D grid
+        tva0 = np.asarray(tvals)
+        if tva0.ndim == 2 and (not batched or tva0.shape[0] != y0_flat.shape[0]):
+            raise ValueError(
+                "per-lane tvals requires a matching batched y0: got "
+                f"tvals {tva0.shape} with y0 {np.shape(y0_flat)}"
+            )
 
         if not batched and self._native_eligible():
             ns = self._native_single()
@@ -824,11 +871,9 @@ class Solver(_SolverBase):
             if sens0 is None:
                 k, n = self._problem.n_params, self._problem.n_states
                 shape = (y0_flat.shape[0], k, n) if batched else (k, n)
-                sens0 = np.zeros(shape)
+                sens0 = np.zeros(shape, dtype=dt)
         B = y0_flat.shape[0] if batched else None
-        t0_arr = (
-            np.full((B,), t0, np.float64) if batched else np.float64(t0)
-        )
+        t0_arr = np.full((B,), t0, dt) if batched else dt.type(t0)
         # honor a user-configured options.first_step on the initial segment
         # (the traced override short-circuits the in-core options fallback);
         # -1 sentinel -> automatic Hairer-Wanner h0
@@ -837,12 +882,12 @@ class Solver(_SolverBase):
             if self._options.first_step is not None
             else -1.0
         )
-        fs0 = np.full((B,), fs_init) if batched else np.float64(fs_init)
-        fn = self._solver_fn(len(tvals), batched)
+        fs0 = np.full((B,), fs_init, dt) if batched else dt.type(fs_init)
+        fn = self._solver_fn(tva0.shape[-1], batched)
         max_steps = jnp.asarray(
             min(int(self._options.max_steps), _I32_MAX), jnp.int32
         )
-        tv = jnp.asarray(tvals, jnp.float64)
+        tv = jnp.asarray(tvals, dt)
         ys, sens, status, stats = fn(
             jnp.asarray(t0_arr),
             jnp.asarray(y0_flat),
@@ -867,7 +912,7 @@ class Solver(_SolverBase):
             status_np = np.asarray(status)
             resume = status_np == 1
             t_res = np.where(
-                resume, np.asarray(stats["final_time"]), np.asarray(tvals)[-1]
+                resume, np.asarray(stats["final_time"]), np.asarray(tvals)[..., -1]
             )
             z_res = np.asarray(stats["final_state"])
             y_res = z_res[..., :n]
@@ -887,7 +932,7 @@ class Solver(_SolverBase):
                 jnp.int32,
             )
             ys2, sens2, status2, stats2 = fn(
-                jnp.asarray(t_res if batched else np.float64(t_res)),
+                jnp.asarray(t_res if batched else dt.type(t_res)),
                 jnp.asarray(y_res),
                 jnp.asarray(params),
                 tv,
@@ -900,7 +945,8 @@ class Solver(_SolverBase):
             tva = np.asarray(tvals)
             tol_t = 1e-14 * (1.0 + np.abs(t_res))
             if batched:
-                emitted = tva[None, :] <= (t_res + tol_t)[:, None]  # (B, n_t)
+                tva_b = tva if tva.ndim == 2 else tva[None, :]
+                emitted = tva_b <= (t_res + tol_t)[:, None]  # (B, n_t)
                 keep_old = (~resume[:, None]) | emitted  # (B, n_t)
             else:
                 emitted = tva <= t_res + tol_t  # (n_t,)
@@ -1002,9 +1048,23 @@ class AdjointSolver(_SolverBase):
         roots: Optional[Callable] = None,
         root_directions: Optional[Any] = None,
         root_cap: int = 8,
+        dtype: Any = np.float64,
     ):
         if solver not in ("BDF", "ADAMS") or adjoint_solver not in ("BDF", "ADAMS"):
             raise ValueError("solver/adjoint_solver must be 'BDF' or 'ADAMS'")
+        # dtype=np.float32: TPU-speed f32 mode for forward AND backward
+        # passes (f64 default = reference realtype).  The reference-default
+        # 1e-10 tolerances are meaningless in f32 — require explicit,
+        # representable tolerances.
+        self._set_dtype(dtype)
+        if self._dtype == np.float32 and (
+            float(np.min(reltol)) < 1e-7 or float(np.min(adjoint_reltol)) < 1e-7
+        ):
+            raise ValueError(
+                f"reltol={reltol!r}/adjoint_reltol={adjoint_reltol!r} below "
+                "float32 precision; pass >=1e-7 (1e-5 is a good default) "
+                "with dtype=np.float32"
+            )
         # terminal events during the recording pass (CVodeF records while
         # rootfinding, 16_cvodes.h:365-439): solve_forward stops AT the
         # root (outputs past it NaN, stats['roots_t'] set), the checkpoint
@@ -1184,9 +1244,9 @@ class AdjointSolver(_SolverBase):
         """(y_out, grad_out, lamda_out) — reference solver.py:637-641."""
         n_states = self._problem.n_states
         n_params = self._problem.n_params
-        y_vals = np.zeros((len(tvals), n_states))
-        grad_vals = np.zeros(n_params)
-        lamda_vals = np.zeros(n_states)
+        y_vals = np.zeros((len(tvals), n_states), dtype=self._dtype)
+        grad_vals = np.zeros(n_params, dtype=self._dtype)
+        lamda_vals = np.zeros(n_states, dtype=self._dtype)
         return y_vals, grad_vals, lamda_vals
 
     def _forward_fn(self, n_t: int):
@@ -1297,6 +1357,10 @@ class AdjointSolver(_SolverBase):
             kinds == ("BDF", "BDF")
             and self._interpolation in ("hermite", "polynomial")
         )
+        if self._dtype != np.float64:  # native realtype is f64-only
+            return False
+        if np.ndim(o.rtol) != 0:  # vector rtol is a JAX-core feature
+            return False
         # banded Newton routes natively on the BDF/BDF path only (the
         # ADAMS pair has no Newton matrix; banded codegen needs sympy)
         ls_ok = self._linear_solver == "dense" or (
@@ -1357,7 +1421,8 @@ class AdjointSolver(_SolverBase):
     def solve_forward(self, t0, tvals, y0, y_out=None):
         """Forward pass recording checkpoints (CVodeF; solver.py:682-721)."""
         spec = self._problem.states
-        y0_flat = spec.coerce_flat(y0, xp=np)
+        dt = self._dtype
+        y0_flat = np.asarray(spec.coerce_flat(y0, xp=np), dt)
         if y0_flat.ndim == 1 and self._native_adj_eligible():
             ns = self._native_adj()
             if ns is not None:
@@ -1384,10 +1449,10 @@ class AdjointSolver(_SolverBase):
                 return ys
         fn = self._forward_fn(len(tvals))
         ys, status, saved, stats = fn(
-            jnp.asarray(t0, jnp.float64),
+            jnp.asarray(t0, dt),
             jnp.asarray(y0_flat),
-            jnp.asarray(self._params),
-            jnp.asarray(tvals, jnp.float64),
+            jnp.asarray(self._params, dt),
+            jnp.asarray(tvals, dt),
         )
         self._last_forward = dict(saved=saved, t0=float(t0), params=self._params.copy())
         self.last_stats = {k: np.asarray(v) for k, v in stats.items()}
@@ -1510,7 +1575,7 @@ class AdjointSolver(_SolverBase):
             if grad_out is None and lamda_out is None:
                 return quad, -lam0
             return grad_out, lamda_out
-        grads = np.asarray(grads, np.float64)
+        grads = np.asarray(grads, self._dtype)
         if self._root_fn is not None and self.last_stats is not None:
             # CVodeB-after-CVodeF-root semantics: the recording stopped AT
             # the terminal root, observations past it are NaN by contract,
@@ -1524,12 +1589,13 @@ class AdjointSolver(_SolverBase):
             if post.any():
                 grads = grads.copy()
                 grads[post] = 0.0
+        dt = self._dtype
         args = (
             fwd["saved"],
-            jnp.asarray(tend, jnp.float64),
-            jnp.asarray(tvals, jnp.float64),
-            jnp.asarray(grads, jnp.float64),
-            jnp.asarray(fwd["params"]),
+            jnp.asarray(tend, dt),
+            jnp.asarray(tvals, dt),
+            jnp.asarray(grads, dt),
+            jnp.asarray(fwd["params"], dt),
         )
         fn = self._backward_fn(len(tvals))
         base_ms = int(self._adjoint_options.max_steps)

@@ -241,15 +241,44 @@ def test_batched_adjoint_sparse_matches_dense_gradients():
     np.testing.assert_allclose(grads["sparse"], grads["dense"], rtol=1e-4, atol=1e-8)
 
 
-def test_batched_spgmr_raises_not_implemented():
-    prob = _rd_problem(8)
+def test_batched_spgmr_matches_vmap():
+    """Matrix-free GMRES Newton runs batch-native (lockstep SoA Arnoldi/
+    Givens over a (maxl+1, maxl, B) Hessenberg — ops/krylov.py
+    gmres_solve_batched), closing the last structurally-vmap quadrant for
+    large-state batched stiff work (VERDICT r4 item 7)."""
+    prob = _rd_problem(24)
     rhs, jac = prob.make_rhs(), prob.make_jac_dense()
-    opts = BDFOptions(linear_solver="spgmr")
-    with pytest.raises(NotImplementedError, match="spgmr"):
-        bdf_solve_batched(
-            rhs, jac, 0.0, jnp.ones((2, 8)), jnp.ones((2, 2)),
-            jnp.asarray([1.0]), opts,
+    y0, params, tvals = _rd_inputs(24, 4)
+    opts = BDFOptions(rtol=1e-8, atol=1e-10, linear_solver="spgmr")
+    res = jax.jit(
+        lambda y, p: bdf_solve_batched(
+            rhs, jac, 0.0, y, p, jnp.asarray(tvals), opts
         )
+    )(jnp.asarray(y0), jnp.asarray(params))
+    assert np.all(np.asarray(res.status) == 0)
+    ys_v = jax.jit(
+        jax.vmap(
+            lambda y, p: bdf_solve(
+                rhs, jac, 0.0, y, p, jnp.asarray(tvals), opts
+            ).ys
+        )
+    )(jnp.asarray(y0), jnp.asarray(params))
+    np.testing.assert_allclose(
+        np.asarray(res.ys), np.asarray(ys_v), rtol=1e-6, atol=1e-8
+    )
+
+
+def test_solver_class_batched_spgmr_routes_batch_native():
+    s = Solver(
+        _rd_problem(16), abstol=1e-10, reltol=1e-8, linear_solver="spgmr"
+    )
+    y0, params, tvals = _rd_inputs(16, 3)
+    s.set_params_dict({"D": 50.0, "r": 1.0})
+    s._params = np.ascontiguousarray(params)
+    ys = s.solve(0.0, tvals, y0)
+    st = s.last_stats
+    assert "n_attempts" in st  # shared attempt counter = batch-native core
+    assert np.all(np.isfinite(ys))
 
 
 def test_batched_solve_fn_band_requires_bdf():

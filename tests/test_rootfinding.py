@@ -673,3 +673,97 @@ def test_adams_batch_native_staggered_sens_with_roots_closed_form():
         atol=1e-7,
     )
     assert np.all(np.isnan(np.asarray(res.ys[:, 2])))  # past the root
+
+
+@pytest.mark.parametrize("staggered", [False, True], ids=["simultaneous", "staggered"])
+def test_bdf_batch_native_sens_with_roots_closed_form(staggered):
+    """Events x sensitivities in the batched BDF core (VERDICT r4 item 10):
+    the BDF cells of the events matrix (bdf_solve_batched with sens_rhs +
+    root_kw, wired at solver.py's batch-native dispatch) get the same
+    closed-form gate as the ADAMS cells above — parametrized oscillator
+    y'' = -w^2 y from (1, 0), dy/dw closed forms, first root of y_1 at
+    t* = pi/(2w).  Both CV_SIMULTANEOUS and CV_STAGGERED."""
+    from sunode_tpu.ops.bdf_batched import bdf_solve_batched
+
+    def rhs_w(t, y, p):
+        return jnp.array([y[1], -p[0] ** 2 * y[0]])
+
+    def jac_w(t, y, p):
+        return jnp.array([[0.0, 1.0], [-p[0] ** 2, 0.0]])
+
+    def sens_rhs_w(t, y, S, p):
+        Js = jnp.array([S[0, 1], -p[0] ** 2 * S[0, 0]])
+        dfdw = jnp.array([0.0, -2.0 * p[0] * y[0]])
+        return (Js + dfdw)[None, :]
+
+    w = np.array([1.0, 1.2, 1.5])
+    B = w.size
+    y0_b = jnp.asarray(np.tile([1.0, 0.0], (B, 1)))
+    p_b = jnp.asarray(w[:, None])
+    tvals = jnp.asarray([0.3, 0.6, 2.0])  # 2.0 lies past every lane's root
+    o = BDFOptions(rtol=1e-10, atol=1e-10, sens_staggered=staggered)
+    res = jax.jit(
+        lambda y0_: bdf_solve_batched(
+            rhs_w, jac_w, 0.0, y0_, p_b, tvals, o,
+            sens_rhs=sens_rhs_w, S0=jnp.zeros((B, 1, 2)),
+            root_fn=lambda t, y, p: y[:1],
+        )
+    )(y0_b)
+    assert np.all(np.asarray(res.status) == STATUS["ROOT_RETURN"])
+    np.testing.assert_allclose(
+        np.asarray(res.stats["roots_t"][:, 0]), np.pi / (2 * w), atol=1e-8
+    )
+    # the recorded root STATE matches (0, -w) (sin at the crossing)
+    np.testing.assert_allclose(
+        np.asarray(res.stats["roots_y"][:, 0, 0]), 0.0, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.stats["roots_y"][:, 0, 1]), -w, atol=1e-7
+    )
+    tv = np.asarray(tvals)[None, :2]  # the pre-root output times
+    wt = w[:, None] * tv
+    np.testing.assert_allclose(
+        np.asarray(res.sens[:, :2, 0, 0]), -tv * np.sin(wt), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.sens[:, :2, 0, 1]),
+        -np.sin(wt) - wt * np.cos(wt),
+        atol=1e-7,
+    )
+    assert np.all(np.isnan(np.asarray(res.ys[:, 2])))  # past the root
+    # sens rows past the root are NaN too (outputs-past-root contract)
+    assert np.all(np.isnan(np.asarray(res.sens[:, 2])))
+
+
+def test_solver_class_batched_bdf_sens_with_roots():
+    """Solver(sens_mode=..., roots=...) with batched y0 exercises the
+    solver.py batch-native BDF sens+roots wiring end to end."""
+    from sunode_tpu.symode import SympyProblem
+    from sunode_tpu.solver import Solver
+
+    prob = SympyProblem(
+        params={"w": ()},
+        states={"a": (), "b": ()},
+        rhs_sympy=lambda t, y, p: {"a": y.b, "b": -p.w * p.w * y.a},
+        derivative_params=[("w",)],
+    )
+    s = Solver(
+        prob,
+        abstol=1e-10,
+        reltol=1e-10,
+        sens_mode="simultaneous",
+        roots=lambda t, y, p: [y.a],
+    )
+    w = np.array([1.0, 1.3])
+    tvals = np.array([0.3, 0.6, 2.0])
+    y0_b = np.tile([1.0, 0.0], (2, 1))
+    s.set_params_dict({"w": 1.0})
+    s._params = np.broadcast_to(w[:, None], (2, 1)).copy()
+    ys, sens = s.solve(0.0, tvals, y0_b)
+    np.testing.assert_allclose(
+        np.asarray(s.last_stats["roots_t"])[:, 0], np.pi / (2 * w), atol=1e-8
+    )
+    wt = w[:, None] * tvals[None, :2]
+    np.testing.assert_allclose(
+        sens[:, :2, 0, 0], -tvals[None, :2] * np.sin(wt), atol=1e-7
+    )
