@@ -84,3 +84,49 @@ assert err_t < 1e-8 and err_v < 1e-7
 h_all = np.concatenate(hvals_all)
 assert np.nanmin(h_all) > -1e-8, "ball never penetrates the ground"
 print(f"4 bounces over {len(h_all)} emitted points; events OK")
+
+
+# ---------------------------------------------------------------------------
+# Part 2: the same hybrid system as ONE differentiable function
+# (make_hybrid_solve_fn — the Python loop above, compiled and with exact
+# gradients through every impact; see docs/quickstart.md §7)
+# ---------------------------------------------------------------------------
+import jax
+import jax.numpy as jnp
+
+from sunode_tpu import make_hybrid_solve_fn
+from sunode_tpu.ops.bdf import BDFOptions
+from sunode_tpu.problem import JaxProblem
+
+problem2 = JaxProblem(
+    params={"g": (), "e": ()},  # e only enters through the jump map
+    states={"h": (), "v": ()},
+    rhs=lambda t, y, p: {"h": y.v, "v": -p.g},
+    derivative_params=[("g",), ("e",)],
+)
+hybrid = make_hybrid_solve_fn(
+    problem2,
+    roots=lambda t, y, p: [y.h],
+    jump_fn=lambda t, y, p: {"h": y.h, "v": -p.e * y.v},
+    max_events=3,
+    options=BDFOptions(rtol=1e-10, atol=1e-12),
+    root_directions=[-1],
+)
+tv = jnp.linspace(0.0, float(t_expect[2]) + 0.3, 40)
+res = hybrid(0.0, jnp.array([10.0, 0.0]), jnp.array([G, E]), jnp.zeros(0), tv)
+err_h = np.max(np.abs(np.asarray(res.event_ts) - np.array(t_expect[:3])))
+print(f"hybrid fn: {int(res.n_events)} impacts, times max err {err_h:.2e}")
+assert err_h < 1e-7
+
+# exact gradient of the third impact time w.r.t. (g, e), through two jumps:
+d_t3 = jax.grad(
+    lambda p: hybrid(0.0, jnp.array([10.0, 0.0]), p, jnp.zeros(0), tv).event_ts[2]
+)(jnp.array([G, E]))
+s = 1.0 + 2 * E + 2 * E * E
+expect = np.array([
+    -0.5 * np.sqrt(2 * 10.0 / G) / G * s,
+    np.sqrt(2 * 10.0 / G) * (2.0 + 4.0 * E),
+])
+print("d t3/d(g,e) =", np.round(np.asarray(d_t3), 6), "expected", np.round(expect, 6))
+assert np.allclose(np.asarray(d_t3), expect, rtol=1e-6)
+print("hybrid gradients OK")
