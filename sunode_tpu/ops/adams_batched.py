@@ -453,26 +453,46 @@ def adams_solve_batched(
         bad = jnp.zeros((B,), bool)
         dy_old = jnp.full((B,), jnp.inf, dtype)
         niter = zeros_i
-        for k in range(FUNCTIONAL_MAXITER):
-            fz_k = fz(t_new, y_it, stage)
+        def fbody(st):
+            k, y_it_c, conv_c, div_c, bad_c, dy_old_c, niter_c = st
+            fz_k = fz(t_new, y_it_c, stage)
             bad_f = ~jnp.all(jnp.isfinite(fz_k), axis=0)
             z_next = z_pred_yq + c_A[None, :] * (fz_k - f_extrap_yq)
-            delta = z_next[sl_y] - y_it
+            delta = z_next[sl_y] - y_it_c
             dy_norm = jnp.sqrt(jnp.mean((delta * w_y) ** 2, axis=0))
-            rate = dy_norm / dy_old
-            live = ~(conv | div | bad)
-            y_it = jnp.where(live[None, :], z_next[sl_y], y_it)
+            rate = dy_norm / dy_old_c
+            live = ~(conv_c | div_c | bad_c)
+            y_it_c = jnp.where(live[None, :], z_next[sl_y], y_it_c)
             conv_new = (
                 (dy_norm == 0.0)
                 | ((k > 0) & (rate < 1.0) & (rate / (1 - rate) * dy_norm < newton_tol))
                 | (dy_norm < 0.1 * newton_tol)
             )
             div_new = (k > 0) & (rate >= 2.0)
-            bad = bad | (live & bad_f)
-            conv = conv | (live & conv_new & ~bad)
-            div = div | (live & div_new & ~conv_new)
-            niter = niter + live.astype(jnp.int32)
-            dy_old = jnp.where(live, dy_norm, dy_old)
+            bad_c = bad_c | (live & bad_f)
+            conv_c = conv_c | (live & conv_new & ~bad_c)
+            div_c = div_c | (live & div_new & ~conv_new)
+            niter_c = niter_c + live.astype(jnp.int32)
+            dy_old_c = jnp.where(live, dy_norm, dy_old_c)
+            return k + 1, y_it_c, conv_c, div_c, bad_c, dy_old_c, niter_c
+
+        finit = (jnp.asarray(0, jnp.int32), y_it, conv, div, bad, dy_old, niter)
+        # small n: static unroll (iterations are one cheap fused rhs eval);
+        # large n: while_loop with all-lanes early exit — each iteration is
+        # an O(n·B) rhs eval, and the batch typically converges in 1-2
+        # (same tradeoff as the batched BDF Newton, ops/bdf_batched.py)
+        if n <= 16:
+            fst = finit
+            for _ in range(FUNCTIONAL_MAXITER):
+                fst = fbody(fst)
+        else:
+
+            def fcond(st):
+                k, _, conv_c, div_c, bad_c, _, _ = st
+                return (k < FUNCTIONAL_MAXITER) & jnp.any(~(conv_c | div_c | bad_c))
+
+            fst = lax.while_loop(fcond, fbody, finit)
+        _, y_it, conv, div, bad, dy_old, niter = fst
         conv = conv & ~bad & pred_ok
         # final combined derivative at the converged y
         fz_new = fz(t_new, y_it, stage)
@@ -543,9 +563,19 @@ def adams_solve_batched(
             )
 
             def run_sens(_):
-                sst = sinit
-                for _ in range(FUNCTIONAL_MAXITER):
-                    sst = sbody(sst)
+                if n <= 16:
+                    sst = sinit
+                    for _ in range(FUNCTIONAL_MAXITER):
+                        sst = sbody(sst)
+                else:
+
+                    def scond(st):
+                        it_s, _, _, s_conv_c, s_div_c, s_bad_c, _ = st
+                        return (it_s < FUNCTIONAL_MAXITER) & jnp.any(
+                            ~(s_conv_c | s_div_c | s_bad_c)
+                        )
+
+                    sst = lax.while_loop(scond, sbody, sinit)
                 # final corrector derivative at the converged S (same
                 # pattern as the state phase)
                 _, S_fin, _, s_conv, s_div, s_bad, nfs = sst
