@@ -43,12 +43,12 @@ def _ball_problem():
 
 def _ball_hybrid(max_events=3, **kw):
     problem = _ball_problem()
+    kw.setdefault("options", OPTS)
     return make_hybrid_solve_fn(
         problem,
         roots=lambda t, y, p: jnp.stack([y.h]),
         jump_fn=lambda t, y, p: {"h": y.h, "v": -p.e * y.v},
         max_events=max_events,
-        options=OPTS,
         root_directions=[-1],  # ground impacts only on the way down
         **kw,
     )
@@ -249,3 +249,52 @@ def test_event_fn_adams_solver_option():
                   jnp.zeros(0), 1.0)
     assert np.isclose(float(t_e), np.sqrt(2 / 9.81), atol=1e-8)
     assert np.isclose(float(y_e[0]), 0.0, atol=1e-8)
+
+
+def test_hybrid_adjoint_derivatives_mode():
+    # derivatives='adjoint' drives the IFT corrections and segment solves
+    # through the checkpointed adjoint instead of forward sensitivities
+    hybrid = _ball_hybrid(max_events=2, derivatives="adjoint")
+    g = 9.81
+    tvals = jnp.linspace(0.0, 1.6, 4)
+
+    def loss(theta):
+        res = hybrid(
+            0.0,
+            jnp.array([theta[0], 0.0]),
+            jnp.array([g, theta[1]]),
+            jnp.zeros(0),
+            tvals,
+        )
+        return jnp.sum(res.ys[-1] ** 2)
+
+    theta0 = jnp.array([1.0, 0.8])
+    grad = np.asarray(jax.grad(loss)(theta0))
+    assert np.all(np.isfinite(grad))
+    for i in range(2):
+        dp = np.zeros(2)
+        dp[i] = 1e-5
+        fd = (float(loss(theta0 + dp)) - float(loss(theta0 - dp))) / 2e-5
+        assert np.isclose(grad[i], fd, rtol=5e-4, atol=1e-8), (i, grad[i], fd)
+
+
+def test_hybrid_f32_pipeline():
+    # f32 inputs run the hybrid loop at f32 end-to-end (events + jumps)
+    hybrid = _ball_hybrid(
+        max_events=2,
+        options=BDFOptions(rtol=1e-5, atol=1e-6),
+    )
+    h0, g, e = 1.0, 9.81, 0.8
+    ts_exact, _ = _closed_form(h0, g, e, 2)
+    tvals = jnp.linspace(0.0, float(ts_exact[-1] + 0.1), 5, dtype=jnp.float32)
+    res = hybrid(
+        jnp.float32(0.0),
+        jnp.array([h0, 0.0], jnp.float32),
+        jnp.array([g, e], jnp.float32),
+        jnp.zeros(0, jnp.float32),
+        tvals,
+    )
+    assert res.ys.dtype == jnp.float32
+    assert res.event_ts.dtype == jnp.float32
+    assert int(res.n_events) == 2
+    assert np.allclose(np.asarray(res.event_ts), ts_exact, atol=5e-4)

@@ -156,3 +156,37 @@ def test_per_lane_tvals_with_resume(inputs):
         for i in range(B)
     ])
     np.testing.assert_allclose(ys, ys_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_per_lane_tvals_with_terminal_roots(inputs):
+    # per-lane grids compose with the SoA rootfinding scan: each lane stops
+    # at ITS root; outputs past it (on its own grid) are NaN
+    def rhs(t, y, p):
+        return jnp.array([y[1], -p[0] ** 2 * y[0]])
+
+    def jac(t, y, p):
+        return jnp.array([[0.0, 1.0], [-p[0] ** 2, 0.0]])
+
+    w = np.array([1.0, 1.3, 0.7])
+    y0 = jnp.asarray(np.tile([1.0, 0.0], (3, 1)))
+    ps = jnp.asarray(w[:, None])
+    # per-lane grids straddling each lane's root t* = pi/(2w)
+    t_star = np.pi / (2 * w)
+    tv = np.stack([np.array([0.5, 0.9, 1.5]) * ts for ts in t_star])
+    res = bdf_solve_batched(
+        rhs, jac, 0.0, y0, ps, jnp.asarray(tv), OPTS,
+        root_fn=lambda t, y, p: y[:1],
+    )
+    from sunode_tpu.ops.bdf import STATUS
+
+    assert np.all(np.asarray(res.status) == STATUS["ROOT_RETURN"])
+    np.testing.assert_allclose(
+        np.asarray(res.stats["roots_t"][:, 0]), t_star, atol=1e-8
+    )
+    ys = np.asarray(res.ys)
+    # pre-root grid points emitted, post-root NaN — per lane's OWN grid
+    assert np.all(np.isfinite(ys[:, :2]))
+    assert np.all(np.isnan(ys[:, 2]))
+    np.testing.assert_allclose(
+        ys[:, 0, 0], np.cos(w * tv[:, 0]), atol=1e-8
+    )
