@@ -160,3 +160,56 @@ def test_adams_quad_rejects_save_steps():
             _rhs, 0.0, Y0, P, TV, BDFOptions(save_steps=64),
             quad_rhs=lambda t, y, p: y, quad0=jnp.zeros(2),
         )
+
+
+def test_seminorm_adjoint_vector_rtol_matches_tight():
+    """Seminorm adjoint error control (Kidger et al., arXiv:2009.09457),
+    expressed through vector rtol: loosening the M/W blocks of the
+    transition backward to 1e-3 while y stays tight must leave the
+    gradient within tight-solve accuracy (the chip sweep in
+    docs/performance.md 'seminorm' section measured +7.5% throughput at
+    unchanged error; this gates the correctness half on CPU)."""
+    from sunode_tpu.wrappers.as_jax import make_batched_solve_fn
+    from sunode_tpu.symode import SympyProblem
+
+    problem = SympyProblem(
+        params={"alpha": (), "beta": (), "gamma": (), "delta": ()},
+        states={"hares": (), "lynx": ()},
+        rhs_sympy=lambda t, y, p: {
+            "hares": p.alpha * y.hares - p.beta * y.lynx * y.hares,
+            "lynx": p.delta * y.hares * y.lynx - p.gamma * y.lynx,
+        },
+        derivative_params=[("alpha",), ("beta",)],
+    )
+    n = 2
+    tvals = jnp.linspace(1.0, 8.0, 9)
+    y0 = jnp.asarray(np.tile([10.0, 2.0], (3, 1)))
+    psub = jnp.asarray(np.tile([1.0, 0.3], (3, 1)) * np.array([[1.0], [1.02], [0.98]]))
+    p_fix = jnp.array([1.0, 0.4])
+
+    def grad_of(adj_opts):
+        solve = make_batched_solve_fn(
+            problem,
+            derivatives="adjoint",
+            options=BDFOptions(rtol=1e-8, atol=1e-8, adams_max_order=6),
+            adjoint_options=adj_opts,
+            checkpoint_n=256,
+            method="ADAMS",
+            adjoint_interpolation="transition",
+        )
+        return jax.grad(
+            lambda q: jnp.sum(solve(0.0, y0, q, p_fix, tvals) ** 2)
+        )(psub)
+
+    g_tight = np.asarray(grad_of(BDFOptions(rtol=1e-9, atol=1e-9, adams_max_order=6)))
+    rv = np.concatenate([np.full(n, 1e-7), np.full(n * n, 1e-3)])
+    g_semi = np.asarray(
+        grad_of(
+            BDFOptions(
+                rtol=rv, atol=1e-7, adams_max_order=6,
+                quad_rtol=1e-3, quad_atol=1e-3,
+            )
+        )
+    )
+    assert np.all(np.isfinite(g_semi))
+    np.testing.assert_allclose(g_semi, g_tight, rtol=2e-4, atol=1e-6)
