@@ -93,7 +93,8 @@ def _emit_c_function(name: str, exprs, varmap: dict, args_sig: str) -> str:
 
 
 def compile_problem_c(
-    problem, *, cache: bool = True, band=None, band_perm=None, roots=None
+    problem, *, cache: bool = True, band=None, band_perm=None, sparse=None,
+    roots=None
 ):
     """Generate + compile C functions for a SympyProblem; return a ctypes lib
     exposing (all row-major):
@@ -118,6 +119,13 @@ def compile_problem_c(
     sparse-direct analog (the reference's KLU role): the exact symbolic
     pattern is concentrated into a band and factored at the permuted
     bandwidth.
+
+    ``sparse``: a CSC ``(indptr, indices)`` pattern (diagonal included,
+    ``ops/sparsity.csc_pattern``); emits ``sunode_jac_sparse(t, y, p, out)``
+    filling the nnz Jacobian VALUES in pattern order — consumed by the
+    native sparse-direct (Gilbert-Peierls, KLU-analog) entries
+    (``cvbdf_solve_sparse`` family); raises ``ValueError`` if the symbolic
+    Jacobian has a structurally nonzero entry outside the pattern.
 
     ``roots``: an object array of symbolic event functions
     (``SympyProblem.symbolic_roots``); emits ``sunode_roots(t, y, p, out)``
@@ -209,6 +217,32 @@ def compile_problem_c(
                 "double t, const double* y, const double* p, double* out",
             )
         ]
+    sparse_src = []
+    if sparse is not None:
+        indptr, indices = (np.asarray(a, np.int64) for a in sparse)
+        jac = np.asarray(problem._sym_dydt_jac, dtype=object).reshape(n, n)
+        in_pattern = set()
+        vals = np.full(int(indptr[-1]), sy.Integer(0), dtype=object)
+        for j in range(n):
+            for k in range(int(indptr[j]), int(indptr[j + 1])):
+                i = int(indices[k])
+                in_pattern.add((i, j))
+                vals[k] = sy.sympify(jac[i, j])
+        for i in range(n):
+            for j in range(n):
+                if sy.sympify(jac[i, j]) != 0 and (i, j) not in in_pattern:
+                    raise ValueError(
+                        f"Jacobian entry ({i},{j}) is structurally nonzero "
+                        "outside the declared sparse pattern"
+                    )
+        sparse_src = [
+            _emit_c_function(
+                "sunode_jac_sparse",
+                vals,
+                varmap,
+                "double t, const double* y, const double* p, double* out",
+            )
+        ]
     roots_src = []
     if roots is not None:
         roots_src = [
@@ -233,6 +267,7 @@ def compile_problem_c(
             + header[1:]
             + [rhs_src, jac_src, adj_src, quad_src, dfdp_src, dfdt_src]
             + band_src
+            + sparse_src
             + roots_src
             + ["}"]
         )

@@ -95,6 +95,11 @@ class CpuSolver:
             )
         self._band: Optional[tuple[int, int]] = None
         self._perm: Optional[np.ndarray] = None
+        # true sparse-direct (Gilbert-Peierls) config: CSC pattern + column
+        # pre-order; None unless linear_solver='sparse'
+        self._sp_ap: Optional[np.ndarray] = None
+        self._sp_ai: Optional[np.ndarray] = None
+        self._sp_q: Optional[np.ndarray] = None
         # matrix-free GMRES Newton: both 'spgmr' variants map to the native
         # difference-quotient jtimes (the CVODES CVSpilsDQJtimes default)
         self._spgmr = linear_solver in ("spgmr", "spgmr_finitediff")
@@ -108,10 +113,14 @@ class CpuSolver:
                 )
             self._band = (int(kw["lower_bandwidth"]), int(kw["upper_bandwidth"]))
         elif linear_solver == "sparse":
-            # the native KLU analog: exact symbolic sparsity -> RCM
-            # permutation -> banded LU at the permuted bandwidth
-            # (mirrors the JAX 'sparse' path, ops/sparsity.py)
-            from sunode_tpu.ops.sparsity import SparsePlan
+            # the native KLU analog proper: exact symbolic CSC pattern
+            # (diagonal included) -> minimum-degree column pre-order (the
+            # AMD role) -> Gilbert-Peierls LU with dynamic partial
+            # pivoting and dynamic fill (SparseLin, cvbdf.cpp).  The JAX
+            # batched path keeps the RCM-banded redesign (ops/sparsity.py)
+            # — static shapes for XLA; the host path gets the real
+            # sparse-direct factorization.
+            from sunode_tpu.ops.sparsity import csc_pattern, min_degree_order
 
             if not hasattr(problem, "_sym_dydt_jac"):
                 raise ValueError(
@@ -120,9 +129,13 @@ class CpuSolver:
                 )
             jac = np.asarray(problem._sym_dydt_jac, dtype=object)
             pattern = np.vectorize(lambda e: e != 0)(jac).astype(bool)
-            plan = SparsePlan(pattern)
-            self._band = (int(plan.lower), int(plan.upper))
-            self._perm = np.ascontiguousarray(plan.perm, np.int64)
+            np.fill_diagonal(pattern, True)  # I - cJ: diagonal always live
+            ap, ai = csc_pattern(pattern)
+            self._sp_ap = np.ascontiguousarray(ap, np.int64)
+            self._sp_ai = np.ascontiguousarray(ai, np.int64)
+            self._sp_q = np.ascontiguousarray(
+                min_degree_order(pattern), np.int64
+            )
         self._problem = problem
         self._rtol = float(reltol)
         self._atol = np.broadcast_to(
@@ -191,13 +204,17 @@ class CpuSolver:
         self._core = ctypes.CDLL(str(native_lib_path()))
         self._plib = compile_problem_c(
             problem, band=self._band, band_perm=self._perm,
-            roots=self._roots_sym,
+            sparse=self._sparse_pattern(), roots=self._roots_sym,
         )
         self._rhs_ptr = ctypes.cast(self._plib.sunode_rhs, ctypes.c_void_p)
         self._jac_ptr = ctypes.cast(self._plib.sunode_jac, ctypes.c_void_p)
         if self._band is not None:
             self._jacband_ptr = ctypes.cast(
                 self._plib.sunode_jac_banded, ctypes.c_void_p
+            )
+        if self._sp_ap is not None:
+            self._jacsparse_ptr = ctypes.cast(
+                self._plib.sunode_jac_sparse, ctypes.c_void_p
             )
         if self._roots_sym is not None:
             self._roots_ptr = ctypes.cast(
@@ -210,7 +227,29 @@ class CpuSolver:
         self._adj_ptr = ctypes.cast(self._plib.sunode_adj_rhs, ctypes.c_void_p)
         self._quad_ptr = ctypes.cast(self._plib.sunode_quad_rhs, ctypes.c_void_p)
 
+    def _sparse_pattern(self):
+        """(indptr, indices) for codegen, or None off the sparse path."""
+        if getattr(self, "_sp_ap", None) is None:
+            return None
+        return (self._sp_ap, self._sp_ai)
+
+    def _sp_args(self):
+        """The (Ap, Ai, q) pointer triple every sparse entry leads with."""
+        iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+        return (iptr(self._sp_ap), iptr(self._sp_ai), iptr(self._sp_q))
+
     def _register_restypes(self) -> None:
+        if self._sp_ap is not None:
+            self._core.cvbdf_solve_sparse.restype = ctypes.c_int
+            self._core.cvbdf_solve_sparse_batch.restype = None
+            self._core.cvbdf_solve_sparse_roots.restype = ctypes.c_int
+            self._core.cvbdf_adjoint_solve_sparse.restype = ctypes.c_int
+            self._core.cvbdf_adjoint_solve_sparse_batch.restype = None
+            self._core.cvbdf_sens_solve_sparse.restype = ctypes.c_int
+            self._core.cvbdf_sens_staggered_solve_sparse.restype = ctypes.c_int
+            self._core.cvbdf_forward_record_sparse.restype = ctypes.c_void_p
+            self._core.cvbdf_backward_recorded_sparse.restype = ctypes.c_int
+
         if self._band is not None:
             self._core.cvbdf_solve_banded.restype = ctypes.c_int
             self._core.cvbdf_solve_banded_batch.restype = None
@@ -262,6 +301,7 @@ class CpuSolver:
                 "_adj_ptr",
                 "_quad_ptr",
                 "_jacband_ptr",
+                "_jacsparse_ptr",
                 "_rec_handle",
                 "_roots_ptr",
             )
@@ -274,6 +314,7 @@ class CpuSolver:
         self._core = ctypes.CDLL(str(native_lib_path()))
         self._plib = compile_problem_c(
             self._problem, band=self._band, band_perm=self._perm,
+            sparse=self._sparse_pattern(),
             roots=getattr(self, "_roots_sym", None),
         )
         self._rhs_ptr = ctypes.cast(self._plib.sunode_rhs, ctypes.c_void_p)
@@ -287,6 +328,10 @@ class CpuSolver:
         if self._band is not None:
             self._jacband_ptr = ctypes.cast(
                 self._plib.sunode_jac_banded, ctypes.c_void_p
+            )
+        if getattr(self, "_sp_ap", None) is not None:
+            self._jacsparse_ptr = ctypes.cast(
+                self._plib.sunode_jac_sparse, ctypes.c_void_p
             )
         if getattr(self, "_roots_sym", None) is not None:
             self._roots_ptr = ctypes.cast(
@@ -399,6 +444,27 @@ class CpuSolver:
                     status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                     self._cons_ptr(),
                 )
+            elif self._sp_ap is not None:
+                self._core.cvbdf_solve_sparse_batch(
+                    ctypes.c_int(n),
+                    *self._sp_args(),
+                    self._rhs_ptr,
+                    self._jacsparse_ptr,
+                    ctypes.c_double(float(t0)),
+                    dptr(y0),
+                    dptr(params),
+                    ctypes.c_int(params.shape[1]),
+                    ctypes.c_int(n_t),
+                    dptr(tvals),
+                    ctypes.c_double(self._rtol),
+                    dptr(self._atol),
+                    ctypes.c_int64(self._max_steps),
+                    ctypes.c_int(batch),
+                    ctypes.c_int(self._n_threads),
+                    dptr(ys),
+                    status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                    self._cons_ptr(),
+                )
             elif self._band is not None:
                 self._core.cvbdf_solve_banded_batch(
                     ctypes.c_int(n),
@@ -480,6 +546,25 @@ class CpuSolver:
                     ctypes.c_int(n),
                     ctypes.c_int(self._spgmr_maxl),
                     self._rhs_ptr,
+                    ctypes.c_double(float(t0)),
+                    dptr(y0),
+                    dptr(self._params),
+                    ctypes.c_int(n_t),
+                    dptr(tvals),
+                    ctypes.c_double(self._rtol),
+                    dptr(self._atol),
+                    ctypes.c_int64(self._max_steps),
+                    ctypes.c_double(-1.0),
+                    dptr(ys),
+                    stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    self._cons_ptr(),
+                )
+            elif self._sp_ap is not None:
+                rc = self._core.cvbdf_solve_sparse(
+                    ctypes.c_int(n),
+                    *self._sp_args(),
+                    self._rhs_ptr,
+                    self._jacsparse_ptr,
                     ctypes.c_double(float(t0)),
                     dptr(y0),
                     dptr(self._params),
@@ -591,6 +676,27 @@ class CpuSolver:
                 ctypes.c_int64(self._max_steps),
                 ctypes.c_double(-1.0),
                 ctypes.c_int(self._adams_max_order),
+                dptr(ys),
+                *root_outs,
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
+            )
+        elif self._sp_ap is not None:
+            rc = self._core.cvbdf_solve_sparse_roots(
+                ctypes.c_int(n),
+                *self._sp_args(),
+                self._rhs_ptr,
+                self._jacsparse_ptr,
+                *root_args,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_double(-1.0),
                 dptr(ys),
                 *root_outs,
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -766,6 +872,35 @@ class CpuSolver:
                 dptr(dLdp),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
+        elif self._sp_ap is not None:
+            rc = self._core.cvbdf_adjoint_solve_sparse(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                *self._sp_args(),
+                self._rhs_ptr,
+                self._jacsparse_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                self._dfdt_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._herm_code),
+                dptr(ys),
+                dptr(lam0),
+                dptr(dLdp),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
         elif self._band is not None:
             rc = self._core.cvbdf_adjoint_solve_banded(
                 ctypes.c_int(n),
@@ -925,6 +1060,30 @@ class CpuSolver:
                 dptr(sens),
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
+        elif sens_mode == "staggered" and self._sp_ap is not None:
+            rc = self._core.cvbdf_sens_staggered_solve_sparse(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                *self._sp_args(),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._jacsparse_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(sens0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_sens),
+                ctypes.c_int64(self._max_steps),
+                dptr(ys),
+                dptr(sens),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
+            )
         elif sens_mode == "staggered" and self._band is not None:
             self._core.cvbdf_sens_staggered_solve_banded.restype = ctypes.c_int
             rc = self._core.cvbdf_sens_staggered_solve_banded(
@@ -1007,6 +1166,30 @@ class CpuSolver:
                 ctypes.c_int(self._spgmr_maxl),
                 self._rhs_ptr,
                 self._jac_ptr,
+                self._dfdp_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(sens0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_sens),
+                ctypes.c_int64(self._max_steps),
+                dptr(ys),
+                dptr(sens),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                self._cons_ptr(),
+            )
+        elif self._sp_ap is not None:
+            rc = self._core.cvbdf_sens_solve_sparse(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                *self._sp_args(),
+                self._rhs_ptr,
+                self._jac_ptr,
+                self._jacsparse_ptr,
                 self._dfdp_ptr,
                 ctypes.c_double(float(t0)),
                 dptr(y0),
@@ -1167,6 +1350,38 @@ class CpuSolver:
                 dptr(dLdp),
                 status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             )
+        elif self._sp_ap is not None:
+            self._core.cvbdf_adjoint_solve_sparse_batch(
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                *self._sp_args(),
+                self._rhs_ptr,
+                self._jacsparse_ptr,
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                self._dfdt_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(params),
+                ctypes.c_int(params.shape[1]),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._herm_code),
+                ctypes.c_int(batch),
+                ctypes.c_int(self._n_threads),
+                dptr(ys),
+                dptr(lam0),
+                dptr(dLdp),
+                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            )
         elif self._band is not None:
             self._core.cvbdf_adjoint_solve_banded_batch(
                 ctypes.c_int(n),
@@ -1301,6 +1516,26 @@ class CpuSolver:
                 stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 ctypes.byref(rc),
             )
+        elif self._sp_ap is not None:
+            handle = self._core.cvbdf_forward_record_sparse(
+                ctypes.c_int(n),
+                *self._sp_args(),
+                self._rhs_ptr,
+                self._jacsparse_ptr,
+                self._dfdt_ptr,
+                ctypes.c_double(float(t0)),
+                dptr(y0),
+                dptr(self._params),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                ctypes.c_double(self._rtol),
+                dptr(self._atol),
+                ctypes.c_int64(self._max_steps),
+                ctypes.c_int(self._herm_code),
+                dptr(ys),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.byref(rc),
+            )
         elif self._band is not None:
             handle = self._core.cvbdf_forward_record_banded(
                 ctypes.c_int(n),
@@ -1393,6 +1628,29 @@ class CpuSolver:
                 ctypes.c_int(n),
                 ctypes.c_int(nq),
                 ctypes.c_int(self._spgmr_maxl),
+                self._adj_ptr,
+                self._quad_ptr,
+                self._dfdp_ptr,
+                dptr(self._params),
+                ctypes.c_double(float(t0)),
+                ctypes.c_int(n_t),
+                dptr(tvals),
+                dptr(grads),
+                ctypes.c_double(a_rtol),
+                dptr(self._atol),
+                ctypes.c_double(a_atol),
+                ctypes.c_int64(self._max_steps),
+                dptr(lam0),
+                dptr(dLdp),
+                stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        elif self._sp_ap is not None:
+            rc = self._core.cvbdf_backward_recorded_sparse(
+                ctypes.c_void_p(self._rec_handle),
+                ctypes.c_int(n),
+                ctypes.c_int(nq),
+                *self._sp_args(),
+                self._jacsparse_ptr,
                 self._adj_ptr,
                 self._quad_ptr,
                 self._dfdp_ptr,

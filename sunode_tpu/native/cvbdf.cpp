@@ -243,6 +243,191 @@ struct BandLin {
   }
 };
 
+// True sparse-direct Newton policy — the KLU role the reference fills
+// with SuiteSparse (linear_solver_wrapper.py:99-122, matrix.py:105-200):
+// left-looking Gilbert-Peierls LU with threshold partial pivoting over
+// the EXACT symbolic CSC pattern of J (diagonal included), factoring
+// M = I - c J in O(flops(L+U)) — fill is discovered dynamically per
+// column (reach via DFS on the partial L graph) and the factor arrays
+// grow realloc-style, the dynamic-allocation behavior the reference's
+// Sparse matrix carries (matrix.py:168-183).  Column pre-ordering `q`
+// (fill-reducing, e.g. minimum-degree from ops/sparsity.py — the AMD
+// role in KLU) is advisory; row pivoting is dynamic with KLU-style
+// diagonal preference at threshold 0.1.  solve() optionally solves the
+// TRANSPOSED system (I - c J)^T x = b with the same factors — exactly
+// the adjoint lambda-block Newton matrix I - c J^T, so the backward
+// pass needs no second symbolic pattern.
+struct SparseLin {
+  int n;
+  const int64_t *Ap, *Ai;  // CSC pattern of J (diag included), original rows
+  const int64_t *q;        // column order (q[k] = original column), nullable
+  jac_fn js_fn;
+  bool transpose = false;
+  double pivot_tol = 0.1;  // KLU partial-threshold default
+  std::vector<double> Jval;  // nnz values in pattern order
+  // factors, csparse layout: L unit diagonal FIRST in each column,
+  // U pivot LAST; row indices are pivot positions after factor() returns
+  std::vector<int64_t> Lp, Up;
+  std::vector<int> Li, Ui;
+  std::vector<double> Lx, Ux;
+  std::vector<int> pinv;  // original row -> pivot position (-1 = unpivoted)
+  // workspaces
+  std::vector<double> xw;
+  std::vector<int> xi, pstack, flagged;
+  mutable std::vector<double> bw;
+  SparseLin(int n_, const int64_t* Ap_, const int64_t* Ai_,
+            const int64_t* q_, jac_fn js, bool transpose_ = false)
+      : n(n_), Ap(Ap_), Ai(Ai_), q(q_), js_fn(js), transpose(transpose_),
+        Jval((size_t)Ap_[n_]), Lp(n_ + 1), Up(n_ + 1), pinv(n_),
+        xw(n_, 0.0), xi(n_), pstack(n_), flagged(n_, -1), bw(n_) {}
+  void jac(double t, const double* y, const double* params) {
+    js_fn(t, y, params, Jval.data());
+  }
+  // DFS from original row j over the partial L graph; prepends the
+  // subtree to xi[top..n) in topological order and returns the new top.
+  int reach_dfs(int j, int top, int mark) {
+    int head = 0;
+    // stack lives in xi[0..head]; output fills xi[top..n) from the right.
+    // Every stacked node is marked and eventually moves to the output, so
+    // (stack size) + (output size) <= n and the regions never collide.
+    int* stk = xi.data();
+    stk[0] = j;
+    while (head >= 0) {
+      j = stk[head];
+      if (flagged[j] != mark) {
+        flagged[j] = mark;
+        pstack[head] = 0;
+      }
+      bool done = true;
+      int jL = pinv[j];
+      if (jL >= 0) {
+        int64_t p0 = Lp[jL] + 1, p1 = Lp[jL + 1];
+        for (int64_t p = p0 + pstack[head]; p < p1; ++p) {
+          int i = Li[p];  // original row index during factorization
+          if (flagged[i] == mark) continue;
+          pstack[head] = (int)(p - p0 + 1);
+          stk[++head] = i;
+          done = false;
+          break;
+        }
+      }
+      if (done) {
+        --head;
+        xi[--top] = j;
+      }
+    }
+    return top;
+  }
+  bool factor(double c) {
+    Li.clear();
+    Lx.clear();
+    Ui.clear();
+    Ux.clear();
+    std::fill(pinv.begin(), pinv.end(), -1);
+    std::fill(flagged.begin(), flagged.end(), -1);
+    std::fill(xw.begin(), xw.end(), 0.0);
+    for (int k = 0; k < n; ++k) {
+      Lp[k] = (int64_t)Li.size();
+      Up[k] = (int64_t)Ui.size();
+      int col = q ? (int)q[k] : k;
+      // symbolic: reach of M(:,col) in the partial L graph
+      int top = n;
+      for (int64_t t = Ap[col]; t < Ap[col + 1]; ++t) {
+        int i = (int)Ai[t];
+        if (flagged[i] != k) top = reach_dfs(i, top, k);
+      }
+      // numeric scatter of M(:,col) = e_col - c * J(:,col)
+      for (int64_t t = Ap[col]; t < Ap[col + 1]; ++t) {
+        int i = (int)Ai[t];
+        xw[i] = (i == col ? 1.0 : 0.0) - c * Jval[t];
+      }
+      // sparse lower-triangular solve, topological order
+      for (int p = top; p < n; ++p) {
+        int i = xi[p];
+        int jL = pinv[i];
+        if (jL < 0) continue;  // row not yet pivotal: nothing to eliminate
+        double xj = xw[i];
+        for (int64_t pp = Lp[jL] + 1; pp < Lp[jL + 1]; ++pp)
+          xw[Li[pp]] -= Lx[pp] * xj;
+      }
+      // partial pivot among not-yet-pivotal reach entries; the already-
+      // pivotal entries are this column of U
+      int ipiv = -1;
+      double amax = -1.0;
+      for (int p = top; p < n; ++p) {
+        int i = xi[p];
+        if (pinv[i] < 0) {
+          double ax = std::fabs(xw[i]);
+          if (ax > amax) {
+            amax = ax;
+            ipiv = i;
+          }
+        } else {
+          Ui.push_back(pinv[i]);
+          Ux.push_back(xw[i]);
+        }
+      }
+      if (ipiv < 0 || !(amax > 0.0)) return false;  // singular (or all-NaN)
+      if (pinv[col] < 0 && std::fabs(xw[col]) >= pivot_tol * amax)
+        ipiv = col;  // diagonal preference (threshold pivoting)
+      double pivot = xw[ipiv];
+      Ui.push_back(k);  // U diagonal stored LAST in the column
+      Ux.push_back(pivot);
+      pinv[ipiv] = k;
+      Li.push_back(ipiv);  // L unit diagonal stored FIRST
+      Lx.push_back(1.0);
+      for (int p = top; p < n; ++p) {
+        int i = xi[p];
+        if (pinv[i] < 0) {
+          Li.push_back(i);
+          Lx.push_back(xw[i] / pivot);
+        }
+        xw[i] = 0.0;  // clear for the next column
+      }
+    }
+    Lp[n] = (int64_t)Li.size();
+    Up[n] = (int64_t)Ui.size();
+    // remap L's row indices from original rows to pivot positions
+    for (auto& i : Li) i = pinv[i];
+    return true;
+  }
+  // factorization satisfies L U = P M Q with P[pinv[i], i] = 1 and
+  // Q e_k = e_{q[k]} (column k of the factors is original column q[k])
+  void solve(double* b) const {
+    if (!transpose) {
+      // M x = b:  x = Q U^{-1} L^{-1} P b
+      for (int i = 0; i < n; ++i) bw[pinv[i]] = b[i];
+      for (int j = 0; j < n; ++j) {  // lsolve (unit diag first)
+        double xj = bw[j];
+        for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p)
+          bw[Li[p]] -= Lx[p] * xj;
+      }
+      for (int j = n - 1; j >= 0; --j) {  // usolve (diag last)
+        double xj = (bw[j] /= Ux[Up[j + 1] - 1]);
+        for (int64_t p = Up[j]; p < Up[j + 1] - 1; ++p)
+          bw[Ui[p]] -= Ux[p] * xj;
+      }
+      for (int k = 0; k < n; ++k) b[q ? (int)q[k] : k] = bw[k];
+    } else {
+      // M^T x = b:  x = P^T L^{-T} U^{-T} Q^T b
+      for (int k = 0; k < n; ++k) bw[k] = b[q ? (int)q[k] : k];
+      for (int j = 0; j < n; ++j) {  // utsolve (columns become rows)
+        double acc = bw[j];
+        for (int64_t p = Up[j]; p < Up[j + 1] - 1; ++p)
+          acc -= Ux[p] * bw[Ui[p]];
+        bw[j] = acc / Ux[Up[j + 1] - 1];
+      }
+      for (int j = n - 1; j >= 0; --j) {  // ltsolve (unit diag)
+        double acc = bw[j];
+        for (int64_t p = Lp[j] + 1; p < Lp[j + 1]; ++p)
+          acc -= Lx[p] * bw[Li[p]];
+        bw[j] = acc;
+      }
+      for (int i = 0; i < n; ++i) b[i] = bw[pinv[i]];
+    }
+  }
+};
+
 // Restart-free GMRES(m) least-squares solve of A x = b from x0 = 0
 // (mirrors ops/krylov.py::gmres_solve): Arnoldi with modified
 // Gram-Schmidt, Givens triangularization, explicit back substitution.
@@ -1556,6 +1741,38 @@ int bdf_adjoint_backward_band(int n, int nq, int l, int u, jac_fn jb_fn,
                                   quad_out, stats);
 }
 
+// Sparse-direct lambda-block driver: the backward Newton matrix is
+// I - c J^T — SparseLin's transpose mode solves it with the SAME
+// factorization of I - c J (same pattern, same pivots), so the adjoint
+// needs no transposed symbolic analysis at all.  O(flops(L+U)) stiff
+// gradients on arbitrary sparsity.
+int bdf_adjoint_backward_sparse(int n, int nq, const int64_t* Ap,
+                                const int64_t* Ai, const int64_t* qord,
+                                jac_fn js_fn, adj_rhs_fn adj_fn,
+                                adj_rhs_fn quad_fn, rhs_fn dfdp_fn,
+                                const FwdRecord& rec, const double* params,
+                                double t0, int n_t, const double* tvals,
+                                const double* grads, double rtol,
+                                const double* atol_lam, double atol_adj,
+                                int64_t max_steps, double* lam_out,
+                                double* quad_out, Stats* stats) {
+  auto make_lin = [&](std::vector<double>& yhat, double t_hi) {
+    AdjointLin<SparseLin> lin(
+        n, nq, SparseLin(n, Ap, Ai, qord, js_fn, /*transpose=*/true));
+    lin.fill = [&, t_hi](double tau, SparseLin& inner, double* dfdp) {
+      double t = t_hi - tau;
+      rec.eval(t, yhat.data());
+      js_fn(t, yhat.data(), params, inner.Jval.data());
+      if (nq) dfdp_fn(t, yhat.data(), params, dfdp);
+    };
+    return lin;
+  };
+  return bdf_adjoint_backward_lin(n, nq, adj_fn, quad_fn, make_lin, rec,
+                                  params, t0, n_t, tvals, grads, rtol,
+                                  atol_lam, atol_adj, max_steps, lam_out,
+                                  quad_out, stats);
+}
+
 // Matrix-free lambda-block policy for the backward adjoint Newton
 // (spgmr adjoint, reference CVSpilsB analog): the adjoint RHS is LINEAR
 // in lambda, so J^T v = -adj_fn(t, yhat, v) is an EXACT matvec — one
@@ -2855,6 +3072,35 @@ static void set_quintic_hook_banded(FwdRecord& rec, int n, int l, int u,
   };
 }
 
+static void set_quintic_hook_sparse(FwdRecord& rec, int n, const int64_t* Ap,
+                                    const int64_t* Ai, jac_fn js_fn,
+                                    rhs_fn dfdt_fn, const double* params) {
+  // sparse analog of set_quintic_hook: fdot = J f + df/dt and ||J||_inf
+  // straight off the CSC values — O(nnz) per recorded step.
+  auto Jv = std::make_shared<std::vector<double>>((size_t)Ap[n]);
+  auto dfdt_buf = std::make_shared<std::vector<double>>(n);
+  auto rowsum = std::make_shared<std::vector<double>>(n);
+  rec.fdot = [n, Ap, Ai, js_fn, dfdt_fn, params, Jv, dfdt_buf, rowsum](
+                 double t, const double* y, const double* f, double* fd) {
+    js_fn(t, y, params, Jv->data());
+    dfdt_fn(t, y, params, dfdt_buf->data());
+    for (int i = 0; i < n; ++i) {
+      fd[i] = (*dfdt_buf)[i];
+      (*rowsum)[i] = 0.0;
+    }
+    for (int j = 0; j < n; ++j)
+      for (int64_t p = Ap[j]; p < Ap[j + 1]; ++p) {
+        int i = (int)Ai[p];
+        double v = (*Jv)[p];
+        fd[i] += v * f[j];
+        (*rowsum)[i] += std::fabs(v);
+      }
+    double L = 0.0;
+    for (int i = 0; i < n; ++i) L = std::max(L, (*rowsum)[i]);
+    return L;
+  };
+}
+
 // Banded stiff adjoint gradient pair: banded-Newton BDF forward with
 // Hermite recording + banded-Newton backward over the record (the
 // lambda-block Newton matrix I - c J^T factors at the transposed
@@ -3046,6 +3292,243 @@ int cvbdf_backward_recorded_banded(
                                      quad_fn, dfdp_fn, *rec, params, t0, n_t,
                                      tvals, grads, rtol, atol_lam, atol_adj,
                                      max_steps, lam_out, quad_out, &st, perm);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// ---------------------------------------------------------------------
+// Sparse-direct (KLU-analog) entries: js_fn fills the nnz CSC values of
+// J in the (Ap, Ai) pattern (diagonal included, original coordinates);
+// qord is a fill-reducing column pre-order (NULL = natural), row pivots
+// are dynamic.  See SparseLin for the factorization.
+// ---------------------------------------------------------------------
+int cvbdf_solve_sparse(int n, const int64_t* Ap, const int64_t* Ai,
+                       const int64_t* qord, rhs_fn f_fn, jac_fn js_fn,
+                       double t0, const double* y0, const double* params,
+                       int n_t, const double* tvals, double rtol,
+                       const double* atol, int64_t max_steps,
+                       double first_step, double* ys_out, int64_t* stats_out,
+                       const double* constraints) {
+  Stats st;
+  SparseLin lin(n, Ap, Ai, qord, js_fn);
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, rtol,
+                         atol, max_steps, first_step, ys_out, &st, nullptr,
+                         constraints);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+void cvbdf_solve_sparse_batch(int n, const int64_t* Ap, const int64_t* Ai,
+                              const int64_t* qord, rhs_fn f_fn, jac_fn js_fn,
+                              double t0, const double* y0_batch,
+                              const double* params_batch, int n_params,
+                              int n_t, const double* tvals, double rtol,
+                              const double* atol, int64_t max_steps,
+                              int batch, int n_threads, double* ys_out_batch,
+                              int* status_out, const double* constraints) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    SparseLin lin(n, Ap, Ai, qord, js_fn);
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      Stats st;
+      status_out[b] = solve_one_lin(
+          n, f_fn, lin, t0, y0_batch + (size_t)b * n,
+          params_batch + (size_t)b * n_params, n_t, tvals, rtol, atol,
+          max_steps, -1.0, ys_out_batch + (size_t)b * n_t * n, &st, nullptr,
+          constraints);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < std::min(n_threads, batch); ++i)
+    pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+// sparse-Newton variant of cvbdf_solve_roots: same RootCfg semantics
+int cvbdf_solve_sparse_roots(int n, const int64_t* Ap, const int64_t* Ai,
+                             const int64_t* qord, rhs_fn f_fn, jac_fn js_fn,
+                             rhs_fn g_fn, int nrt, const int32_t* rdir,
+                             int terminal, int cap, double t0,
+                             const double* y0, const double* params, int n_t,
+                             const double* tvals, double rtol,
+                             const double* atol, int64_t max_steps,
+                             double first_step, double* ys_out,
+                             double* roots_t, double* roots_y,
+                             int32_t* roots_found, int64_t* n_roots,
+                             int64_t* stats_out, const double* constraints) {
+  Stats st;
+  RootCfg rt;
+  rt.g_fn = g_fn;
+  rt.nrt = nrt;
+  rt.rdir = rdir;
+  rt.terminal = terminal;
+  rt.cap = cap;
+  rt.roots_t = roots_t;
+  rt.roots_y = roots_y;
+  rt.roots_found = roots_found;
+  rt.n_roots = n_roots;
+  SparseLin lin(n, Ap, Ai, qord, js_fn);
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, rtol,
+                         atol, max_steps, first_step, ys_out, &st, nullptr,
+                         constraints, &rt);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+// Sparse-direct stiff adjoint gradient pair: sparse-Newton BDF forward
+// with Hermite recording + sparse-Newton backward over the record (the
+// lambda-block matrix I - c J^T reuses the I - c J factors via
+// SparseLin's transpose solve; quadrature rows eliminate exactly, see
+// AdjointLin).
+int cvbdf_adjoint_solve_sparse(
+    int n, int nq, const int64_t* Ap, const int64_t* Ai, const int64_t* qord,
+    rhs_fn f_fn, jac_fn js_fn, adj_rhs_fn adj_fn, adj_rhs_fn quad_fn,
+    rhs_fn dfdp_fn, rhs_fn dfdt_fn, double t0, const double* y0,
+    const double* params, int n_t, const double* tvals, const double* grads,
+    double rtol, const double* atol_lam, double fwd_rtol,
+    const double* fwd_atol, double atol_adj, int64_t max_steps,
+    int herm_order, double* ys_out, double* lam_out, double* quad_out,
+    int64_t* stats_out) {
+  Stats st;
+  FwdRecord rec;
+  rec.poly_mode = (herm_order == 1);  // CV_POLYNOMIAL
+  if (herm_order >= 5)
+    set_quintic_hook_sparse(rec, n, Ap, Ai, js_fn, dfdt_fn, params);
+  SparseLin lin(n, Ap, Ai, qord, js_fn);
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, fwd_rtol,
+                         fwd_atol, max_steps, -1.0, ys_out, &st, &rec);
+  if (rc == 0) {
+    rc = bdf_adjoint_backward_sparse(n, nq, Ap, Ai, qord, js_fn, adj_fn,
+                                     quad_fn, dfdp_fn, rec, params, t0, n_t,
+                                     tvals, grads, rtol, atol_lam, atol_adj,
+                                     max_steps, lam_out, quad_out, &st);
+  }
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+void cvbdf_adjoint_solve_sparse_batch(
+    int n, int nq, const int64_t* Ap, const int64_t* Ai, const int64_t* qord,
+    rhs_fn f_fn, jac_fn js_fn, adj_rhs_fn adj_fn, adj_rhs_fn quad_fn,
+    rhs_fn dfdp_fn, rhs_fn dfdt_fn, double t0, const double* y0_batch,
+    const double* params_batch, int n_params, int n_t, const double* tvals,
+    const double* grads_batch, double rtol, const double* atol_lam,
+    double fwd_rtol, const double* fwd_atol, double atol_adj,
+    int64_t max_steps, int herm_order, int batch, int n_threads,
+    double* ys_out_batch, double* lam_out_batch, double* quad_out_batch,
+    int* status_out) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= batch) return;
+      status_out[b] = cvbdf_adjoint_solve_sparse(
+          n, nq, Ap, Ai, qord, f_fn, js_fn, adj_fn, quad_fn, dfdp_fn,
+          dfdt_fn, t0, y0_batch + (size_t)b * n,
+          params_batch + (size_t)b * n_params, n_t, tvals,
+          grads_batch + (size_t)b * n_t * n, rtol, atol_lam, fwd_rtol,
+          fwd_atol, atol_adj, max_steps, herm_order,
+          ys_out_batch + (size_t)b * n_t * n, lam_out_batch + (size_t)b * n,
+          quad_out_batch + (size_t)b * std::max(nq, 1), nullptr);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int i = 0; i < std::min(n_threads, batch); ++i)
+    pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+}
+
+// Sparse-Newton simultaneous sensitivities: ONE shared sparse
+// factorization across the y and all k sensitivity blocks (the aug RHS
+// still uses the dense j_fn for the J S_k products, like the banded
+// variant).
+int cvbdf_sens_solve_sparse(int n, int nq, const int64_t* Ap,
+                            const int64_t* Ai, const int64_t* qord,
+                            rhs_fn f_fn, jac_fn j_fn, jac_fn js_fn,
+                            rhs_fn dfdp_fn, double t0, const double* y0,
+                            const double* sens0, const double* params,
+                            int n_t, const double* tvals, double rtol,
+                            const double* atol, double atol_sens,
+                            int64_t max_steps, double* ys_out,
+                            double* sens_out, int64_t* stats_out,
+                            const double* constraints) {
+  Stats st;
+  auto mk = [&]() {
+    return BlockDiagLin<SparseLin>(n, 1 + nq,
+                                   SparseLin(n, Ap, Ai, qord, js_fn));
+  };
+  int rc = bdf_sens_solve_common(n, nq, f_fn, j_fn, dfdp_fn, mk, t0, y0,
+                                 sens0, params, n_t, tvals, rtol, atol,
+                                 atol_sens, max_steps, ys_out, sens_out, &st,
+                                 constraints);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+int cvbdf_sens_staggered_solve_sparse(
+    int n, int nq, const int64_t* Ap, const int64_t* Ai, const int64_t* qord,
+    rhs_fn f_fn, jac_fn j_fn, jac_fn js_fn, rhs_fn dfdp_fn, double t0,
+    const double* y0, const double* sens0, const double* params, int n_t,
+    const double* tvals, double rtol, const double* atol, double atol_sens,
+    int64_t max_steps, double* ys_out, double* sens_out, int64_t* stats_out,
+    const double* constraints) {
+  Stats st;
+  SparseLin lin(n, Ap, Ai, qord, js_fn);
+  int rc = bdf_sens_staggered_lin(n, nq, f_fn, j_fn, dfdp_fn, lin, t0, y0,
+                                  sens0, params, n_t, tvals, rtol, atol,
+                                  atol_sens, max_steps, ys_out, sens_out,
+                                  &st, constraints);
+  fill_stats(st, stats_out);
+  return rc;
+}
+
+void* cvbdf_forward_record_sparse(int n, const int64_t* Ap,
+                                  const int64_t* Ai, const int64_t* qord,
+                                  rhs_fn f_fn, jac_fn js_fn, rhs_fn dfdt_fn,
+                                  double t0, const double* y0,
+                                  const double* params, int n_t,
+                                  const double* tvals, double fwd_rtol,
+                                  const double* fwd_atol, int64_t max_steps,
+                                  int herm_order, double* ys_out,
+                                  int64_t* stats_out, int* rc_out) {
+  Stats st;
+  auto* rec = new FwdRecord();
+  rec->poly_mode = (herm_order == 1);  // CV_POLYNOMIAL
+  if (herm_order >= 5)
+    set_quintic_hook_sparse(*rec, n, Ap, Ai, js_fn, dfdt_fn, params);
+  SparseLin lin(n, Ap, Ai, qord, js_fn);
+  int rc = solve_one_lin(n, f_fn, lin, t0, y0, params, n_t, tvals, fwd_rtol,
+                         fwd_atol, max_steps, -1.0, ys_out, &st, rec);
+  fill_stats(st, stats_out);
+  if (rc_out) *rc_out = rc;
+  if (rc != 0) {
+    delete rec;
+    return nullptr;
+  }
+  rec->fdot = nullptr;  // hook captures die with this frame; data is kept
+  return rec;
+}
+
+int cvbdf_backward_recorded_sparse(
+    void* rec_handle, int n, int nq, const int64_t* Ap, const int64_t* Ai,
+    const int64_t* qord, jac_fn js_fn, adj_rhs_fn adj_fn, adj_rhs_fn quad_fn,
+    rhs_fn dfdp_fn, const double* params, double t0, int n_t,
+    const double* tvals, const double* grads, double rtol,
+    const double* atol_lam, double atol_adj, int64_t max_steps,
+    double* lam_out, double* quad_out, int64_t* stats_out) {
+  Stats st;
+  const auto* rec = static_cast<const FwdRecord*>(rec_handle);
+  int rc = bdf_adjoint_backward_sparse(n, nq, Ap, Ai, qord, js_fn, adj_fn,
+                                       quad_fn, dfdp_fn, *rec, params, t0,
+                                       n_t, tvals, grads, rtol, atol_lam,
+                                       atol_adj, max_steps, lam_out, quad_out,
+                                       &st);
   fill_stats(st, stats_out);
   return rc;
 }

@@ -31,6 +31,8 @@ import numpy as np
 __all__ = [
     "color_columns",
     "rcm_permutation",
+    "min_degree_order",
+    "csc_pattern",
     "bandwidths",
     "plan_sparse_jacobian",
     "SparsePlan",
@@ -91,6 +93,59 @@ def rcm_permutation(pattern: np.ndarray) -> np.ndarray:
                 visited[w] = True
                 queue.append(int(w))
     return np.asarray(order[::-1], np.int64)
+
+
+def min_degree_order(pattern: np.ndarray) -> np.ndarray:
+    """Greedy minimum-degree elimination ordering of the symmetrized
+    pattern — the fill-reducing role AMD plays inside KLU (the reference's
+    sparse-direct solver, linear_solver_wrapper.py:99-122).
+
+    Returns ``order`` (n,) with ``order[k]`` = original index eliminated at
+    step k; feeding it as the column pre-order of the native
+    Gilbert-Peierls LU (``SparseLin``, cvbdf.cpp) keeps fill near-minimal
+    for patterns RCM handles badly (arrowheads, star graphs: RCM bandwidth
+    is O(n) there, minimum degree eliminates the apex last for zero fill).
+    Classic quotient-free formulation: eliminate the minimum-degree node,
+    clique its surviving neighbors.  Setup-time host numpy — O(sum deg^2),
+    fine for the symbolic-Jacobian sizes this feeds.
+    """
+    pattern = np.asarray(pattern, bool)
+    n = pattern.shape[0]
+    sym = pattern | pattern.T
+    np.fill_diagonal(sym, False)
+    adj = [set(np.flatnonzero(sym[i]).tolist()) for i in range(n)]
+    alive = np.ones(n, bool)
+    order = np.empty(n, np.int64)
+    for k in range(n):
+        live = np.flatnonzero(alive)
+        v = int(live[np.argmin([len(adj[i]) for i in live])])
+        order[k] = v
+        alive[v] = False
+        nbrs = [w for w in adj[v] if alive[w]]
+        for w in nbrs:
+            adj[w].discard(v)
+            adj[w].update(x for x in nbrs if x != w)
+        adj[v].clear()
+    return order
+
+
+def csc_pattern(pattern: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """CSC (indptr, indices) of a boolean pattern, both int64 — the static
+    symbolic structure handed to the native sparse-direct entries."""
+    pattern = np.asarray(pattern, bool)
+    n = pattern.shape[1]
+    indptr = np.zeros(n + 1, np.int64)
+    cols = []
+    for j in range(n):
+        rows = np.flatnonzero(pattern[:, j])
+        indptr[j + 1] = indptr[j] + rows.size
+        cols.append(rows)
+    indices = (
+        np.concatenate(cols).astype(np.int64)
+        if cols
+        else np.zeros(0, np.int64)
+    )
+    return indptr, indices
 
 
 def bandwidths(pattern: np.ndarray) -> Tuple[int, int]:

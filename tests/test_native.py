@@ -869,7 +869,7 @@ def test_native_constraints_robertson():
         c2.solve(0.0, np.array([2.0]), np.array([0.5]))
 
 
-# --- native sparse Newton: RCM-permuted banded LU (the KLU analog) --------
+# --- native sparse Newton: Gilbert-Peierls LU (the KLU analog) ------------
 
 
 def _scrambled_chain_problem(n=24, seed=42):
@@ -897,9 +897,10 @@ def _scrambled_chain_problem(n=24, seed=42):
 
 
 def test_native_sparse_matches_dense():
-    """linear_solver='sparse' on the native path (exact symbolic pattern ->
-    RCM permutation -> banded LU at the permuted bandwidth; the reference's
-    KLU role, linear_solver_wrapper.py:99-122) reproduces the dense solve
+    """linear_solver='sparse' on the native path (exact symbolic CSC
+    pattern -> minimum-degree column order -> Gilbert-Peierls LU with
+    dynamic partial pivoting, SparseLin in cvbdf.cpp; the reference's KLU
+    role, linear_solver_wrapper.py:99-122) reproduces the dense solve
     across forward, adjoint, sensitivity, recorded and batch modes."""
     n = 24
     prob = _scrambled_chain_problem(n)
@@ -913,8 +914,11 @@ def test_native_sparse_matches_dense():
     s = CpuSolver(prob, abstol=1e-10, reltol=1e-10, linear_solver="sparse")
     for x in (d, s):
         x.set_params_dict(pv)
-    # the scrambled chain has natural bandwidth ~n; RCM recovers ~1
-    assert s._band[0] + s._band[1] <= 4, s._band
+    # the scrambled chain's Jacobian is tridiagonal-under-permutation:
+    # nnz = 3n - 2, handed to the factorization as an exact CSC pattern
+    assert s._band is None
+    assert int(s._sp_ap[-1]) == 3 * n - 2
+    assert s._sp_ai.size == int(s._sp_ap[-1])
 
     ys_d = d.solve(0.0, tvals, y0)
     ys_s = s.solve(0.0, tvals, y0)
@@ -974,6 +978,129 @@ def test_solver_class_routes_native_sparse():
     np.testing.assert_allclose(np.asarray(quad), np.asarray(quad_d), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_d), rtol=1e-5,
                                atol=1e-8)
+
+
+def _arrowhead_problem(n=40):
+    """Hub-and-spoke system: row and column 0 of the Jacobian are full
+    (arrowhead pattern).  ANY bandwidth-based ordering degrades to w ~ n
+    here — the hub is adjacent to every node, so RCM cannot compress the
+    band and a banded factorization does O(n^3) work on O(n) structural
+    nonzeros.  Minimum degree eliminates the spokes first and the hub
+    last, giving a fill-free Gilbert-Peierls factorization — the pattern
+    class that requires the true sparse-direct path (KLU role)."""
+
+    def rhs(t, y, p):
+        u = y.u
+        hub = -p.k * u[0] + p.c * sum(u[j] for j in range(1, n)) / n
+        out = [hub]
+        for j in range(1, n):
+            out.append(-p.k * u[j] + p.c * u[0] * (1 - u[j]))
+        return {"u": np.array(out, dtype=object)}
+
+    return SympyProblem(
+        params={"k": (), "c": ()},
+        states={"u": (n,)},
+        rhs_sympy=rhs,
+        derivative_params=[("k",), ("c",)],
+    )
+
+
+def test_native_sparse_arrowhead_no_fill():
+    """The arrowhead pattern (full first row + column): the sparse-direct
+    path keeps nnz = 3n-2 structure, orders the hub LAST (fill-free
+    elimination), and reproduces dense results across forward, adjoint and
+    staggered-sensitivity modes."""
+    n = 40
+    prob = _arrowhead_problem(n)
+    y0 = 0.3 + 0.4 * np.cos(np.arange(n) / n)
+    tvals = np.array([0.1, 0.4, 1.0])
+    pv = {"k": 30.0, "c": 8.0}
+    rng = np.random.default_rng(3)
+    grads = rng.standard_normal((len(tvals), n))
+
+    d = CpuSolver(prob, abstol=1e-10, reltol=1e-10)
+    s = CpuSolver(prob, abstol=1e-10, reltol=1e-10, linear_solver="sparse")
+    for x in (d, s):
+        x.set_params_dict(pv)
+    # structural: full row + full column + diagonal, nothing else
+    assert int(s._sp_ap[-1]) == 3 * n - 2
+
+    # the minimum-degree order must be structurally fill-FREE on the
+    # arrowhead (spokes eliminated while the hub survives) — the property
+    # RCM cannot deliver here (hub adjacency forces bandwidth ~ n)
+    def fill_in(ap, ai, order):
+        adj = np.zeros((n, n), bool)
+        for j in range(n):
+            for t in range(int(ap[j]), int(ap[j + 1])):
+                adj[int(ai[t]), j] = True
+        adj |= adj.T
+        np.fill_diagonal(adj, False)
+        alive = np.ones(n, bool)
+        fill = 0
+        for v in order:
+            alive[v] = False
+            nb = np.flatnonzero(adj[v] & alive)
+            for a in nb:
+                for b in nb:
+                    if a < b and not adj[a, b]:
+                        fill += 1
+                        adj[a, b] = adj[b, a] = True
+        return fill
+
+    assert fill_in(s._sp_ap, s._sp_ai, s._sp_q) == 0
+
+    ys_d = d.solve(0.0, tvals, y0)
+    ys_s = s.solve(0.0, tvals, y0)
+    np.testing.assert_allclose(ys_s, ys_d, rtol=1e-8, atol=1e-12)
+    assert s.last_stats["n_steps"] == d.last_stats["n_steps"]
+
+    _, lam_d, q_d = d.solve_adjoint(0.0, tvals, y0, grads)
+    _, lam_s, q_s = s.solve_adjoint(0.0, tvals, y0, grads)
+    np.testing.assert_allclose(lam_s, lam_d, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(q_s, q_d, rtol=1e-6, atol=1e-10)
+
+    _, sens_d = d.solve_sens(0.0, tvals, y0, sens_mode="staggered")
+    _, sens_s = s.solve_sens(0.0, tvals, y0, sens_mode="staggered")
+    np.testing.assert_allclose(sens_s, sens_d, rtol=1e-5, atol=1e-8)
+
+
+def test_native_sparse_roots():
+    """Native rootfinding rides the sparse-Newton step loop
+    (cvbdf_solve_sparse_roots) with the same CV_ROOT_RETURN semantics as
+    the dense path."""
+    n = 24
+    prob = _scrambled_chain_problem(n)
+    y0 = 0.5 + 0.4 * np.sin(np.pi * np.arange(n) / (n - 1))
+    tvals = np.array([0.05, 0.2, 0.5, 2.0])
+    pv = {"k": 40.0, "r": 1.5}
+    # the chain's midpoint site rises from ~0.66 through 0.75 on its way
+    # to the logistic plateau — a guaranteed crossing inside [0, 2]
+    rng = np.random.default_rng(42)
+    mid = int(rng.permutation(n)[n // 2])
+
+    def roots_fn(t, y, p):
+        return [y.u[mid] - 0.75]
+
+    ss = Solver(
+        prob, abstol=1e-10, reltol=1e-10, linear_solver="sparse",
+        roots=roots_fn, root_terminal=True,
+    )
+    sd = Solver(
+        prob, abstol=1e-10, reltol=1e-10, roots=roots_fn, root_terminal=True
+    )
+    for x in (ss, sd):
+        x.set_params_dict(pv)
+    ys_s = ss.solve(0.0, tvals, y0)
+    ys_d = sd.solve(0.0, tvals, y0)
+    assert ss.last_stats["n_roots"] == sd.last_stats["n_roots"] == 1
+    np.testing.assert_allclose(
+        ss.last_stats["roots_t"][0], sd.last_stats["roots_t"][0], rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        ss.last_stats["roots_y"][0], sd.last_stats["roots_y"][0], rtol=1e-7
+    )
+    # outputs past the terminal root are NaN on both routes
+    np.testing.assert_array_equal(np.isnan(ys_s), np.isnan(ys_d))
 
 
 def test_native_adams_constraints_lv():

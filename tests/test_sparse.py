@@ -18,7 +18,9 @@ from sunode_tpu.ops.sparsity import (
     SparsePlan,
     bandwidths,
     color_columns,
+    csc_pattern,
     make_colored_banded_jac,
+    min_degree_order,
     rcm_permutation,
 )
 from sunode_tpu.problem import JaxProblem
@@ -64,6 +66,65 @@ def test_rcm_recovers_scrambled_band():
     perm = rcm_permutation(scrambled)
     l, u = bandwidths(scrambled[perm][:, perm])
     assert l + u <= 6  # near-pentadiagonal recovered
+
+
+def test_csc_pattern_roundtrip():
+    rng = np.random.default_rng(7)
+    pat = rng.random((30, 30)) < 0.1
+    np.fill_diagonal(pat, True)
+    indptr, indices = csc_pattern(pat)
+    assert indptr.dtype == np.int64 and indices.dtype == np.int64
+    assert indptr[-1] == pat.sum()
+    back = np.zeros_like(pat)
+    for j in range(30):
+        back[indices[indptr[j]:indptr[j + 1]], j] = True
+    np.testing.assert_array_equal(back, pat)
+
+
+def _elimination_fill(pattern, order):
+    """Fill-in count of a symmetric elimination order (clique model)."""
+    adj = pattern | pattern.T
+    np.fill_diagonal(adj, False)
+    adj = adj.copy()
+    n = adj.shape[0]
+    alive = np.ones(n, bool)
+    fill = 0
+    for v in order:
+        alive[v] = False
+        nb = np.flatnonzero(adj[v] & alive)
+        for a in nb:
+            for b in nb:
+                if a < b and not adj[a, b]:
+                    fill += 1
+                    adj[a, b] = adj[b, a] = True
+    return fill
+
+
+def test_min_degree_beats_natural_on_arrowhead():
+    """The fill-reducing role AMD plays in KLU: on an arrowhead pattern
+    (full first row/column) natural order fills the WHOLE matrix while
+    minimum degree is fill-free."""
+    n = 30
+    pat = np.zeros((n, n), bool)
+    pat[0, :] = pat[:, 0] = True
+    np.fill_diagonal(pat, True)
+    order = min_degree_order(pat)
+    assert sorted(order.tolist()) == list(range(n))  # a permutation
+    assert _elimination_fill(pat, order) == 0
+    natural = _elimination_fill(pat, np.arange(n))
+    assert natural == (n - 1) * (n - 2) // 2  # fully dense fill
+
+
+def test_min_degree_on_banded_pattern_stays_low_fill():
+    n = 40
+    pat = np.zeros((n, n), bool)
+    for i in range(n):
+        for d in (-1, 0, 1):
+            if 0 <= i + d < n:
+                pat[i, i + d] = True
+    order = min_degree_order(pat)
+    assert sorted(order.tolist()) == list(range(n))
+    assert _elimination_fill(pat, order) <= n  # tridiagonal: ~no fill
 
 
 def test_sympy_exact_sparsity():
