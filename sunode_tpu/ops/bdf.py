@@ -126,6 +126,11 @@ class BDFOptions(NamedTuple):
     # static RCM permutation (permuted index -> original index) for
     # linear_solver='sparse'; None = identity
     sparse_perm: Optional[Any] = None
+    # bordered-block-diagonal Schur solve for linear_solver='sparse':
+    # number of border vertices ordered LAST by sparse_perm (SparsePlan
+    # border='auto'; ops/bbd.py).  jac must then return the packed
+    # (band_lower+band_upper+1+2k, n) storage.  0 = plain banded plan.
+    sparse_border: int = 0
     # Adams order cap (separate from the BDF max_order so explicit low caps
     # stay expressible); default 8 — see ops/adams.py for the conditioning
     # rationale.  Hard ceiling 12 (CV_ADAMS max).
@@ -494,6 +499,16 @@ def bdf_solve(
             sp_inv = jnp.asarray(np.argsort(options.sparse_perm), jnp.int32)
         else:
             sp_perm = sp_inv = None
+        k_bord = int(options.sparse_border) if use_sparse else 0
+        if k_bord:
+            # bordered-block-diagonal Schur solve (ops/bbd.py): jac returns
+            # packed (l+u+1+2k, n) storage; banded LU on the interior plus
+            # a k x k dense Schur complement over the border
+            from sunode_tpu.ops.bbd import (
+                bbd_factor,
+                bbd_form_newton,
+                bbd_solve,
+            )
     if use_spgmr and jac_prod is None:
         # matrix-free default: jvp of the rhs
         def jac_prod(t, y, v, p):  # noqa: F811
@@ -634,10 +649,24 @@ def bdf_solve(
         factors0 = (jnp.zeros((1, 1), dtype),)
         J0 = jnp.zeros((1, 1), dtype)
     elif use_band:
-        # identity in banded storage; jac returns (l+u+1, n) banded rows
-        eye_ab = jnp.zeros((band_l + band_u + 1, n), dtype).at[band_u].set(1.0)
-        factors0 = banded_factor(eye_ab, band_l, band_u)
         J0 = jac(t0, y0, params)
+        if k_bord:
+            # identity in packed storage: M = I - 0*J
+            factors0 = bbd_factor(
+                bbd_form_newton(
+                    jnp.zeros_like(J0), jnp.zeros((), dtype), band_l, band_u,
+                    k_bord,
+                ),
+                band_l,
+                band_u,
+                k_bord,
+            )
+        else:
+            # identity in banded storage; jac returns (l+u+1, n) banded rows
+            eye_ab = (
+                jnp.zeros((band_l + band_u + 1, n), dtype).at[band_u].set(1.0)
+            )
+            factors0 = banded_factor(eye_ab, band_l, band_u)
     else:
         factors0 = factor_newton(jnp.eye(n, dtype=dtype))
         # CVODES evaluates a real Jacobian before the first BDF Newton
@@ -810,7 +839,17 @@ def bdf_solve(
         )
         need_factor = c["need_factor"] | c_changed
 
-        if use_band:
+        if use_band and k_bord:
+
+            def do_factor(_):
+                M_pk = bbd_form_newton(c["J"], c_coef, band_l, band_u, k_bord)
+                return (
+                    bbd_factor(M_pk, band_l, band_u, k_bord),
+                    c_coef,
+                    c["nfactor"] + 1,
+                )
+
+        elif use_band:
 
             def do_factor(_):
                 # M = I - c*J directly in banded storage (diagonal = row u)
@@ -858,6 +897,13 @@ def bdf_solve(
                     res,
                     maxl=options.krylov_dim,
                 )
+        elif use_band and k_bord:
+            # solve in plan-permuted space (border last): z = P delta
+            def lin_solve(res):
+                rp = res[sp_perm] if sp_perm is not None else res
+                z = bbd_solve(factors, rp, band_l, band_u, k_bord)
+                return z[sp_inv] if sp_inv is not None else z
+
         elif use_band:
             if use_sparse and sp_perm is not None:
                 # solve in RCM-permuted space: z = P delta, M_p z = P res

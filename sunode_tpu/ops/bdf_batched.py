@@ -238,28 +238,78 @@ def bdf_solve_batched(
             )
         else:
             sp_perm = sp_inv = None
-        _bfactor = jax.vmap(
-            lambda ab: banded_factor(ab, band_l, band_u),
-            in_axes=2,
-            out_axes=(2, 1, 0),
-        )
-        _bsolve_raw = jax.vmap(
-            lambda lu, piv, sing, bb: banded_solve(
-                (lu, piv, sing), bb, band_l, band_u
-            ),
-            in_axes=(2, 1, 0, 1),
-            out_axes=1,
-        )
-        if use_sparse and sp_perm is not None:
-            # solve in RCM-permuted space: z = P delta, M_p z = P res
+        k_bord = int(options.sparse_border) if use_sparse else 0
+        if k_bord:
+            # bordered-block-diagonal Schur solve (ops/bbd.py): the same
+            # SoA lift as the banded LU — B lanes share ONE static interior
+            # column loop plus a (k, k, B) dense Schur factorization.  This
+            # is the batched fast path for the dense-row/arrowhead patterns
+            # where RCM bandwidth is O(n).
+            from sunode_tpu.ops.bbd import (
+                bbd_factor,
+                bbd_form_newton,
+                bbd_solve,
+            )
+
+            _bfactor = jax.vmap(
+                lambda M: bbd_factor(M, band_l, band_u, k_bord),
+                in_axes=2,
+                out_axes=(2, 1, 2, 2, 2, 1, 0),
+            )
+            _bsolve_bbd = jax.vmap(
+                lambda lu, piv, X, E, SLU, Spiv, sing, rr: bbd_solve(
+                    (lu, piv, X, E, SLU, Spiv, sing), rr, band_l, band_u,
+                    k_bord,
+                ),
+                in_axes=(2, 1, 2, 2, 2, 1, 0, 1),
+                out_axes=1,
+            )
+
             def lin_solve_b(factors, res):
-                z = _bsolve_raw(factors[0], factors[1], factors[2], res[sp_perm])
-                return z[sp_inv]
+                rp = res[sp_perm] if sp_perm is not None else res
+                z = _bsolve_bbd(*factors, rp)
+                return z[sp_inv] if sp_inv is not None else z
+
+            def _form_M_b(J, c_coef):
+                return jax.vmap(
+                    lambda Jl, cl: bbd_form_newton(
+                        Jl, cl, band_l, band_u, k_bord
+                    ),
+                    in_axes=(2, 0),
+                    out_axes=2,
+                )(J, c_coef)
 
         else:
+            _bfactor = jax.vmap(
+                lambda ab: banded_factor(ab, band_l, band_u),
+                in_axes=2,
+                out_axes=(2, 1, 0),
+            )
+            _bsolve_raw = jax.vmap(
+                lambda lu, piv, sing, bb: banded_solve(
+                    (lu, piv, sing), bb, band_l, band_u
+                ),
+                in_axes=(2, 1, 0, 1),
+                out_axes=1,
+            )
 
-            def lin_solve_b(factors, res):
-                return _bsolve_raw(factors[0], factors[1], factors[2], res)
+            def _form_M_b(J, c_coef):
+                # M = I - c*J directly in banded storage (diagonal = row u)
+                M_ab = (-c_coef)[None, None, :] * J
+                return M_ab.at[band_u].add(1.0)
+
+            if use_sparse and sp_perm is not None:
+                # solve in RCM-permuted space: z = P delta, M_p z = P res
+                def lin_solve_b(factors, res):
+                    z = _bsolve_raw(
+                        factors[0], factors[1], factors[2], res[sp_perm]
+                    )
+                    return z[sp_inv]
+
+            else:
+
+                def lin_solve_b(factors, res):
+                    return _bsolve_raw(factors[0], factors[1], factors[2], res)
 
     elif use_spgmr:
         lin_solve_b = None  # built per-attempt (linearizes at the predictor)
@@ -472,9 +522,9 @@ def bdf_solve_batched(
         J0 = jnp.zeros((1, 1, B), dtype)
         factors0 = (jnp.zeros((1, 1, B), dtype),)
     elif use_band:
-        J0 = jac_b(t0_b, y0, params)  # (l+u+1, n, B) banded rows
-        eye_ab = jnp.zeros((band_l + band_u + 1, n, B), dtype).at[band_u].set(1.0)
-        factors0 = _bfactor(eye_ab)
+        J0 = jac_b(t0_b, y0, params)  # (l+u+1[+2k], n, B) packed rows
+        # identity: M = I - 0*J in the structured storage
+        factors0 = _bfactor(_form_M_b(jnp.zeros_like(J0), jnp.zeros((B,), dtype)))
     else:
         J0 = jac_b(t0_b, y0, params)  # (n, n, B) dense
         factors0 = factor_newton_b(jnp.broadcast_to(eye_b, (n, n, B)))
@@ -592,10 +642,7 @@ def bdf_solve_batched(
 
         def do_factor(_):
             if use_band:
-                # M = I - c*J directly in banded storage (diagonal = row u)
-                M_ab = (-c_coef)[None, None, :] * c["J"]
-                M_ab = M_ab.at[band_u].add(1.0)
-                newf = _bfactor(M_ab)
+                newf = _bfactor(_form_M_b(c["J"], c_coef))
             else:
                 M = eye_b - c_coef[None, None, :] * c["J"]
                 newf = factor_newton_b(M)

@@ -157,26 +157,103 @@ def bandwidths(pattern: np.ndarray) -> Tuple[int, int]:
     return int(max(d.max(), 0)), int(max((-d).max(), 0))
 
 
+def _select_border(pattern: np.ndarray, cap: int):
+    """Greedy max-degree peel for the bordered-block-diagonal plan.
+
+    Returns (border_idx list, interior_perm original-indices) — empty border
+    when no peel beats the plain RCM-banded cost model by >25% (so nicely
+    banded patterns keep the existing plan exactly).  The cost model is the
+    Newton factor cost: banded O(n (w+1)^2) vs BBD
+    O(n_i (w_i+1)^2 + 2 k n_i (w_i+1) + k^2 n_i + k^3) (ops/bbd.py).
+    """
+    pattern = np.asarray(pattern, bool)
+    n = pattern.shape[0]
+    sym = pattern | pattern.T
+    np.fill_diagonal(sym, True)
+
+    def _interior(alive_idx):
+        sub = pattern[np.ix_(alive_idx, alive_idx)]
+        permi = rcm_permutation(sub)
+        pi = sub[permi][:, permi]
+        np.fill_diagonal(pi, True)
+        li, ui = bandwidths(pi)
+        return alive_idx[permi], li + ui
+
+    all_idx = np.arange(n)
+    _, w0 = _interior(all_idx)
+    baseline = n * (w0 + 1) ** 2
+    best = (baseline, [], None)
+    alive = np.ones(n, bool)
+    peeled: list[int] = []
+    for _ in range(cap):
+        deg = (sym & alive[None, :] & alive[:, None]).sum(axis=1)
+        deg[~alive] = -1
+        v = int(np.argmax(deg))
+        if deg[v] <= 1:
+            break
+        peeled.append(v)
+        alive[v] = False
+        k = len(peeled)
+        interior, wi = _interior(np.flatnonzero(alive))
+        n_i = n - k
+        cost = (
+            n_i * (wi + 1) ** 2
+            + 2 * k * n_i * (wi + 1)
+            + k * k * n_i
+            + k**3
+        )
+        if cost < 0.75 * baseline and cost < best[0]:
+            best = (cost, list(peeled), interior)
+    return best[1], best[2]
+
+
 class SparsePlan:
-    """Static plan for colored-jvp banded Jacobian construction.
+    """Static plan for colored-jvp structured Jacobian construction.
+
+    With ``border='auto'`` (default), patterns whose RCM bandwidth is
+    dominated by a few dense rows/columns (arrowheads, hubs) pull those
+    ``k_border`` vertices into a border ordered LAST; the Jacobian is then
+    gathered into the bordered packed storage of ops/bbd.py and the Newton
+    solve runs banded-LU-plus-Schur at O(n w_i^2 + k n w_i + k^3) instead
+    of the O(n^3) a bandwidth-only ordering degrades to.  ``k_border == 0``
+    keeps the plain RCM-banded plan (packed storage == banded storage).
 
     Attributes (all host numpy, fixed at setup):
-      perm        (n,) RCM permutation (permuted index -> original index)
+      perm        (n,) permutation (permuted index -> original index);
+                  border vertices come last
       inv_perm    (n,)
+      k_border    int — border size (0 = plain banded plan)
       colors      (n,) color of each PERMUTED column
       n_colors    int
       seeds       (n_colors, n) jvp seed vectors in ORIGINAL coordinates
-      lower/upper bandwidths of the permuted pattern
-      row_gather  (w+1, n) original-row index feeding banded slot [r, j]
-      col_gather  (w+1, n) color index feeding banded slot [r, j]
-      mask        (w+1, n) validity of each banded slot
+      lower/upper bandwidths of the INTERIOR block of the permuted pattern
+      row_gather  (w+1+2k, n) original-row index feeding packed slot [r, j]
+      col_gather  (w+1+2k, n) color index feeding packed slot [r, j]
+      mask        (w+1+2k, n) validity of each packed slot
     """
 
-    def __init__(self, pattern: np.ndarray, permute: bool = True):
+    def __init__(
+        self,
+        pattern: np.ndarray,
+        permute: bool = True,
+        border="auto",
+    ):
         pattern = np.asarray(pattern, bool)
         n = pattern.shape[0]
         self.n = n
-        if permute:
+        border_idx: list = []
+        interior = None
+        if permute and border and n > 2:
+            cap = min(n // 2, 32) if border == "auto" else int(border)
+            if cap > 0:
+                border_idx, interior = _select_border(pattern, cap)
+        self.k_border = k = len(border_idx)
+        n_i = n - k
+        if k:
+            self.perm = np.concatenate(
+                [interior, np.asarray(border_idx, np.int64)]
+            )
+        elif permute:
             self.perm = rcm_permutation(pattern)
         else:
             self.perm = np.arange(n, dtype=np.int64)
@@ -185,7 +262,7 @@ class SparsePlan:
         # the Newton matrix is I - c J: the diagonal is always structurally
         # present whatever the RHS looks like
         np.fill_diagonal(pat_p, True)
-        self.lower, self.upper = bandwidths(pat_p)
+        self.lower, self.upper = bandwidths(pat_p[:n_i, :n_i])
         self.colors = color_columns(pat_p)
         self.n_colors = int(self.colors.max()) + 1 if n else 0
         # seed c hits original columns {perm[j] : colors[j] == c}
@@ -193,23 +270,44 @@ class SparsePlan:
         for j in range(n):
             seeds[self.colors[j], self.perm[j]] = 1.0
         self.seeds = seeds
-        # banded gather maps: ab[r, j] = J_p[i_p, j] with i_p = r - upper + j
+        # packed gather maps (ops/bbd.py layout; k = 0 is plain banded).
+        # band region: ab[r, j] = J_p[i_p, j] with i_p = r - upper + j
         w = self.lower + self.upper
         r_idx = np.arange(w + 1)[:, None]
         j_idx = np.arange(n)[None, :]
         i_p = r_idx - self.upper + j_idx
-        valid = (i_p >= 0) & (i_p < n)
+        valid = (i_p >= 0) & (i_p < n_i) & (j_idx < n_i)
         i_p_c = np.clip(i_p, 0, n - 1)
-        self.mask = valid & pat_p[i_p_c, j_idx]
+        mask = valid & pat_p[i_p_c, j_idx]
         # J_p[i_p, j] = (J @ seed[colors[j]])[perm[i_p]]
-        self.row_gather = self.perm[i_p_c]
-        self.col_gather = np.broadcast_to(self.colors[None, :], i_p_c.shape).copy()
+        row_gather = self.perm[i_p_c]
+        col_gather = np.broadcast_to(self.colors[None, :], i_p_c.shape).copy()
+        if k:
+            jj = np.arange(n)
+            # border rows [E | C]: packed[w+1+a, j] = J_p[n_i + a, j]
+            ec_mask = pat_p[n_i:, :]  # (k, n)
+            ec_rows = np.broadcast_to(
+                self.perm[n_i:][:, None], (k, n)
+            ).copy()
+            ec_cols = np.broadcast_to(self.colors[None, :], (k, n)).copy()
+            # border columns F^T: packed[w+1+k+a, j] = J_p[j, n_i + a]
+            ft_mask = (jj[None, :] < n_i) & pat_p[:, n_i:].T  # (k, n)
+            ft_rows = np.broadcast_to(self.perm[None, :], (k, n)).copy()
+            ft_cols = np.broadcast_to(
+                self.colors[n_i:][:, None], (k, n)
+            ).copy()
+            mask = np.concatenate([mask, ec_mask, ft_mask], axis=0)
+            row_gather = np.concatenate([row_gather, ec_rows, ft_rows], axis=0)
+            col_gather = np.concatenate([col_gather, ec_cols, ft_cols], axis=0)
+        self.mask = mask
+        self.row_gather = row_gather
+        self.col_gather = col_gather
 
     def density_summary(self) -> str:
         w = self.lower + self.upper + 1
         return (
-            f"n={self.n} nnz_band_width={w} colors={self.n_colors} "
-            f"(dense would be n={self.n} columns)"
+            f"n={self.n} nnz_band_width={w} border={self.k_border} "
+            f"colors={self.n_colors} (dense would be n={self.n} columns)"
         )
 
 

@@ -369,7 +369,11 @@ class Solver(_SolverBase):
                 if "sparsity" in kw
                 else problem.jac_sparsity()
             )
-            plan = SparsePlan(pattern, permute=kw.get("permute", True))
+            plan = SparsePlan(
+                pattern,
+                permute=kw.get("permute", True),
+                border=kw.get("border", "auto"),
+            )
             self._sparse_plan = plan
             jacfn = make_colored_banded_jac(rhs, plan)
             self._options = self._options._replace(
@@ -377,6 +381,7 @@ class Solver(_SolverBase):
                 band_lower=plan.lower,
                 band_upper=plan.upper,
                 sparse_perm=plan.perm,
+                sparse_border=plan.k_border,
             )
         elif linear_solver in ("spgmr", "spgmr_finitediff"):
             jacfn = problem.make_jac_dense()  # unused by the spgmr path
@@ -1180,7 +1185,11 @@ class AdjointSolver(_SolverBase):
                 if "sparsity" in kw
                 else problem.jac_sparsity()
             )
-            plan_f = SparsePlan(pattern, permute=kw.get("permute", True))
+            plan_f = SparsePlan(
+                pattern,
+                permute=kw.get("permute", True),
+                border=kw.get("border", "auto"),
+            )
             self._sparse_plan = plan_f
             self._jac = make_colored_banded_jac(self._rhs, plan_f)
             self._options = self._options._replace(
@@ -1188,13 +1197,26 @@ class AdjointSolver(_SolverBase):
                 band_lower=plan_f.lower,
                 band_upper=plan_f.upper,
                 sparse_perm=plan_f.perm,
+                sparse_border=plan_f.k_border,
             )
-            plan_b = SparsePlan(pattern.T, permute=kw.get("permute", True))
+            plan_b = SparsePlan(
+                pattern.T,
+                permute=kw.get("permute", True),
+                border=kw.get("border", "auto"),
+            )
             perm_b = jnp.asarray(plan_b.perm)
 
-            def aj_sparse(t, y, lam, p, _f=aj_dense):
-                A = _f(t, y, lam, p)[perm_b][:, perm_b]
-                return dense_to_banded(A, plan_b.lower, plan_b.upper)
+            if plan_b.k_border:
+                from sunode_tpu.ops.bbd import dense_to_packed
+
+                def aj_sparse(t, y, lam, p, _f=aj_dense):
+                    return dense_to_packed(_f(t, y, lam, p), plan_b)
+
+            else:
+
+                def aj_sparse(t, y, lam, p, _f=aj_dense):
+                    A = _f(t, y, lam, p)[perm_b][:, perm_b]
+                    return dense_to_banded(A, plan_b.lower, plan_b.upper)
 
             self._adjoint_jac = aj_sparse
             self._adjoint_options = self._adjoint_options._replace(
@@ -1202,6 +1224,7 @@ class AdjointSolver(_SolverBase):
                 band_lower=plan_b.lower,
                 band_upper=plan_b.upper,
                 sparse_perm=plan_b.perm,
+                sparse_border=plan_b.k_border,
             )
         else:
             self._jac = problem.make_jac_dense()

@@ -289,27 +289,45 @@ def make_batched_solve_fn(
             if "sparsity" in kw
             else problem.jac_sparsity()
         )
-        plan_f = SparsePlan(pattern, permute=kw.get("permute", True))
+        plan_f = SparsePlan(
+            pattern,
+            permute=kw.get("permute", True),
+            border=kw.get("border", "auto"),
+        )
         jac = make_colored_banded_jac(rhs, plan_f)
         options = options._replace(
             linear_solver="sparse",
             band_lower=plan_f.lower,
             band_upper=plan_f.upper,
             sparse_perm=plan_f.perm,
+            sparse_border=plan_f.k_border,
         )
-        plan_b = SparsePlan(pattern.T, permute=kw.get("permute", True))
+        plan_b = SparsePlan(
+            pattern.T,
+            permute=kw.get("permute", True),
+            border=kw.get("border", "auto"),
+        )
         perm_b = jnp.asarray(plan_b.perm)
         _aj_jac_dense = problem.make_adjoint_jac_dense()
 
-        def _adjoint_jac_struct(t, y, lam, p):
-            A = _aj_jac_dense(t, y, lam, p)[perm_b][:, perm_b]
-            return dense_to_banded(A, plan_b.lower, plan_b.upper)
+        if plan_b.k_border:
+            from sunode_tpu.ops.bbd import dense_to_packed
+
+            def _adjoint_jac_struct(t, y, lam, p):
+                return dense_to_packed(_aj_jac_dense(t, y, lam, p), plan_b)
+
+        else:
+
+            def _adjoint_jac_struct(t, y, lam, p):
+                A = _aj_jac_dense(t, y, lam, p)[perm_b][:, perm_b]
+                return dense_to_banded(A, plan_b.lower, plan_b.upper)
 
         adjoint_options = adjoint_options._replace(
             linear_solver="sparse",
             band_lower=plan_b.lower,
             band_upper=plan_b.upper,
             sparse_perm=plan_b.perm,
+            sparse_border=plan_b.k_border,
         )
     else:
         jac = problem.make_jac_dense()

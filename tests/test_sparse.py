@@ -196,7 +196,10 @@ def test_sparse_bandwidth_scales_with_structure_not_n():
     grows, so banded-LU cost is O(n w^2) = O(n), vs dense O(n^3)."""
     widths, colors = [], []
     for n_regions in (8, 32, 64):
-        plan = SparsePlan(_sir_problem(n_regions).jac_sparsity())
+        # border=0 pins the plain RCM plan: this test is about RCM finding
+        # the local structure.  border='auto' may legitimately peel the
+        # all-to-all I-coupling at small n (cost-model win, tests/test_bbd.py).
+        plan = SparsePlan(_sir_problem(n_regions).jac_sparsity(), border=0)
         widths.append(plan.lower + plan.upper + 1)
         colors.append(plan.n_colors)
     assert widths[0] == widths[1] == widths[2], widths
@@ -206,7 +209,9 @@ def test_sparse_bandwidth_scales_with_structure_not_n():
 def test_colored_banded_jac_equals_autodiff():
     prob = _sir_problem(12)
     rhs = prob.make_rhs()
-    plan = SparsePlan(prob.jac_sparsity())
+    # border=0: plain-banded layout (the bordered packed layout has its own
+    # gate, tests/test_bbd.py::test_colored_packed_jac_matches_autodiff)
+    plan = SparsePlan(prob.jac_sparsity(), border=0)
     jb = make_colored_banded_jac(rhs, plan)
     from sunode_tpu.ops.banded import banded_to_dense
 
