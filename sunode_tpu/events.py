@@ -71,6 +71,8 @@ def _build_event_core(
     root_terminal: bool,
     root_cap: int,
     solver: str,
+    linear_solver: str = "dense",
+    linear_solver_kwargs: Optional[dict] = None,
 ):
     """Shared IFT-event machinery (module docstring), NaN-safe form.
 
@@ -88,7 +90,18 @@ def _build_event_core(
         else roots
     )
     rhs = problem.make_rhs()
-    jac = problem.make_jac_dense() if solver == "BDF" else None
+    if solver == "BDF":
+        # structured Newton for the primal localization solve: same
+        # 'dense' | 'band' | 'sparse' contract as make_solve_fn, so large
+        # stiff states don't pay O(n^3) per event evaluation
+        from sunode_tpu.wrappers.as_jax import _structured_setup
+
+        jac, options, _, _ = _structured_setup(
+            problem, rhs, linear_solver, linear_solver_kwargs, options,
+            BDFOptions(),
+        )
+    else:
+        jac = None
     spec = problem.params
     inner = make_solve_fn(
         problem,
@@ -96,6 +109,8 @@ def _build_event_core(
         options=options,
         adjoint_options=adjoint_options,
         checkpoint_n=checkpoint_n,
+        linear_solver=linear_solver,
+        linear_solver_kwargs=linear_solver_kwargs,
     )
     root_kw = dict(
         root_fn=root_fn,
@@ -167,6 +182,8 @@ def make_event_fn(
     root_terminal: bool = True,
     root_cap: int = 8,
     solver: str = "BDF",
+    linear_solver: str = "dense",
+    linear_solver_kwargs: Optional[dict] = None,
 ) -> Callable:
     """Build ``event(t0, y0_flat, params_subset, params_fixed, t_max)
     -> (t_event, y_event)`` with IFT gradients (module docstring).
@@ -178,9 +195,12 @@ def make_event_fn(
     recorded at all.  ``derivatives`` picks the machinery differentiating
     y(t*; θ): ``'forward'`` (sensitivities — exact for a handful of
     parameters) or ``'adjoint'``.  ``solver`` picks the primal localization
-    core: ``'BDF'`` (dense-Jacobian Newton) or ``'ADAMS'`` (functional
-    iteration — no O(n³) factorization, the right default for large
-    non-stiff states).
+    core: ``'BDF'`` (Newton) or ``'ADAMS'`` (functional iteration — no
+    O(n³) factorization, the right default for large non-stiff states).
+    For large STIFF states, ``linear_solver='band'|'sparse'`` (the
+    ``make_solve_fn`` kwargs contract) gives the BDF Newton solves — both
+    the localization and the differentiable re-solve — the structured
+    O(n·w²) path instead of dense O(n³).
 
     Returns inf/NaN when no matching root exists in ``[t0, t_max]``.
     Cost: two solves per call (primal root localization + differentiable
@@ -205,6 +225,8 @@ def make_event_fn(
         root_terminal=root_terminal,
         root_cap=root_cap,
         solver=solver,
+        linear_solver=linear_solver,
+        linear_solver_kwargs=linear_solver_kwargs,
     )
 
     def event(t0, y0, p_sub, p_fix, t_max):
@@ -267,6 +289,8 @@ def make_hybrid_solve_fn(
     checkpoint_n: int = 4096,
     root_directions: Optional[Any] = None,
     solver: str = "BDF",
+    linear_solver: str = "dense",
+    linear_solver_kwargs: Optional[dict] = None,
 ) -> Callable:
     """Build ``hybrid(t0, y0_flat, params_subset, params_fixed, tvals)
     -> HybridResult`` — an event-restart loop with differentiable jumps.
@@ -308,6 +332,8 @@ def make_hybrid_solve_fn(
         root_terminal=True,
         root_cap=1,
         solver=solver,
+        linear_solver=linear_solver,
+        linear_solver_kwargs=linear_solver_kwargs,
     )
     inner = make_solve_fn(
         problem,
@@ -315,6 +341,8 @@ def make_hybrid_solve_fn(
         options=options,
         adjoint_options=adjoint_options,
         checkpoint_n=checkpoint_n,
+        linear_solver=linear_solver,
+        linear_solver_kwargs=linear_solver_kwargs,
     )
     spec = problem.params
     jump = _wrap_jump(problem, jump_fn)

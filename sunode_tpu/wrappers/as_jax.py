@@ -41,6 +41,99 @@ def _poison(ys, status):
     return jnp.where(status == 0, ys, jnp.nan)
 
 
+def _structured_setup(problem, rhs, linear_solver, linear_solver_kwargs,
+                      options, adjoint_options):
+    """Shared Newton-structure setup for the functional surfaces.
+
+    Maps ``linear_solver`` ('dense' | 'band' | 'sparse') to the forward
+    Jacobian callable + solver options, and to the backward (-J^T)
+    structured Jacobian + options — the same treatment the class surface
+    applies (``Solver``/``AdjointSolver(linear_solver=...)``; reference
+    linear_solver_wrapper.py:99-122 role).  Returns
+    ``(jac, options, adjoint_jac_struct_or_None, adjoint_options)``.
+    """
+    if linear_solver == "band":
+        from sunode_tpu.ops.banded import dense_to_banded
+
+        kw = dict(linear_solver_kwargs or {})
+        if "lower_bandwidth" not in kw or "upper_bandwidth" not in kw:
+            raise ValueError(
+                "linear_solver='band' requires linear_solver_kwargs with "
+                "'lower_bandwidth' and 'upper_bandwidth'"
+            )
+        lb, ub = int(kw["lower_bandwidth"]), int(kw["upper_bandwidth"])
+        jac = problem.make_banded_jac(lb, ub)
+        options = options._replace(
+            linear_solver="band", band_lower=lb, band_upper=ub
+        )
+        # backward matrix is -J^T: bandwidths swap
+        _aj_jac_dense = problem.make_adjoint_jac_dense()
+        adjoint_jac_struct = lambda t, y, lam, p: dense_to_banded(  # noqa: E731
+            _aj_jac_dense(t, y, lam, p), ub, lb
+        )
+        adjoint_options = adjoint_options._replace(
+            linear_solver="band", band_lower=ub, band_upper=lb
+        )
+        return jac, options, adjoint_jac_struct, adjoint_options
+    if linear_solver == "sparse":
+        from sunode_tpu.ops.banded import dense_to_banded
+        from sunode_tpu.ops.sparsity import SparsePlan, make_colored_banded_jac
+
+        kw = dict(linear_solver_kwargs or {})
+        pattern = (
+            np.asarray(kw["sparsity"], bool)
+            if "sparsity" in kw
+            else problem.jac_sparsity()
+        )
+        plan_f = SparsePlan(
+            pattern,
+            permute=kw.get("permute", True),
+            border=kw.get("border", "auto"),
+        )
+        jac = make_colored_banded_jac(rhs, plan_f)
+        options = options._replace(
+            linear_solver="sparse",
+            band_lower=plan_f.lower,
+            band_upper=plan_f.upper,
+            sparse_perm=plan_f.perm,
+            sparse_border=plan_f.k_border,
+        )
+        plan_b = SparsePlan(
+            pattern.T,
+            permute=kw.get("permute", True),
+            border=kw.get("border", "auto"),
+        )
+        perm_b = jnp.asarray(plan_b.perm)
+        _aj_jac_dense = problem.make_adjoint_jac_dense()
+
+        if plan_b.k_border:
+            from sunode_tpu.ops.bbd import dense_to_packed
+
+            def adjoint_jac_struct(t, y, lam, p):
+                return dense_to_packed(_aj_jac_dense(t, y, lam, p), plan_b)
+
+        else:
+
+            def adjoint_jac_struct(t, y, lam, p):
+                A = _aj_jac_dense(t, y, lam, p)[perm_b][:, perm_b]
+                return dense_to_banded(A, plan_b.lower, plan_b.upper)
+
+        adjoint_options = adjoint_options._replace(
+            linear_solver="sparse",
+            band_lower=plan_b.lower,
+            band_upper=plan_b.upper,
+            sparse_perm=plan_b.perm,
+            sparse_border=plan_b.k_border,
+        )
+        return jac, options, adjoint_jac_struct, adjoint_options
+    if linear_solver != "dense":
+        raise ValueError(
+            "linear_solver must be 'dense', 'band' or 'sparse', got "
+            f"{linear_solver!r}"
+        )
+    return problem.make_jac_dense(), options, None, adjoint_options
+
+
 def make_solve_fn(
     problem: Problem,
     *,
@@ -49,6 +142,8 @@ def make_solve_fn(
     adjoint_options: Optional[BDFOptions] = None,
     checkpoint_n: int = 4096,
     adjoint_interpolation: str = "hermite",
+    linear_solver: str = "dense",
+    linear_solver_kwargs: Optional[dict] = None,
 ) -> Callable:
     """Build ``solve(t0, y0_flat, params_subset, params_fixed, tvals) -> ys``.
 
@@ -56,9 +151,15 @@ def make_solve_fn(
     params_subset and tvals according to ``derivatives``; params_fixed always
     gets zero cotangent (reference semantics: gradients only for
     ``derivative_params``).
+
+    ``linear_solver``: 'dense' (default), 'band' or 'sparse' — same
+    structured-Newton contract as ``make_batched_solve_fn``; the backward
+    adjoint matrix (-J^T) automatically gets the transposed structure.
+    Forward sensitivities keep a dense Jacobian for the sensitivity RHS
+    (S J^T needs the full matrix) while the Newton solves use the
+    structured one.
     """
     rhs = problem.make_rhs()
-    jac = problem.make_jac_dense()
     spec = problem.params
     n = problem.n_states
     n_deriv = problem.n_params
@@ -66,6 +167,11 @@ def make_solve_fn(
     if adjoint_options is None:
         # reference hardcodes 1e-10 backward tolerances (solver.py:599,614)
         adjoint_options = BDFOptions(rtol=1e-10, atol=1e-10)
+
+    jac, options, _adjoint_jac_struct, adjoint_options = _structured_setup(
+        problem, rhs, linear_solver, linear_solver_kwargs, options,
+        adjoint_options,
+    )
 
     def _combine(p_sub, p_fix):
         return spec.combine(p_sub, p_fix, xp=jnp)
@@ -81,7 +187,11 @@ def make_solve_fn(
 
     if derivatives == "adjoint":
         adjoint_rhs = problem.make_adjoint_rhs()
-        adjoint_jac = problem.make_adjoint_jac_dense()
+        adjoint_jac = (
+            _adjoint_jac_struct
+            if _adjoint_jac_struct is not None
+            else problem.make_adjoint_jac_dense()
+        )
         quad_rhs = problem.make_adjoint_quad_rhs()
         fwd_options = options._replace(save_steps=checkpoint_n)
         if adjoint_interpolation == "polynomial":
@@ -137,6 +247,9 @@ def make_solve_fn(
     if derivatives == "forward":
         sens_rhs = problem.make_sensitivity_rhs()
         dfdp = problem.make_dfdp()
+        # the sensitivity RHS needs the FULL matrix for S J^T whatever
+        # structure the Newton solves exploit
+        jac_dense = problem.make_jac_dense()
 
         # augmented sensitivity: rows [0:n_deriv] for params, rows
         # [n_deriv:n_deriv+n] for initial values (the reference's
@@ -144,7 +257,7 @@ def make_solve_fn(
         k_aug = n_deriv + n
 
         def sens_rhs_aug(t, y, S, p):
-            J = jac(t, y, p)
+            J = jac_dense(t, y, p)
             extra = jnp.concatenate(
                 [dfdp(t, y, p).T, jnp.zeros((n, n), dtype=S.dtype)], axis=0
             )
@@ -256,82 +369,10 @@ def make_batched_solve_fn(
         # reference hardcodes 1e-10 backward tolerances (solver.py:599,614)
         adjoint_options = BDFOptions(rtol=1e-10, atol=1e-10)
 
-    _aj_jac_dense = None
-    if linear_solver == "band":
-        from sunode_tpu.ops.banded import dense_to_banded
-
-        kw = dict(linear_solver_kwargs or {})
-        if "lower_bandwidth" not in kw or "upper_bandwidth" not in kw:
-            raise ValueError(
-                "linear_solver='band' requires linear_solver_kwargs with "
-                "'lower_bandwidth' and 'upper_bandwidth'"
-            )
-        lb, ub = int(kw["lower_bandwidth"]), int(kw["upper_bandwidth"])
-        jac = problem.make_banded_jac(lb, ub)
-        options = options._replace(
-            linear_solver="band", band_lower=lb, band_upper=ub
-        )
-        # backward matrix is -J^T: bandwidths swap
-        _aj_jac_dense = problem.make_adjoint_jac_dense()
-        _adjoint_jac_struct = lambda t, y, lam, p: dense_to_banded(  # noqa: E731
-            _aj_jac_dense(t, y, lam, p), ub, lb
-        )
-        adjoint_options = adjoint_options._replace(
-            linear_solver="band", band_lower=ub, band_upper=lb
-        )
-    elif linear_solver == "sparse":
-        from sunode_tpu.ops.banded import dense_to_banded
-        from sunode_tpu.ops.sparsity import SparsePlan, make_colored_banded_jac
-
-        kw = dict(linear_solver_kwargs or {})
-        pattern = (
-            np.asarray(kw["sparsity"], bool)
-            if "sparsity" in kw
-            else problem.jac_sparsity()
-        )
-        plan_f = SparsePlan(
-            pattern,
-            permute=kw.get("permute", True),
-            border=kw.get("border", "auto"),
-        )
-        jac = make_colored_banded_jac(rhs, plan_f)
-        options = options._replace(
-            linear_solver="sparse",
-            band_lower=plan_f.lower,
-            band_upper=plan_f.upper,
-            sparse_perm=plan_f.perm,
-            sparse_border=plan_f.k_border,
-        )
-        plan_b = SparsePlan(
-            pattern.T,
-            permute=kw.get("permute", True),
-            border=kw.get("border", "auto"),
-        )
-        perm_b = jnp.asarray(plan_b.perm)
-        _aj_jac_dense = problem.make_adjoint_jac_dense()
-
-        if plan_b.k_border:
-            from sunode_tpu.ops.bbd import dense_to_packed
-
-            def _adjoint_jac_struct(t, y, lam, p):
-                return dense_to_packed(_aj_jac_dense(t, y, lam, p), plan_b)
-
-        else:
-
-            def _adjoint_jac_struct(t, y, lam, p):
-                A = _aj_jac_dense(t, y, lam, p)[perm_b][:, perm_b]
-                return dense_to_banded(A, plan_b.lower, plan_b.upper)
-
-        adjoint_options = adjoint_options._replace(
-            linear_solver="sparse",
-            band_lower=plan_b.lower,
-            band_upper=plan_b.upper,
-            sparse_perm=plan_b.perm,
-            sparse_border=plan_b.k_border,
-        )
-    else:
-        jac = problem.make_jac_dense()
-        _adjoint_jac_struct = None
+    jac, options, _adjoint_jac_struct, adjoint_options = _structured_setup(
+        problem, rhs, linear_solver, linear_solver_kwargs, options,
+        adjoint_options,
+    )
 
     def _forward(t0, y0, p, tvals, opts):
         # named_scope -> profiler/HLO-metadata annotation: the forward and

@@ -285,3 +285,70 @@ def test_batched_adjoint_sparse_bbd_gradients():
     np.testing.assert_allclose(
         grads["sparse"], grads["dense"], rtol=1e-4, atol=1e-8
     )
+
+
+def test_make_solve_fn_sparse_bbd_adjoint_matches_dense():
+    """Single-instance functional surface: make_solve_fn(linear_solver=
+    'sparse') routes the hub problem through BBD Newton in both adjoint
+    directions and reproduces the dense gradients."""
+    from sunode_tpu.wrappers.as_jax import make_solve_fn
+
+    prob = _hub_problem(12)
+    y0, params, tvals = _hub_inputs(12, b=1, seed=5)
+    p_sub = jnp.asarray(params[0, [0, 2]])  # (D, b)
+    p_fix = jnp.asarray(params[0, [1, 3]])  # (a, c)
+    opts = BDFOptions(rtol=1e-8, atol=1e-10)
+
+    grads = {}
+    for ls in ("dense", "sparse"):
+        solve = make_solve_fn(
+            prob, derivatives="adjoint", options=opts, linear_solver=ls
+        )
+
+        def loss(ps):
+            ys = solve(0.0, jnp.asarray(y0[0]), ps, p_fix, jnp.asarray(tvals))
+            return jnp.sum(ys**2)
+
+        grads[ls] = np.asarray(jax.grad(loss)(p_sub))
+    assert np.all(np.isfinite(grads["sparse"]))
+    np.testing.assert_allclose(
+        grads["sparse"], grads["dense"], rtol=1e-4, atol=1e-8
+    )
+
+
+def test_event_fn_sparse_bbd_matches_dense():
+    """make_event_fn(linear_solver='sparse'): the primal localization AND
+    the differentiable re-solve run structured Newton; event time, state
+    and gradients match the dense-Jacobian event machinery."""
+    from sunode_tpu.events import make_event_fn
+
+    prob = _hub_problem(12)
+    y0, params, _ = _hub_inputs(12, b=1, seed=6)
+
+    # event: hub state crosses a threshold from below
+    def roots(t, y, p):
+        return [y.h - 0.05]
+
+    opts = BDFOptions(rtol=1e-10, atol=1e-12)
+    p_sub = jnp.asarray(params[0, [0, 2]])
+    p_fix = jnp.asarray(params[0, [1, 3]])
+    y0f = jnp.asarray(y0[0]).at[-1].set(0.0)
+
+    outs = {}
+    for ls in ("dense", "sparse"):
+        event = make_event_fn(
+            prob, roots, options=opts, derivatives="forward",
+            linear_solver=ls,
+        )
+
+        def t_of(ps):
+            return event(0.0, y0f, ps, p_fix, 2.0)[0]
+
+        t_ev = t_of(p_sub)
+        g = jax.grad(t_of)(p_sub)
+        outs[ls] = (float(t_ev), np.asarray(g))
+    t_d, g_d = outs["dense"]
+    t_s, g_s = outs["sparse"]
+    assert np.isfinite(t_s) and t_s < 2.0
+    np.testing.assert_allclose(t_s, t_d, rtol=1e-8)
+    np.testing.assert_allclose(g_s, g_d, rtol=1e-5, atol=1e-10)
